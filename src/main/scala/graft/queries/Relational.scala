@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / query core (SURVEY.md §2a).
+  *
+  * These cover the read-transform-aggregate-write surface a user of the
+  * reference ETL agent (/root/reference, Tensei-Data/tensei-agent) exercises
+  * through mappings + recipes, re-expressed as declarative Spark plans so
+  * Catalyst handles pushdown, pruning, join strategy, and AQE handles skew.
+  *
+  * Oracle-parity rules (see SURVEY.md §6): every floating-point aggregate is
+  * cast to an exact DECIMAL per-row *before* summation in BOTH engines, so
+  * results do not depend on floating-point addition order; integer-like
+  * outputs are BIGINT on both sides; timestamps stay UTC.
+  */
+object Relational {
+
+  /** Exact per-row money representation: the synthetic data carries 2-decimal
+    * doubles, so DECIMAL(18,4) holds them exactly in Spark and DuckDB.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  // ---------------------------------------------------------------- q1_agg
+  private def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 8)).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------ q2_filter_project
+  // Predicate + projection that must reach the parquet scan (PushedFilters).
+  private def q2(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1995-06-01") && col("l_shipdate") < ts("1996-01-01")
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_shipdate"))
+
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount > 0.05""".stripMargin
+
+  // ---------------------------------------------------------- q3_join_agg
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 8)).as("revenue"))
+  }
+
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderdate,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate""".stripMargin
+
+  // ----------------------------------------------------- q4_broadcast_join
+  // Small-dim joins (nation 25 rows, region 5 rows) must broadcast.
+  private def q4(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).as("total_acctbal"))
+
+  private val q4Sql =
+    """SELECT r_name, COUNT(*) AS n_cust,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+      |FROM customer, nation, region
+      |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // -------------------------------------------------------- q5_multi_join
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 8)).as("revenue"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // --------------------------------------------------------- q6_cond_agg
+  private def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+        && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast(DecimalType(18, 4)))
+        .cast(DecimalType(38, 8)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------- q7_topk
+  // Deterministic top-k: unique key breaks price ties.
+  private def q7(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private val q7Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------- q8_distinct
+  private def q8(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+
+  private val q8Sql =
+    """SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------- q9_window
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+  }
+
+  private val q9Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, rk FROM (
+      | SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+      | FROM orders) t WHERE rk <= 3""".stripMargin
+
+  // -------------------------------------------------------- q10_semi_join
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
+  // -------------------------------------------------------- q11_anti_join
+  // Customers with no urgent order (plain "no orders" is empty at every SF).
+  private def q11(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val q11Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ------------------------------------------------------------ q12_union
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(s)
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+      |UNION ALL
+      |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9000""".stripMargin
+
+  // ----------------------------------------------------------- q13_rollup
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"))
+
+  private val q13Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------- q14_events_bucket
+  // Time-bucketed event aggregation; the batch twin of the streaming
+  // windowed agg in graft.streaming (SURVEY.md §2f).
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("total"))
+
+  private val q14Sql =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- q15_having
+  private def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total"))
+      .filter(col("n_orders") >= 15)
+
+  private val q15Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1, Some(q1Sql)),
+    QueryDef("q2_filter_project", q2, Some(q2Sql)),
+    QueryDef("q3_join_agg", q3, Some(q3Sql)),
+    QueryDef("q4_broadcast_join", q4, Some(q4Sql)),
+    QueryDef("q5_multi_join", q5, Some(q5Sql)),
+    QueryDef("q6_cond_agg", q6, Some(q6Sql)),
+    QueryDef("q7_topk", q7, Some(q7Sql)),
+    QueryDef("q8_distinct", q8, Some(q8Sql)),
+    QueryDef("q9_window", q9, Some(q9Sql)),
+    QueryDef("q10_semi_join", q10, Some(q10Sql)),
+    QueryDef("q11_anti_join", q11, Some(q11Sql)),
+    QueryDef("q12_union", q12, Some(q12Sql)),
+    QueryDef("q13_rollup", q13, Some(q13Sql)),
+    QueryDef("q14_events_bucket", q14, Some(q14Sql)),
+    QueryDef("q15_having", q15, Some(q15Sql))
+  )
+}
