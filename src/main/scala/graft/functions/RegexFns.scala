@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Replace only the first `max` matches of `regex` with `replacement`.
+  *
+  * Mirrors Replace.scala:46-59 (`replaceSome`) in the reference — Spark's
+  * built-in `regexp_replace` always replaces every match, so the count-
+  * limited form needs a custom Catalyst expression. Implemented as a
+  * UnaryExpression (not a Scala UDF) so null-handling and column pruning
+  * behave like any built-in; evaluation is interpreter-based
+  * (CodegenFallback), fine for a per-field string op off the hot
+  * aggregation path.
+  */
+case class RegexpReplaceSomeExpr(
+    child: Expression,
+    regex: String,
+    replacement: String,
+    max: Int
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  // Compiled once per task, not per row.
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = pattern.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var n = 0
+    var last = 0
+    while (n < max && m.find()) {
+      sb.append(s, last, m.start()).append(replacement)
+      last = m.end()
+      n += 1
+    }
+    sb.append(s, last, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "regexp_replace_some"
+}
+
+object RegexFns {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def regexpReplaceSome(c: Column, regex: String, replacement: String, max: Int): Column =
+    ColumnBridge.column(
+      RegexpReplaceSomeExpr(ColumnBridge.expression(c), regex, replacement, max))
+}
