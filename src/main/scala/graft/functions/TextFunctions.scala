@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (SURVEY.md §2e): tokenization, quality metrics, language ID, shingling,
+  * fingerprints. All pure Catalyst expressions — no UDFs — so every
+  * function distributes and stays inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish sub-word segmentation: word pieces and standalone
+    * punctuation/symbol runs, like the GPT-2 pre-tokenizer's coarse shape.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text)).cast(LongType)
+
+  /** Punctuation characters per mille of total characters (integer metric:
+    * exact, engine-portable — see SURVEY.md §6).
+    */
+  def punctPerMille(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+    when(length(text) === 0, lit(0L))
+      .otherwise(floor(punct.cast(LongType) * 1000 / length(text))).cast(LongType)
+  }
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "be", "are")
+
+  /** Stopwords per mille of tokens — a standard fluency signal. */
+  def stopwordPerMille(text: Column, stops: Seq[String] = stopwordsEn): Column = {
+    val toks = tokens(text)
+    val nStop = size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+    when(size(toks) === 0, lit(0L))
+      .otherwise(floor(nStop.cast(LongType) * 1000 / size(toks))).cast(LongType)
+  }
+
+  /** Mean token length per mille (×1000, integer) — length-quality signal. */
+  def meanTokenLenPerMille(text: Column): Column = {
+    val toks = tokens(text)
+    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    when(size(toks) === 0, lit(0L))
+      .otherwise(floor(totalLen * 1000 / size(toks))).cast(LongType)
+  }
+
+  /** Composite quality heuristic in [0,1000]: penalizes very short docs,
+    * punctuation floods, and stopword-free (unnatural) text.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(LongType), lit(400L)) * 1000 / 400
+    val punctPenalty = least(punctPerMille(text) * 2, lit(500L))
+    val stopScore = least(stopwordPerMille(text) * 4, lit(300L))
+    greatest(lit(0L),
+      floor(lenScore * lit(0.5d) + stopScore * lit(0.5d)).cast(LongType) - punctPenalty)
+  }
+
+  // ------------------------------------------------------------ language ID
+
+  private val langStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans", "avec", "une")
+  )
+
+  /** N-gram/stopword language-ID heuristic: CJK-codepoint share decides zh;
+    * otherwise the language whose stopword profile matches most tokens wins,
+    * `und` (undetermined) when nothing matches. Deterministic and
+    * shuffle-free — a pure per-row expression.
+    */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val toks = tokens(text)
+    val scores = langStops.map { case (lang, stops) =>
+      lang -> size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+    }
+    val best = scores.toSeq.sortBy(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }._1
+    when(cjk * 5 > length(text), lit("zh")).otherwise(best)
+  }
+
+  // ---------------------------------------------------- shingles / hashing
+
+  /** Word k-shingles: sliding windows of `k` consecutive tokens joined by a
+    * single space. Sub-k docs yield their full token string as the only
+    * shingle.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** Shingles from an (ideally already-materialized) token-array column.
+    * NOTE for pipeline authors: `toks` appears in the lambda body, so if it
+    * is a derived expression rather than a materialized attribute, Spark's
+    * interpreted higher-order functions re-evaluate it per element —
+    * materialize tokens first (see Dedup.shingleHashes) on big data.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Character n-grams of the lowercased, whitespace-squeezed text. */
+  def charNgrams(text: Column, n: Int): Column =
+    ngramsFromNormalized(normalizeWs(text), n)
+
+  /** Lowercase + squeeze whitespace — the normalization under charNgrams
+    * and contentHash.
+    */
+  def normalizeWs(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** N-grams over already-normalized text. Like shinglesFromTokens, the
+    * input appears in the lambda body — pass a materialized attribute on
+    * big data (see Dedup.ngramJaccardPairs).
+    */
+  def ngramsFromNormalized(s: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(s) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => s.substr(i, lit(n))))
+  }
+
+  /** 64-bit hashes of each element of a string array. */
+  def hashArray(arr: Column): Column = transform(arr, s => xxhash64(s))
+
+  /** Winnowing-style document fingerprint: the `take` smallest shingle
+    * hashes (a bottom-k sketch of the shingle set — the rolling-hash
+    * fingerprint family from Schleimer et al., SIGMOD'03).
+    */
+  def fingerprint(text: Column, k: Int = 3, take: Int = 8): Column =
+    slice(array_sort(hashArray(wordShingles(text, k))), 1, take)
+
+  /** Single 64-bit content fingerprint of normalized text. */
+  def contentHash(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+}

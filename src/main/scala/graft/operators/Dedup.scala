@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for training-data pipelines (SURVEY.md §2e).
+  *
+  * Scale design: every variant generates candidate pairs through ONE shuffle
+  * on a bucket key (content hash / LSH band / simhash chunk / blocking key)
+  * — never an unbounded cross join — then verifies candidates with per-pair
+  * expressions. This is the shape that survives 100 TB: candidate volume is
+  * bounded by bucket sizes, and AQE's skew-join splitting handles hot
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per normalized content hash.
+    * One hash-shuffle; no sort, no window over the whole table.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__h", contentHash(col(textCol)))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+
+  /** Exact dedup returning the surviving rows (all columns). */
+  def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exact(df, textCol, idCol).select(col("keep_id"))
+    df.join(keep, df(idCol) === col("keep_id"), "left_semi")
+  }
+
+  /** Shingle hashes per row: id column + xxhash64 of each word k-shingle.
+    *
+    * Staging note (applies to every multi-step array pipeline here): Spark's
+    * CollapseProject merges adjacent projections, which would inline a whole
+    * upstream array expression into downstream lambda BODIES — turning an
+    * O(tokens) pipeline into O(tokens × elements) interpreted re-evaluation
+    * per row. Each stage below therefore ends in a `repartition`, which (a)
+    * is a hard barrier the optimizer can't collapse through, and (b) spreads
+    * the compute across the cluster even when the source is one small
+    * parquet file. The shuffled payload is just (id, signature) — tiny
+    * relative to the text — so this is also the layout a 100 TB run wants.
+    */
+  private def shingleHashes(df: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+      .select(col("id"), hashArray(shinglesFromTokens(col("toks"), shingleK)).as("sh"))
+      .repartition(col("id"))
+
+  /** MinHash signature from materialized shingle hashes: `nHashes`
+    * permutation minima via the seeded rehash family h_i(x) = xxhash64(x, i)
+    * — cheap on longs, and overflow-free under ANSI mode (an affine
+    * odd-multiplier family would wrap, which Spark 4's ANSI arithmetic
+    * rejects).
+    */
+  private def signatureOf(sh: Column, nHashes: Int): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      i => array_min(transform(sh, h => xxhash64(h, i))))
+
+  /** MinHash + LSH near-dup pairs (Broder'97 / LSH banding):
+    * signature → `bands` bands of `nHashes/bands` rows → explode → shuffle
+    * once on (band index, band hash) → pairs within bucket → estimated
+    * Jaccard (fraction of agreeing minhashes) ≥ `threshold`.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, nHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    val rows = nHashes / bands
+    // barrier-staged: text → shingle hashes → signature → bands (see
+    // shingleHashes scaladoc for why each stage repartitions)
+    val sig = shingleHashes(df, textCol, idCol, shingleK)
+      .select(col("id"), signatureOf(col("sh"), nHashes).as("sig"))
+      .repartition(col("id"))
+
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(slice(col("sig"), b * rows + 1, rows), ",")).as("bh"))
+    }
+    val banded = sig.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
+
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
+      v => v === 1)).cast(DoubleType) / nHashes.toDouble
+
+    l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash (Charikar'02): per token-hash bit, sum ±1 across tokens,
+    * sign gives the bit. Built from one explode + one groupBy — distributed,
+    * no per-doc loops.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, paired by the
+    * pigeonhole trick: split the 64-bit signature into `maxDist+1` chunks —
+    * any pair within distance must agree on ≥1 chunk, so candidates come
+    * from one shuffle on (chunk index, chunk value).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sig = simhash(df, textCol, idCol)
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("cv"))
+    }
+    val chunked = sig.select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("e"))
+      .select(col("id"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
+
+    val l = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Character n-gram Jaccard pairs within a blocking key (e.g. language +
+    * source). Exact Jaccard via array_intersect/array_union on distinct
+    * n-gram sets; the block bounds the pair explosion.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCols: Seq[String], n: Int = 4,
+                        threshold: Double = 0.8): DataFrame = {
+    // normalize → barrier (shuffled by block key, which the join reuses) →
+    // n-grams from the materialized string; see shingleHashes scaladoc.
+    val g = df.select(
+        (col(idCol).as("id") +: normalizeWs(col(textCol)).as("norm") +:
+          blockCols.map(col)): _*)
+      .repartition(blockCols.map(col): _*)
+      // hash each n-gram to a long: set ops on longs are far cheaper than on
+      // strings and the shuffle payload shrinks ~4×; 64-bit collisions are
+      // too rare to move a Jaccard estimate across the threshold
+      .select(
+        (col("id") +: hashArray(ngramsFromNormalized(col("norm"), n)).as("grams") +:
+          blockCols.map(col)): _*)
+    val l = g.toDF(("id_a" +: "grams_a" +: blockCols): _*)
+    val r = g.toDF(("id_b" +: "grams_b" +: blockCols): _*)
+    val jac = size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
+      size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType)
+    // size-ratio prefilter: J(A,B) >= t forces |A| and |B| within factor 1/t,
+    // so prune before the (much more expensive) set intersection
+    val sizeOk = size(col("grams_a")).cast(DoubleType) >= size(col("grams_b")) * threshold &&
+      size(col("grams_b")).cast(DoubleType) >= size(col("grams_a")) * threshold
+    l.join(r, blockCols).filter(col("id_a") < col("id_b") && sizeOk)
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: LSH-bucket (random hyperplanes) then verify
+    * cosine within bucket. The scale path for embedding dedup — candidates
+    * bounded by bucket population instead of n².
+    */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.lshBucket(col(vecCol), nBits).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

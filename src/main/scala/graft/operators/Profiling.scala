@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling, the Spark form of the reference's analyzer stack
+  * (/root/reference/src/main/scala/com/wegtam/tensei/agent/analyzer/
+  * NumericAnalyzer.scala, StringAnalyzer.scala and Stats.scala): basic
+  * statistics per column, computed in ONE distributed aggregation pass over
+  * the table — the reference streams sampled values through actors; here
+  * partial aggregates combine map-side so the driver only sees final stats.
+  */
+object Profiling {
+
+  /** NumericAnalyzer.scala:41-58 equivalent: count/min/max/mean per numeric
+    * column. Mean is reported as an exact integer per-mille (floor(sum*1000/
+    * n)) so results are engine-portable (SURVEY.md §6).
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_count"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        floor(sum(col(c).cast(DecimalType(18, 4))).cast(DoubleType) * 1000 / count(col(c)))
+          .cast(LongType).as(s"${c}_mean_milli")
+      )
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** StringAnalyzer.scala:38-54 equivalent: length stats + cardinality per
+    * string column.
+    */
+  def stringProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_count"),
+        min(length(col(c))).cast(LongType).as(s"${c}_min_len"),
+        max(length(col(c))).cast(LongType).as(s"${c}_max_len"),
+        countDistinct(col(c)).as(s"${c}_distinct")
+      )
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Null/completeness profile — the reference's SyntaxValidator-style
+    * sanity pass over every column.
+    */
+  def completeness(df: DataFrame): DataFrame = {
+    val aggs: Seq[Column] = df.columns.toSeq.map { c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    } :+ count(lit(1)).as("total_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

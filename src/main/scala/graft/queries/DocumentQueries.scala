@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Profiling, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline queries (SURVEY.md §2e) over the `documents`
+  * and `embeddings` tables, plus the profiling queries of §2d.
+  *
+  * Near-dup queries plant controlled duplicates (a mutated copy of a slice
+  * of the corpus, id-shifted by +100000) so the detectors demonstrably find
+  * them on otherwise-random synthetic text — and the result stays
+  * deterministic for the driver's compare.
+  */
+object DocumentQueries {
+
+  private val SHIFT = 100000L
+
+  /** documents ∪ near-mutated copies of docs with doc_id < 50 (last word
+    * dropped, so the copy is a near- but not exact duplicate).
+    */
+  private def withPlantedNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mutated = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .unionByName(mutated)
+  }
+
+  // -------------------------------------------------------- d_dedup_exact
+  // Exact dedup: the library groups on xxhash64(normalized text); the oracle
+  // groups on the normalized text itself — same survivors unless xxhash64
+  // collides (2^-64 per pair).
+  private def dDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val doubled = docs.unionByName(
+      docs.filter(col("doc_id") < 100).withColumn("doc_id", col("doc_id") + SHIFT))
+    Dedup.exact(doubled, "text", "doc_id")
+  }
+
+  private val dDedupExactSql =
+    s"""WITH u AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id + $SHIFT, text FROM documents WHERE doc_id < 100)
+       |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+       |FROM u GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')""".stripMargin
+
+  // ------------------------------------------------------- d_token_count
+  private def dTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"))
+
+  private val dTokenCountSql =
+    """SELECT doc_id,
+      | CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_bpeish
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ d_quality
+  private def dQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_actual"),
+      punctPerMille(col("text")).as("punct_pm"),
+      stopwordPerMille(col("text")).as("stop_pm"),
+      meanTokenLenPerMille(col("text")).as("mean_tok_len_pm"),
+      qualityScore(col("text")).as("quality"))
+
+  private val dQualitySql =
+    """WITH t AS (
+      | SELECT doc_id, text, length(text) AS n,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS np
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id, n, toks, np,
+      |  CASE WHEN n = 0 THEN 0 ELSE np * 1000 // n END AS punct_pm,
+      |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |   len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'], x))) * 1000 // len(toks) END AS stop_pm,
+      |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |   list_sum(list_transform(toks, x -> len(x))) * 1000 // len(toks) END AS mean_tok_len_pm
+      | FROM t)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_actual,
+      | CAST(punct_pm AS BIGINT) AS punct_pm, CAST(stop_pm AS BIGINT) AS stop_pm,
+      | CAST(mean_tok_len_pm AS BIGINT) AS mean_tok_len_pm,
+      | CAST(greatest(0, CAST(FLOOR((least(n, 400) * 1000 / 400) * 0.5 + least(stop_pm * 4, 300) * 0.5) AS BIGINT) - least(punct_pm * 2, 500)) AS BIGINT) AS quality
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------------------ d_lang_id
+  private def dLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("labelled"),
+      langId(col("text")).as("detected"))
+
+  private val dLangIdSql =
+    """WITH s AS (
+      | SELECT doc_id, lang AS labelled, length(text) AS n,
+      |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id, labelled, n, cjk,
+      |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','auf'], x))) AS s_de,
+      |  len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','with'], x))) AS s_en,
+      |  len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','en','que','por','con'], x))) AS s_es,
+      |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','pour','dans','avec','une'], x))) AS s_fr
+      | FROM s)
+      |SELECT doc_id, labelled,
+      | CASE WHEN cjk * 5 > n THEN 'zh'
+      |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |  WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+      |  WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+      |  WHEN s_es >= s_fr THEN 'es'
+      |  ELSE 'fr' END AS detected
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------- near-dup pair queries
+  private def dMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id",
+      shingleK = 3, nHashes = 64, bands = 16, threshold = 0.5)
+
+  private def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id", maxDist = 3)
+
+  private def dNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(withPlantedNearDups(spark, dir), "text", "doc_id",
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+
+  // n-gram Jaccard has an exact DuckDB twin (no hashing involved).
+  private val dNgramSql =
+    s"""WITH u AS (
+       | SELECT doc_id, text, lang, source FROM documents
+       | UNION ALL
+       | SELECT doc_id + $SHIFT, regexp_replace(text, '\\s+\\S+\\s*$$', ''), lang, source
+       | FROM documents WHERE doc_id < 50),
+       |g AS (
+       | SELECT doc_id, lang, source,
+       |  list_distinct(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+       |    i -> s[i:i+3])) AS grams
+       | FROM (SELECT doc_id, lang, source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM u))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""".stripMargin
+
+  private def dEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + SHIFT))
+    Dedup.embeddingPairs(doubled, "embedding", "vec_id", nBits = 8, threshold = 0.95)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  private val dEmbedDedupSql =
+    s"""WITH u AS (
+       | SELECT vec_id, embedding FROM embeddings
+       | UNION ALL SELECT vec_id + $SHIFT, embedding FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM u a JOIN u b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
+
+  // ------------------------------------------------------------- ANN topk
+  private def dAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
+  private val dAnnBruteSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |s AS (
+      | SELECT qid, vec_id AS cid, list_cosine_similarity(qv, embedding) AS cos
+      | FROM q, embeddings WHERE vec_id != qid)
+      |SELECT qid AS query_id, cid AS corpus_id,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
+      |FROM s QUALIFY rk <= 10""".stripMargin
+
+  private def dAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nBits = 4)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
+  // -------------------------------------------------------- d_fingerprint
+  private def dFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      contentHash(col("text")).as("content_hash"),
+      fingerprint(col("text"), k = 3, take = 8).as("fp"))
+
+  // ---------------------------------------------------------- profiling
+  private def pNumeric(spark: SparkSession, dir: String): DataFrame =
+    Profiling.numericProfile(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  private val pNumericSql =
+    """SELECT
+      | COUNT(l_quantity) AS l_quantity_count, MIN(l_quantity) AS l_quantity_min,
+      | MAX(l_quantity) AS l_quantity_max,
+      | CAST(FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 1000 / COUNT(l_quantity)) AS BIGINT) AS l_quantity_mean_milli,
+      | COUNT(l_extendedprice) AS l_extendedprice_count, MIN(l_extendedprice) AS l_extendedprice_min,
+      | MAX(l_extendedprice) AS l_extendedprice_max,
+      | CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1000 / COUNT(l_extendedprice)) AS BIGINT) AS l_extendedprice_mean_milli,
+      | COUNT(l_discount) AS l_discount_count, MIN(l_discount) AS l_discount_min,
+      | MAX(l_discount) AS l_discount_max,
+      | CAST(FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) * 1000 / COUNT(l_discount)) AS BIGINT) AS l_discount_mean_milli
+      |FROM lineitem""".stripMargin
+
+  private def pString(spark: SparkSession, dir: String): DataFrame =
+    Profiling.stringProfile(Tables.customer(spark, dir), Seq("c_name", "c_mktsegment"))
+
+  private val pStringSql =
+    """SELECT
+      | COUNT(c_name) AS c_name_count,
+      | CAST(MIN(length(c_name)) AS BIGINT) AS c_name_min_len,
+      | CAST(MAX(length(c_name)) AS BIGINT) AS c_name_max_len,
+      | CAST(COUNT(DISTINCT c_name) AS BIGINT) AS c_name_distinct,
+      | COUNT(c_mktsegment) AS c_mktsegment_count,
+      | CAST(MIN(length(c_mktsegment)) AS BIGINT) AS c_mktsegment_min_len,
+      | CAST(MAX(length(c_mktsegment)) AS BIGINT) AS c_mktsegment_max_len,
+      | CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS c_mktsegment_distinct
+      |FROM customer""".stripMargin
+
+  private def pCompleteness(spark: SparkSession, dir: String): DataFrame =
+    Profiling.completeness(Tables.orders(spark, dir))
+
+  private val pCompletenessSql =
+    """SELECT
+      | CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+      | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+      | CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+      | CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+      | CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls,
+      | CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls,
+      | COUNT(*) AS total_rows
+      |FROM orders""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_dedup_exact", dDedupExact, Some(dDedupExactSql)),
+    QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
+    QueryDef("d_quality", dQuality, Some(dQualitySql)),
+    QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
+    QueryDef("d_dedup_minhash", dMinhash, None),
+    QueryDef("d_dedup_simhash", dSimhash, None),
+    QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
+    QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
+    QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
+    QueryDef("d_ann_lsh", dAnnLsh, None),
+    QueryDef("d_fingerprint", dFingerprint, None),
+    QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
+    QueryDef("p_string_profile", pString, Some(pStringSql)),
+    QueryDef("p_completeness", pCompleteness, Some(pCompletenessSql))
+  )
+}

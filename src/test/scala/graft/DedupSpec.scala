@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  private val SHIFT = 100000L
+
+  private def docsWithNearDups = {
+    val docs = Tables.documents(spark, sf)
+    val mutated = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(mutated)
+  }
+
+  test("exact dedup collapses planted exact copies") {
+    val docs = Tables.documents(spark, sf)
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + SHIFT))
+    val n = docs.count()
+    val result = Dedup.exact(doubled, "text", "doc_id")
+    assert(result.count() == n)
+    // every survivor must be an original id, each counting its copy
+    assert(result.filter(col("keep_id") >= SHIFT).count() == 0)
+    assert(result.filter(col("n_copies") === 2).count() == n)
+    assert(Dedup.exactRows(doubled, "text", "doc_id").count() == n)
+  }
+
+  test("minhash LSH finds all planted near-duplicates") {
+    val pairs = Dedup.minhashPairs(docsWithNearDups, "text", "doc_id",
+      shingleK = 3, nHashes = 64, bands = 16, threshold = 0.5).collect()
+    val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(planted.length == 20, s"found ${planted.length} of 20 planted pairs")
+  }
+
+  test("simhash hamming pairs find exact copies and most near-duplicates") {
+    // exact copies: hamming 0, must all surface
+    val docs = Tables.documents(spark, sf)
+    val exact = docs.unionByName(docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + SHIFT))
+    val exactPairs = Dedup.simhashPairs(exact, "text", "doc_id", maxDist = 3).collect()
+      .filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(exactPairs.length == 20)
+    assert(exactPairs.forall(_.getAs[Long]("hamming") == 0L))
+    // word-dropped mutations: a coarser sketch, so only most are within 3 bits
+    val pairs = Dedup.simhashPairs(docsWithNearDups, "text", "doc_id", maxDist = 3).collect()
+    val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(planted.length >= 10, s"found only ${planted.length} of 20 planted pairs")
+  }
+
+  test("ngram jaccard pairs find planted near-duplicates within blocks") {
+    val pairs = Dedup.ngramJaccardPairs(docsWithNearDups, "text", "doc_id",
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8).collect()
+    val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(planted.length == 20)
+  }
+
+  test("embedding LSH pairs find planted identical vectors") {
+    val e = Tables.embeddings(spark, sf)
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + SHIFT))
+    val pairs = Dedup.embeddingPairs(doubled, "embedding", "vec_id",
+      nBits = 8, threshold = 0.95).collect()
+    val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(planted.length == e.count())
+  }
+
+  test("lshTopK recalls most of bruteForceTopK's neighbors") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, q, "embedding", "vec_id", 10, nBits = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall suspiciously low")
+    assert(lsh.nonEmpty)
+  }
+
+  test("langId is deterministic and covers zh heuristic") {
+    val r = Seq("the cat is on the mat and it is fine",
+      "der hund ist nicht auf der matte und das ist gut",
+      "你好世界你好世界").toDF("text")
+      .select(langId(col("text"))).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "zh"))
+  }
+
+  test("fingerprint is stable across whitespace normalization") {
+    val a = Seq("hello  world   foo bar baz qux").toDF("text")
+      .select(contentHash(col("text"))).as[Long].collect()(0)
+    val b = Seq("hello world foo bar baz qux").toDF("text")
+      .select(contentHash(col("text"))).as[Long].collect()(0)
+    assert(a == b)
+  }
+
+  test("quality scoring orders degenerate text below natural text") {
+    val df = Seq(
+      ("natural", "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends and family members who are happy"),
+      ("punct", "!!! ??? ;;; ,,, ... !!! ??? ;;; ,,, ... !!! ??? ;;;"),
+      ("tiny", "hi")
+    ).toDF("kind", "text")
+    val scores = df.select(col("kind"), qualityScore(col("text")).as("q"))
+      .as[(String, Long)].collect().toMap
+    assert(scores("natural") > scores("punct"))
+    assert(scores("natural") > scores("tiny"))
+  }
+}
