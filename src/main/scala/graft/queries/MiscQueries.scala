@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sessionization (batch twin of graft.streaming session windows) and
+  * multimodal-column queries (SURVEY.md §2e/§2f).
+  */
+object MiscQueries {
+
+  // Gap-based sessionization as gaps-and-islands — the batch twin of
+  // Streams.sessionCounts, written so a DuckDB oracle can replay it exactly.
+  private def sSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val wSess = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("brk",
+        when(col("ms") - lag(col("ms"), 1).over(wOrd) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(wSess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+  }
+
+  private val sSessionizeSql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |b AS (
+      | SELECT user_id, ms,
+      |  CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+      |       THEN 1 ELSE 0 END AS brk
+      | FROM e),
+      |s AS (
+      | SELECT user_id, ms,
+      |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM b)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      | COUNT(*) AS n_events, CAST(MAX(ms) - MIN(ms) AS BIGINT) AS dur_ms
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  // Multimodal metadata over a binary payload column (documents' text bytes
+  // stand in for media payloads — the plumbing is payload-agnostic).
+  private def mMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("byte_len"),
+        sha2(col("payload"), 256).as("content_sha256"))
+
+  private val mMetaSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      | sha256(text) AS content_sha256
+      |FROM documents""".stripMargin
+
+  // Full multimodal plumbing: metadata struct + batched per-partition
+  // feature extraction + chunk sampling. Hash-based features → rows-only.
+  private def mFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    val meta = Multimodal.attachMetadata(withBin, "payload")
+      .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
+        col("media_meta.format").as("format"))
+    val feats = Multimodal.byteHistogram(withBin, "payload", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    meta.join(feats, "doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
+    QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
+    QueryDef("m_multimodal_feat", mFeatures, None)
+  )
+}

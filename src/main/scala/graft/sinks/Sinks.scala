@@ -1,0 +1,57 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink connectors — the Spark form of the reference writer stack
+  * (/root/reference/src/main/scala/com/wegtam/tensei/agent/writers/
+  * FileWriterActor.scala, JsonFileWriterActor.scala,
+  * DatabaseWriterActor.scala).
+  *
+  * The reference funnels all rows through one writer actor per target; here
+  * every format writes one file per partition in parallel, and
+  * `partitionBy` lays the output out for partition-pruned downstream scans
+  * — the difference between a single-node funnel and a 100 TB sink.
+  */
+object Sinks {
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               delimiter: String = ",", mode: SaveMode = SaveMode.Overwrite,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+      .option("header", header.toString).option("sep", delimiter)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+  }
+
+  def writeJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+                partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String,
+               rootTag: String = "rows", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("xml")
+      .option("rowTag", rowTag).option("rootTag", rootTag).save(path)
+
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** JDBC writes batch per partition (DatabaseWriterActor.scala's prepared-
+    * statement batches, but one concurrent writer per partition).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: Map[String, String] = Map.empty,
+                mode: SaveMode = SaveMode.Append,
+                batchSize: Int = 1000): Unit = {
+    val w = df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
+}

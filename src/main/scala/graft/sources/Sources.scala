@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors — the Spark form of the reference agent's parser stack
+  * (/root/reference/src/main/scala/com/wegtam/tensei/agent/parsers/
+  * FileParser.scala, JsonFileParser.scala, XmlFileParser.scala,
+  * DatabaseParser.scala and helpers/ExcelToCSVConverter.scala).
+  *
+  * The reference walks sources byte-by-byte inside actors guided by a DFASDL
+  * schema; here each source is a Spark DataSource scan, so schema inference,
+  * column pruning, predicate pushdown and split-based parallel reads come
+  * from the platform. On a cluster every reader below scales out by file
+  * splits (csv/json/xml/parquet) or by `partitionColumn` ranges (jdbc).
+  */
+object Sources {
+
+  /** CSV / flat file (FileParser.scala + helpers/CSVSchemaExtractor.scala).
+    * `inferSchema` mirrors the extractor's type sniffing.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              header: Boolean = true, delimiter: String = ",",
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** JSON lines / multiline JSON (JsonFileParser.scala +
+    * helpers/JSONSchemaExtractor.scala).
+    */
+  def readJson(spark: SparkSession, path: String,
+               multiline: Boolean = false,
+               schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", multiline.toString)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** XML via Spark 4's built-in xml source (XmlFileParser.scala +
+    * helpers/XmlHelpers.scala). `rowTag` plays the role of the DFASDL
+    * sequence element.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  /** JDBC (DatabaseParser.scala + helpers/DatabaseSchemaExtractor.scala /
+    * SupportedDatabase.scala). When `partitionColumn` is given the read
+    * parallelizes into `numPartitions` range-bounded queries — the scale
+    * path for big tables; otherwise it is a single-stream read like the
+    * reference's cursor walk.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: Map[String, String] = Map.empty,
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 8): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withProps = props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+    partitionColumn.fold(withProps) { c =>
+      withProps.option("partitionColumn", c)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+    }.load()
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Excel (helpers/ExcelToCSVConverter.scala). STUB: no POI/OOXML library
+    * ships in this environment; the reference converts XLS(X) → CSV and
+    * re-parses, which is exactly what a caller should do upstream. Kept as
+    * an explicit unsupported surface rather than a silent absence.
+    */
+  def readExcel(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "Excel input requires an external XLS(X)->CSV conversion step " +
+        "(reference: helpers/ExcelToCSVConverter.scala); no POI library is " +
+        "available in this build. Convert to CSV and use readCsv.")
+
+  /** Schema extraction report (SchemaExtractor.scala): inferred schema as a
+    * DDL string, the Spark-native analog of emitting a DFASDL document.
+    */
+  def extractSchemaDdl(df: DataFrame): String = df.schema.toDDL
+
+  def extractSchemaJson(df: DataFrame): String = df.schema.json
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines (SURVEY.md §2f).
+  *
+  * The reference agent is itself a long-running process fed by its server
+  * (TenseiAgent.scala); its continuous-operation analog on Spark is
+  * Structured Streaming: file/rate sources → event-time windows with
+  * watermarks → sinks, with `dropDuplicates` and stateful `mapGroupsWithState`
+  * covering the UniqueValueBuffer-style dedup and custom per-key state.
+  */
+object Streams {
+
+  /** Event schema of testdata events.parquet, with `ts` as a proper
+    * timestamp (files store nanos; see graft.Tables.events).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-based event stream over a directory of parquet drops — the
+    * streaming twin of Tables.events.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Sliding event-time windowed aggregation with a watermark bounding
+    * state. The streaming twin of q14_events_bucket.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "5 minutes",
+                     slide: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Streaming dedup on event_id within the watermark horizon — the
+    * streaming form of processor/UniqueValueBuffer.scala.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Declarative sessionization: gap-based session windows per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("user_id"), col("n_events"))
+
+  // ------------------------------------------------------- custom state
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: a running per-user
+    * aggregate that survives across micro-batches — the Spark analog of the
+    * reference's stateful processor actors (AutoIncrementValueBuffer /
+    * UniqueValueBuffer workers).
+    */
+  def runningUserTotals(events: DataFrame)(implicit spark: SparkSession): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), r) => (cn + 1, cv + r.value)
+          }
+          val next = UserRunning(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming query over a static directory synchronously into a
+    * memory table and return the result — batch-style harness used by specs
+    * and local validation.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = streamed.writeStream.format("memory")
+      .queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Stage the static events parquet as a one-drop streaming directory.
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    // keep raw long nanos: eventStream applies the same ns->ts conversion
+    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed event-time aggregation matches its batch twin") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.windowedCounts(Streams.eventStream(spark, streamDir),
+        window_ = "1 hour", slide = "1 hour", watermark = "2 hours"),
+      "win_counts", OutputMode.Append())
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // Append mode only emits windows the watermark has passed, so the final
+    // hours of a finite input stay withheld: streamed ⊆ batch, and every
+    // window older than maxTs - watermark must have been flushed.
+    val s = streamed.select("wstart", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.select("wstart", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(s.subsetOf(b), s"streamed windows disagree with batch: ${(s -- b).take(3)}")
+    val maxTs = Tables.events(spark, TestSpark.sf).agg(max(col("ts")))
+      .collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3L * 3600 * 1000)
+    val expectedOld = b.filter(_._1.before(cutoff))
+    assert(expectedOld.subsetOf(s),
+      s"watermark-passed windows missing: ${(expectedOld -- s).take(3)}")
+  }
+
+  test("streaming dedup drops replayed event_ids") {
+    val dir = Files.createTempDirectory("events_dup").toString
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet").limit(100)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir) // replay the same batch
+    val deduped = Streams.runToMemory(spark,
+      Streams.dedupStream(Streams.eventStream(spark, dir)), "dedup_out")
+    assert(deduped.count() == 100)
+  }
+
+  test("session windows group events by gap per user") {
+    val sessions = Streams.runToMemory(spark,
+      Streams.sessionCounts(Streams.eventStream(spark, streamDir), gap = "30 minutes"),
+      "sessions_out", OutputMode.Append())
+    assert(sessions.count() > 0)
+    // Append mode withholds sessions the watermark hasn't closed, so the
+    // emitted total is ≤ the batch count and per-user totals never exceed it.
+    val total = sessions.agg(sum("n_events")).as[Long].collect()(0)
+    val all = Tables.events(spark, TestSpark.sf).count()
+    assert(total <= all && total > 0)
+    val perUserBatch = Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val perUserStream = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).as[(Long, Long)].collect()
+    assert(perUserStream.forall { case (u, n) => n <= perUserBatch(u) })
+  }
+
+  test("mapGroupsWithState keeps running per-user totals") {
+    implicit val s = spark
+    val out = Streams.runToMemory(spark,
+      Streams.runningUserTotals(Streams.eventStream(spark, streamDir)).toDF(),
+      "running_out", OutputMode.Update())
+    val users = Tables.events(spark, TestSpark.sf)
+      .select(countDistinct("user_id")).as[Long].collect()(0)
+    assert(out.select("user_id").distinct().count() == users)
+  }
+}
