@@ -181,7 +181,7 @@ object Dedup {
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+        graft.functions.VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

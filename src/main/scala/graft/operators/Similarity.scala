@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExprs.cosineSim
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,7 +29,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w).cast(LongType))
@@ -46,7 +47,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     scored.withColumn("rk", row_number().over(w).cast(LongType))
