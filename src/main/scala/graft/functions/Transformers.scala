@@ -207,4 +207,12 @@ object Transformers {
 
   /** atomic/BoxDataIntoList.scala:27-30 — box values into an array. */
   def boxIntoList(cols: Column*): Column = array(cols: _*)
+
+  /** generators/DrupalVanCodeGenerator.scala:108-121 — one vancode path
+    * segment: zero-padded base-36 of a per-thread sequence number, slash
+    * terminated (e.g. 1 → "01/"). The reference's per-article numbering
+    * state becomes a row_number window upstream; this renders the segment.
+    */
+  def vancodeSegment(n: Column): Column =
+    concat(lpad(lower(conv(n.cast(StringType), 10, 36)), 2, "0"), lit("/"))
 }

@@ -258,6 +258,49 @@ object Relational {
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
 
+  // ------------------------------------------------------------ q16_pivot
+  // Wide-format pivot: customer count per nation × market segment. Spark's
+  // pivot with explicit values (no extra distinct pass); the oracle is the
+  // equivalent conditional aggregation.
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .na.fill(0L, segments)
+
+  private val q16Sql =
+    """SELECT n_name,
+      | CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+      | CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+      | CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+      | CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+      | CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+      |FROM customer, nation WHERE c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // ------------------------------------------------------ q17_topk_group
+  // Per-group top-k through the custom two-phase TopKPerGroup operator
+  // (graft.plans) — map-side bounded heaps before the shuffle, instead of
+  // the full window sort the oracle uses.
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      groupBy = Seq("o_orderpriority"),
+      orderBy = Seq(graft.plans.TopK.desc("o_totalprice"), graft.plans.TopK.asc("o_orderkey")),
+      k = 3)
+
+  private val q17Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+      | SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      | FROM orders) t WHERE rn <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q2_filter_project", q2, Some(q2Sql)),
@@ -273,6 +316,8 @@ object Relational {
     QueryDef("q12_union", q12, Some(q12Sql)),
     QueryDef("q13_rollup", q13, Some(q13Sql)),
     QueryDef("q14_events_bucket", q14, Some(q14Sql)),
-    QueryDef("q15_having", q15, Some(q15Sql))
+    QueryDef("q15_having", q15, Some(q15Sql)),
+    QueryDef("q16_pivot", q16, Some(q16Sql)),
+    QueryDef("q17_topk_group", q17, Some(q17Sql))
   )
 }
