@@ -45,6 +45,31 @@ object Profiling {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Order-independent dataset checksum — the distributed analog of the
+    * reference's ChecksumValidator/DigestHelpers file digests: per-row
+    * xxhash64 over the selected columns, combined with commutative
+    * aggregates (sum + xor + count) so the result is identical under any
+    * partitioning or row order. Two datasets with equal checksums are equal
+    * with overwhelming probability; no sort, one pass.
+    */
+  def datasetChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val h = xxhash64(cols.map(col): _*)
+    df.agg(
+      // decimal sum: commutative and overflow-free at any row count (ANSI
+      // mode rejects a wrapping long sum)
+      sum(h.cast(DecimalType(38, 0))).as("sum_hash"),
+      expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("xor_hash"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Per-value digest column (ChecksumValidator's md5/sha over one field). */
+  def columnDigest(c: Column, algo: String = "sha256"): Column = algo match {
+    case "md5"    => md5(c.cast(org.apache.spark.sql.types.BinaryType))
+    case "sha256" => sha2(c.cast(org.apache.spark.sql.types.BinaryType), 256)
+    case "crc32"  => crc32(c.cast(org.apache.spark.sql.types.BinaryType))
+    case other    => throw new IllegalArgumentException(s"unknown algo: $other")
+  }
+
   /** Null/completeness profile — the reference's SyntaxValidator-style
     * sanity pass over every column.
     */

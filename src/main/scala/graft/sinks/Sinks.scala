@@ -42,6 +42,20 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Bucketed managed table: pre-hash the rows into `nBuckets` by `keys` at
+    * write time so later equi-joins and aggregations on those keys run with
+    * NO exchange — the co-located-join layout for fact tables that are
+    * joined repeatedly at 100 TB. (Bucketing requires saveAsTable; plain
+    * path writes can't record bucket metadata.)
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    keys: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC writes batch per partition (DatabaseWriterActor.scala's prepared-
     * statement batches, but one concurrent writer per partition).
     */

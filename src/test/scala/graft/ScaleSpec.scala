@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Profiling, SkewJoin}
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-design assertions (SURVEY.md §5): these tests pin the PLAN shapes
+  * that matter at 100 TB, so a regression that silently reintroduces a
+  * shuffle or drops a pushdown fails CI, not a cluster run.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("salted skew join returns exactly the plain join result") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = SkewJoin.salted(li, o, "l_orderkey", "o_orderkey", saltFactor = 4).count()
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the
+    // warehouse location is a static conf and can't move at runtime
+    Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", 4, Seq("o_orderkey"))
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "lineitem_b", 4, Seq("l_orderkey"))
+    // tiny test tables would otherwise broadcast (which disables bucketed
+    // scans); at real scale both sides exceed the threshold and the
+    // bucketed sort-merge path below is what the planner picks
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("dataset checksum is order- and partitioning-independent") {
+    val df = Tables.orders(spark, sf)
+    val a = Profiling.datasetChecksum(df, Seq("o_orderkey", "o_totalprice")).collect()(0)
+    val b = Profiling.datasetChecksum(df.repartition(13).sortWithinPartitions("o_totalprice"),
+      Seq("o_orderkey", "o_totalprice")).collect()(0)
+    assert(a == b)
+    // and sensitive to any changed value
+    val c = Profiling.datasetChecksum(
+      df.withColumn("o_totalprice", col("o_totalprice") + 0.01),
+      Seq("o_orderkey", "o_totalprice")).collect()(0)
+    assert(a != c)
+  }
+
+  test("column digests match reference algorithms") {
+    val d = Seq("hello").toDF("s")
+      .select(Profiling.columnDigest(col("s"), "md5").as("m"),
+        Profiling.columnDigest(col("s"), "sha256").as("h"))
+      .collect()(0)
+    assert(d.getString(0) == "5d41402abc4b2a76b9719d911017c592")
+    assert(d.getString(1) ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("broadcast joins appear where dims are small (q3, q5)") {
+    Seq("q3_join_agg", "q5_multi_join").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q should broadcast a dim:\n$plan")
+    }
+  }
+
+  test("filter pushdown reaches the scan in conditional aggregation (q6)") {
+    val plan = SparkEntry.queries("q6_cond_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_discount"), plan)
+  }
+
+  test("no cartesian products anywhere in the registry") {
+    SparkEntry.registry.foreach { d =>
+      val plan = d.run(spark, sf).queryExecution.executedPlan.toString
+      // brute-force ANN intentionally uses a broadcast nested loop (bounded
+      // by the tiny query side); everything else must be hash/merge joins
+      if (d.name != "d_ann_brute")
+        assert(!plan.contains("CartesianProduct"), s"${d.name} has a cartesian:\n$plan")
+    }
+  }
+}
