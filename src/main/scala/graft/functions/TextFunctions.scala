@@ -144,4 +144,35 @@ object TextFunctions {
   /** Single 64-bit content fingerprint of normalized text. */
   def contentHash(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  // ------------------------------------------------------------- scrubbing
+
+  /** Email redaction (PII scrub pass for training corpora). The pattern is
+    * deliberately RE2-compatible so the same regex runs in every engine.
+    */
+  def redactEmails(text: Column, repl: String = "<EMAIL>"): Column =
+    regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", repl)
+
+  /** URL redaction. */
+  def redactUrls(text: Column, repl: String = "<URL>"): Column =
+    regexp_replace(text, "https?://[^\\s]+", repl)
+
+  /** IPv4 redaction. */
+  def redactIps(text: Column, repl: String = "<IP>"): Column =
+    regexp_replace(text, "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", repl)
+
+  /** Phone-number redaction (international-ish shapes, conservative). */
+  def redactPhones(text: Column, repl: String = "<PHONE>"): Column =
+    regexp_replace(text, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", repl)
+
+  /** Full PII scrub: emails → urls → ips → phones, in that order. */
+  def scrubPii(text: Column): Column =
+    redactPhones(redactIps(redactUrls(redactEmails(text))))
+
+  /** Word bigrams ("a b" strings) — building block for repetition metrics.
+    * Like shinglesFromTokens, pass a materialized token attribute at scale.
+    */
+  def bigramsFromTokens(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
 }

@@ -242,7 +242,113 @@ object DocumentQueries {
       | COUNT(*) AS total_rows
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------- d_pii_scrub
+  // Documents carry no PII, so plant a synthetic email/url/ip per row and
+  // verify the scrub removes exactly those.
+  private def dPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or http://ex.com/"),
+      col("doc_id"), lit(" from 10.0.0."), pmod(col("doc_id"), lit(250)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      scrubPii(dirty).as("clean"),
+      (length(dirty) - length(scrubPii(dirty))).cast(LongType).as("removed_chars"))
+  }
+
+  private val dPiiScrubSql =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@example.com or http://ex.com/' || doc_id ||
+      |   ' from 10.0.0.' || (doc_id % 250) AS dirty
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, dirty,
+      |  regexp_replace(
+      |   regexp_replace(
+      |    regexp_replace(
+      |     regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |     'https?://[^\s]+', '<URL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |   '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+      | FROM d)
+      |SELECT doc_id, clean, CAST(length(dirty) - length(clean) AS BIGINT) AS removed_chars
+      |FROM s""".stripMargin
+
+  // --------------------------------------------------------- d_repetition
+  // Gopher-style repetition signal: share of the most frequent word bigram.
+  private def dRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(bigramsFromTokens(col("toks"))).as("bg"))
+    bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        floor(col("top_bigram_n") * 1000 / col("n_bigrams")).cast(LongType).as("rep_pm"))
+  }
+
+  private val dRepetitionSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, u.bg FROM t,
+      |  UNNEST(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS u(bg)
+      | WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM g GROUP BY doc_id, bg)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      | CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+      | CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT) AS rep_pm
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ d_contamination
+  // Benchmark = every 10th document; find corpus docs sharing ≥3 word
+  // 3-shingles with a (different) benchmark doc.
+  private def dContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.operators.Contamination.sharedShingles(
+      docs, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "text", "doc_id", k = 3, minShared = 3)
+  }
+
+  private val dContaminationSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT doc_id, u.shingle FROM t,
+      |  UNNEST(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> array_to_string(toks[i:i+2], ' ')))) AS u(shingle)),
+      |j AS (
+      | SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, c.shingle
+      | FROM sh c JOIN sh b ON c.shingle = b.shingle
+      | WHERE b.doc_id % 10 = 0 AND c.doc_id != b.doc_id)
+      |SELECT corpus_id, bench_id, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shared
+      |FROM j GROUP BY corpus_id, bench_id HAVING COUNT(DISTINCT shingle) >= 3""".stripMargin
+
+  // ------------------------------------------------------- d_corpus_stats
+  private def dCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+
+  private val dCorpusStatsSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_pii_scrub", dPiiScrub, Some(dPiiScrubSql)),
+    QueryDef("d_repetition", dRepetition, Some(dRepetitionSql)),
+    QueryDef("d_contamination", dContamination, Some(dContaminationSql)),
+    QueryDef("d_corpus_stats", dCorpusStats, Some(dCorpusStatsSql)),
     QueryDef("d_dedup_exact", dDedupExact, Some(dDedupExactSql)),
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
