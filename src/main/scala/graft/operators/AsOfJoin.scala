@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row with
+  * `rightTime <= leftTime` for the same key — the point-in-time lookup
+  * (trades: quote-at-trade-time; here: a user's latest order before an
+  * event).
+  *
+  * Spark has no as-of join operator, and the naive inequality join explodes
+  * to a range cross product. This composition is the scalable shape: tag and
+  * union both inputs, ONE shuffle+sort per key on (time, side), then a
+  * running `last(right payload, ignoreNulls)` window carries the most recent
+  * right row forward onto each left row. Cost = one exchange + one sort,
+  * independent of match fan-out.
+  *
+  * Right rows must be unique per (key, time) for determinism — pre-aggregate
+  * duplicates upstream (see the q18 query for the pattern).
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(rightPayload.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("__key"), col(rightTime).cast("timestamp").as("__t"),
+      lit(1).as("__is_right"), payload.as("__pay"))
+    val leftCols = left.columns
+    val l = left.select(
+      (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(0).as("__is_right") +: lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
+        leftCols.map(col)): _*)
+    val unioned = r
+      .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .unionByName(l)
+    // right rows sort before left rows at equal time → inclusive match
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select((leftCols.map(col) :+ col("__match").as("asof")): _*)
+  }
+}

@@ -72,7 +72,36 @@ object MiscQueries {
     meta.join(feats, "doc_id")
   }
 
+  // ------------------------------------------------------- q18_asof_join
+  // Latest order at-or-before each event for the same user — backward as-of
+  // join via graft.operators.AsOfJoin (union + window; one shuffle). The
+  // right side is pre-deduped to one row per (key, time) so ties are
+  // deterministic on both engines; DuckDB replays it with its native ASOF.
+  private def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    graft.operators.AsOfJoin.backward(ev, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_orderdate"))
+      .filter(col("asof").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof.o_orderkey").as("matched_order"),
+        col("asof.o_orderdate").as("matched_date"))
+  }
+
+  private val qAsofSql =
+    """WITH o AS (
+      | SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      | FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT event_id, user_id, o_orderkey AS matched_order, o_orderdate AS matched_date
+      |FROM events ASOF JOIN o
+      | ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
     QueryDef("m_multimodal_feat", mFeatures, None)
