@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column
+  * API — the path a SQL-first user of the engine takes.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      exprs => JaccardSortedExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_replace_some",
+      exprs => RegexpReplaceSomeExpr(exprs(0),
+        exprs(1).eval().toString, exprs(2).eval().toString,
+        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
+  }
+}

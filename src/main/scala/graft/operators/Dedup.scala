@@ -149,16 +149,16 @@ object Dedup {
         (col(idCol).as("id") +: normalizeWs(col(textCol)).as("norm") +:
           blockCols.map(col)): _*)
       .repartition(blockCols.map(col): _*)
-      // hash each n-gram to a long: set ops on longs are far cheaper than on
-      // strings and the shuffle payload shrinks ~4×; 64-bit collisions are
-      // too rare to move a Jaccard estimate across the threshold
+      // hash each n-gram to a long (cheaper set ops, ~4× smaller shuffle;
+      // 64-bit collisions can't move a Jaccard across the threshold) and
+      // sort ONCE PER ROW so the per-pair scorer is a codegen'd merge walk
       .select(
-        (col("id") +: hashArray(ngramsFromNormalized(col("norm"), n)).as("grams") +:
+        (col("id") +:
+          array_sort(hashArray(ngramsFromNormalized(col("norm"), n))).as("grams") +:
           blockCols.map(col)): _*)
     val l = g.toDF(("id_a" +: "grams_a" +: blockCols): _*)
     val r = g.toDF(("id_b" +: "grams_b" +: blockCols): _*)
-    val jac = size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
-      size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType)
+    val jac = graft.functions.JaccardExpr.jaccardSorted(col("grams_a"), col("grams_b"))
     // size-ratio prefilter: J(A,B) >= t forces |A| and |B| within factor 1/t,
     // so prune before the (much more expensive) set intersection
     val sizeOk = size(col("grams_a")).cast(DoubleType) >= size(col("grams_b")) * threshold &&
