@@ -51,14 +51,12 @@ object Dedup {
       .repartition(col("id"))
 
   /** MinHash signature from materialized shingle hashes: `nHashes`
-    * permutation minima via the seeded rehash family h_i(x) = xxhash64(x, i)
-    * — cheap on longs, and overflow-free under ANSI mode (an affine
-    * odd-multiplier family would wrap, which Spark 4's ANSI arithmetic
-    * rejects).
+    * permutation minima in one codegen'd fused loop (SplitMix64 rehash per
+    * seed — see graft.functions.MinHashSigExpr; the expression-tree
+    * formulation costs nHashes × |shingles| interpreted evals per row).
     */
   private def signatureOf(sh: Column, nHashes: Int): Column =
-    transform(sequence(lit(0), lit(nHashes - 1)),
-      i => array_min(transform(sh, h => xxhash64(h, i))))
+    graft.functions.MinHashExpr.minhashSignature(sh, nHashes)
 
   /** MinHash + LSH near-dup pairs (Broder'97 / LSH banding):
     * signature → `bands` bands of `nHashes/bands` rows → explode → shuffle
@@ -95,20 +93,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash (Charikar'02): per token-hash bit, sum ±1 across tokens,
-    * sign gives the bit. Built from one explode + one groupBy — distributed,
-    * no per-doc loops.
+    * sign gives the bit — computed per row in one codegen'd pass
+    * (graft.functions.SimHashExpr), so signatures need NO shuffle; the only
+    * exchange in simhash dedup is the candidate pairing itself.
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    sums.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+      .select(col("id"),
+        graft.functions.SimHashExprApi.simhashOf(hashArray(col("toks"))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, paired by the
     * pigeonhole trick: split the 64-bit signature into `maxDist+1` chunks —
