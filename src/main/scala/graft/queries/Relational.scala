@@ -301,6 +301,33 @@ object Relational {
       |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       | FROM orders) t WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------- q19_set_ops
+  // INTERSECT / EXCEPT across branches: nations that have customers but no
+  // suppliers, and vice versa, plus the overlap.
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast(LongType).as("nk"))
+    val suppNations = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast(LongType).as("nk"))
+    val both = custNations.intersect(suppNations).withColumn("kind", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("kind", lit("cust_only"))
+    val suppOnly = suppNations.except(custNations).withColumn("kind", lit("supp_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+  }
+
+  private val q19Sql =
+    """SELECT nk, 'both' AS kind FROM (
+      | SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+      | INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+      |UNION ALL
+      |SELECT nk, 'cust_only' AS kind FROM (
+      | SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+      | EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t
+      |UNION ALL
+      |SELECT nk, 'supp_only' AS kind FROM (
+      | SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+      | EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer) t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q2_filter_project", q2, Some(q2Sql)),
@@ -318,6 +345,7 @@ object Relational {
     QueryDef("q14_events_bucket", q14, Some(q14Sql)),
     QueryDef("q15_having", q15, Some(q15Sql)),
     QueryDef("q16_pivot", q16, Some(q16Sql)),
-    QueryDef("q17_topk_group", q17, Some(q17Sql))
+    QueryDef("q17_topk_group", q17, Some(q17Sql)),
+    QueryDef("q19_set_ops", q19, Some(q19Sql))
   )
 }

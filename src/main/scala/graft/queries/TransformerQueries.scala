@@ -232,7 +232,33 @@ object TransformerQueries {
       monotonically_increasing_id().as("gen_id"),
       expr("uuid()").as("gen_uuid"))
 
+  // Cookbook recipe end-to-end (Processor/RecipeWorker equivalents): a
+  // one-projection recipe mixing one-to-one chains, an all-to-all combine,
+  // and a generated constant — the reference's whole mapping model in one
+  // declarative pass.
+  private def tRecipe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Pipeline
+    val recipe = Pipeline.Recipe(Seq(
+      Pipeline.oneToOne("cust_id", "c_custkey"),
+      Pipeline.oneToOne("name_upper", "c_name", c => lowerOrUpper(c, "upper")),
+      Pipeline.oneToOne("id_from_name", "c_name",
+        c => castStringToLong(splitSelect(c, "#", 1))),
+      Pipeline.allToAll("label", Seq("c_name", "c_mktsegment"),
+        cols => concatAll("/", "", "", cols: _*)),
+      Pipeline.generated("source_system", lit("tensei"))
+    ))
+    Pipeline.transform(Tables.customer(spark, dir), recipe)
+  }
+
+  private val tRecipeSql =
+    """SELECT c_custkey AS cust_id, upper(c_name) AS name_upper,
+      | CAST(split_part(c_name, '#', 2) AS BIGINT) AS id_from_name,
+      | c_name || '/' || c_mktsegment AS label,
+      | 'tensei' AS source_system
+      |FROM customer""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_recipe_pipeline", tRecipe, Some(tRecipeSql)),
     QueryDef("t_concat", tConcat, Some(tConcatSql)),
     QueryDef("t_replace", tReplace, Some(tReplaceSql)),
     QueryDef("t_split", tSplit, Some(tSplitSql)),
