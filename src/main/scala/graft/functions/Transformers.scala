@@ -70,8 +70,10 @@ object Transformers {
 
   /** CastStringToLong.scala:29-31 — string → long; unparsable → null (the
     * reference actor errors; null is the declarative equivalent).
+    * try_cast, because under Spark 4's default ANSI mode a plain cast
+    * THROWS on garbage instead of yielding null.
     */
-  def castStringToLong(c: Column): Column = trim(c).cast(LongType)
+  def castStringToLong(c: Column): Column = trim(c).try_cast(LongType)
 
   /** ExtractBiggestValue.scala:30-33 — max of numeric inputs. */
   def extractBiggestNumeric(cols: Column*): Column = greatest(cols: _*)

@@ -8,11 +8,10 @@ import org.apache.spark.sql.functions._
   * find corpus documents sharing ≥ `minShared` word k-shingles with any
   * benchmark document — the standard n-gram-overlap decontamination check.
   *
-  * Shape: explode shingles on both sides, ONE equi-join shuffle on the
-  * shingle, then a pair-count aggregation. Shingles stay as strings here so
-  * the DuckDB oracle can replay the query exactly; a 100 TB run would
-  * xxhash64 them first (same plan, 8-byte join keys — see Dedup for the
-  * hashed pattern).
+  * Shape: explode shingle HASHES on both sides, ONE equi-join shuffle on
+  * 8-byte keys, then a pair-count aggregation. Hashing shrinks the shuffle
+  * ~4-8× versus string shingles and cannot move a ≥minShared count (64-bit
+  * collisions), so the string-based DuckDB oracle still matches exactly.
   */
 object Contamination {
 
@@ -23,11 +22,11 @@ object Contamination {
       df.select(col(idCol).as(s"${side}_id"), tokens(col(textCol)).as("toks"))
         .repartition(col(s"${side}_id"))
         .select(col(s"${side}_id"),
-          explode(array_distinct(shinglesFromTokens(col("toks"), k))).as("shingle"))
-    exploded(corpus, "corpus").join(exploded(bench, "bench"), "shingle")
+          explode(hashArray(array_distinct(shinglesFromTokens(col("toks"), k)))).as("sh"))
+    exploded(corpus, "corpus").join(exploded(bench, "bench"), "sh")
       .filter(col("corpus_id") =!= col("bench_id"))
       .groupBy(col("corpus_id"), col("bench_id"))
-      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 }

@@ -328,7 +328,30 @@ object Relational {
       | SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
       | EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer) t""".stripMargin
 
+  // ------------------------------------------------------- q20_correlated
+  // Orders above their own customer's average price — the correlated-
+  // aggregate pattern. Formulated as price × n > sum so the comparison is
+  // exact decimal arithmetic on both engines (no divided averages to hash).
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("tot", sum(dec(col("o_totalprice"))).over(w))
+      .filter(dec(col("o_totalprice")) * col("n") > col("tot"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val q20Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      | SELECT o_orderkey, o_custkey, o_totalprice,
+      |  COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS tot
+      | FROM orders) t
+      |WHERE CAST(o_totalprice AS DECIMAL(18,4)) * n > tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_correlated", q20, Some(q20Sql)),
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q2_filter_project", q2, Some(q2Sql)),
     QueryDef("q3_join_agg", q3, Some(q3Sql)),
