@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Validators
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class ValidatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("checkAccess distinguishes readable, missing, and glob paths") {
+    assert(Validators.checkAccess(spark, s"${TestSpark.sf}/orders.parquet").accessible)
+    assert(!Validators.checkAccess(spark, "/no/such/path.parquet").accessible)
+    assert(Validators.checkAccess(spark, s"${TestSpark.sf}/*.parquet").accessible)
+  }
+
+  test("checkSyntax counts corrupt rows permissively") {
+    val dir = Files.createTempDirectory("dirty").toString
+    Files.writeString(Paths.get(s"$dir/a.json"),
+      """{"id": 1, "v": "ok"}
+        |this is not json
+        |{"id": 2, "v": "fine"}
+        |""".stripMargin)
+    val r = Validators.checkSyntax(spark, dir, "json")
+    assert(!r.ok && r.corruptRows == 1 && r.rows == 3)
+    val clean = Validators.checkSyntax(spark, s"${TestSpark.sf}/orders.parquet", "parquet")
+    assert(clean.ok && clean.rows > 0)
+  }
+
+  test("contentMatches detects equal and differing datasets") {
+    val o = Tables.orders(spark, TestSpark.sf)
+    assert(Validators.contentMatches(o, o.repartition(7), Seq("o_orderkey", "o_totalprice")))
+    assert(!Validators.contentMatches(o, o.limit(10), Seq("o_orderkey", "o_totalprice")))
+  }
+}
