@@ -89,6 +89,32 @@ object Streams {
       }
   }
 
+  /** Continuous parquet sink with checkpointing — the production file-drop
+    * shape: exactly-once per file batch, resumable from the checkpoint.
+    */
+  def toParquet(streamed: DataFrame, outDir: String, checkpointDir: String,
+                outputMode: OutputMode = OutputMode.Append())
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(outputMode)
+      .start()
+
+  /** Continuous JDBC sink via foreachBatch — the streaming form of the
+    * reference's DatabaseWriterActor: each micro-batch writes as one batched
+    * JDBC transaction set, per partition.
+    */
+  def toJdbc(streamed: DataFrame, checkpointDir: String, url: String,
+             table: String, props: Map[String, String] = Map.empty)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.Sinks.writeJdbc(batch.toDF(), url, table, props)
+      }
+      .start()
+
   /** Run a streaming query over a static directory synchronously into a
     * memory table and return the result — batch-style harness used by specs
     * and local validation.

@@ -70,6 +70,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUserStream.forall { case (u, n) => n <= perUserBatch(u) })
   }
 
+  test("checkpointed parquet sink writes and is resumable") {
+    val out = Files.createTempDirectory("sink_out").toString
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val q = Streams.toParquet(
+      Streams.eventStream(spark, streamDir).select("event_id", "event_type"),
+      out, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).count() ==
+      Tables.events(spark, TestSpark.sf).count())
+    // resume from checkpoint: no new input → no duplicate output
+    val q2 = Streams.toParquet(
+      Streams.eventStream(spark, streamDir).select("event_id", "event_type"),
+      out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out).count() ==
+      Tables.events(spark, TestSpark.sf).count())
+  }
+
+  test("foreachBatch JDBC sink lands micro-batches in Derby") {
+    val db = Files.createTempDirectory("sderby") + "/evdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val ckpt = Files.createTempDirectory("jdbc_ckpt").toString
+    val q = Streams.toJdbc(
+      Streams.eventStream(spark, streamDir).select("event_id", "user_id", "value"),
+      ckpt, url, "events_sink", props)
+    q.processAllAvailable(); q.stop()
+    val back = graft.sources.Sources.readJdbc(spark, url, "events_sink", props)
+    assert(back.count() == Tables.events(spark, TestSpark.sf).count())
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
