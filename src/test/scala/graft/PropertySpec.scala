@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.Transformers._
+import graft.functions.{JaccardExpr, VectorExprs}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks: generate batches with ScalaCheck, evaluate through
+  * Spark ONCE per property (one job, not one per sample), and compare
+  * against plain-Scala reference semantics.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+  private val sentence = Gen.listOfN(12, word).map(_.mkString(" "))
+
+  test("property: concatAll == prefix + mkString(sep) + suffix") {
+    val data = samples(Gen.zip(word, word, word))
+    val got = data.toDF("a", "b", "c")
+      .select(concatAll("-", "<", ">", col("a"), col("b"), col("c")))
+      .as[String].collect()
+    val expect = data.map { case (a, b, c) => Seq(a, b, c).mkString("<", "-", ">") }
+    assert(got.toSeq == expect)
+  }
+
+  test("property: replaceSome(max) == Scala take-n regex replacement") {
+    val data = samples(Gen.zip(sentence, Gen.chooseNum(1, 5)))
+    val got = data.toDF("s", "n").select(col("n"),
+        replaceSome(col("s"), "a", "_", 3).as("r"))
+      .as[(Int, String)].collect().map(_._2)
+    val expect = data.map { case (s, _) =>
+      // replace first 3 'a's
+      var out = s; var i = 0
+      while (i < 3 && out.indexOf('a') >= 0 != false && { val p = out.indexOf('a'); p >= 0 }) {
+        val p = out.indexOf('a'); out = out.substring(0, p) + "_" + out.substring(p + 1); i += 1
+      }
+      out
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("property: splitSelect matches Scala split semantics incl. missing idx") {
+    val data = samples(Gen.listOfN(4, word).map(_.mkString("#")))
+    for (idx <- Seq(0, 2, 9)) {
+      val got = data.toDF("s").select(splitSelect(col("s"), "#", idx))
+        .as[String].collect()
+      val expect = data.map { s =>
+        val parts = s.split("#", -1)
+        if (idx < parts.length) parts(idx).trim else ""
+      }
+      assert(got.toSeq == expect.toSeq, s"idx=$idx")
+    }
+  }
+
+  test("property: timestampCalibrate reduce is floor-div and add inverts it") {
+    val data = samples(Gen.chooseNum(0L, 4102444800000L))
+    val got = data.toDF("ms")
+      .select(timestampCalibrate(col("ms"), "reduce").as("s"),
+        timestampCalibrate(timestampCalibrate(col("ms"), "reduce"), "add").as("back"))
+      .as[(Long, Long)].collect()
+    data.zip(got).foreach { case (ms, (s, back)) =>
+      assert(s == ms / 1000 && back == (ms / 1000) * 1000)
+    }
+  }
+
+  test("property: per-mille text metrics stay in [0, 1000]") {
+    val messy = samples(Gen.listOfN(8,
+      Gen.oneOf(word, Gen.const("!!!"), Gen.const("the"), Gen.const("...")))
+      .map(_.mkString(" ")))
+    val rows = messy.toDF("t").select(
+      punctPerMille(col("t")).as("p"),
+      stopwordPerMille(col("t")).as("s"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (p, s) =>
+      assert(p >= 0 && p <= 1000 && s >= 0 && s <= 1000)
+    }
+  }
+
+  test("property: jaccardSorted equals set-based Jaccard") {
+    val setGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+    val data = samples(Gen.zip(setGen, setGen)).filter { case (a, b) => a.nonEmpty || b.nonEmpty }
+    val got = data.toDF("a", "b")
+      .select(JaccardExpr.jaccardSorted(col("a"), col("b"))).as[Double].collect()
+    data.zip(got).foreach { case ((a, b), j) =>
+      val expect = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(math.abs(j - expect) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("property: cosineSim is 1 on self, symmetric, in [-1, 1]") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0f))
+    val data = samples(Gen.zip(vec, vec))
+    val got = data.toDF("a", "b").select(
+      VectorExprs.cosineSim(col("a"), col("a")).as("self"),
+      VectorExprs.cosineSim(col("a"), col("b")).as("ab"),
+      VectorExprs.cosineSim(col("b"), col("a")).as("ba"))
+      .as[(Double, Double, Double)].collect()
+    got.foreach { case (self, ab, ba) =>
+      assert(math.abs(self - 1.0) < 1e-6)
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+}
