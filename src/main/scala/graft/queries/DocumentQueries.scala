@@ -182,6 +182,13 @@ object DocumentQueries {
       | CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
       |FROM s QUALIFY rk <= 10""".stripMargin
 
+  private def dAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
   private def dAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nBits = 4)
@@ -344,7 +351,19 @@ object DocumentQueries {
       | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY source""".stripMargin
 
+  // ------------------------------------------------------------ p_sketches
+  // Approximate aggregation sketches (HyperLogLog++ count-distinct and
+  // approximate quantiles). Sketch internals differ per engine, so no
+  // oracle — AggregatesSpec bounds the error against exact answers instead.
+  private def pSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("p_sketches", pSketches, None),
     QueryDef("d_pii_scrub", dPiiScrub, Some(dPiiScrubSql)),
     QueryDef("d_repetition", dRepetition, Some(dRepetitionSql)),
     QueryDef("d_contamination", dContamination, Some(dContaminationSql)),
@@ -359,6 +378,7 @@ object DocumentQueries {
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
+    QueryDef("d_ann_ivf", dAnnIvf, None),
     QueryDef("d_fingerprint", dFingerprint, None),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),

@@ -88,6 +88,22 @@ object Sources {
         "(reference: helpers/ExcelToCSVConverter.scala); no POI library is " +
         "available in this build. Convert to CSV and use readCsv.")
 
+  /** Network file sources (NetworkFileParser.scala +
+    * helpers/NetworkFileHelpers.scala): the reference pulls files over
+    * FTP/SFTP/HTTP(S) before parsing. Spark reads any Hadoop-FileSystem
+    * scheme directly, so ftp:// and sftp:// URIs stream without a staging
+    * copy; plain http(s) has no Hadoop FS — fetch to a staging path first
+    * (that is what the reference's download step does too).
+    */
+  def readNetworkCsv(spark: SparkSession, uri: String,
+                     header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val scheme = java.net.URI.create(uri).getScheme
+    require(scheme == "ftp" || scheme == "sftp",
+      s"scheme $scheme not streamable; stage http(s) downloads to a file first " +
+        "(reference: NetworkFileParser.scala downloads before parsing)")
+    readCsv(spark, uri, header, delimiter)
+  }
+
   /** Schema extraction report (SchemaExtractor.scala): inferred schema as a
     * DDL string, the Spark-native analog of emitting a DFASDL document.
     */

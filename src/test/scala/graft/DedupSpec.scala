@@ -83,6 +83,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ivfTopK recall beats random cell assignment and rises with probes") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(nProbe: Int) = {
+      val ivf = Similarity.ivfTopK(e, q, "embedding", "vec_id", 10,
+        nCentroids = 8, nProbe = nProbe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (brute intersect ivf).size.toDouble / brute.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8) // probing all cells = exact
+    assert(r2 > 0.1, s"recall@2probes=$r2")
+    assert(r8 > 0.99, s"probing every cell must be exact, got $r8")
+  }
+
   test("langId is deterministic and covers zh heuristic") {
     val r = Seq("the cat is on the mat and it is fine",
       "der hund ist nicht auf der matte und das ist gut",
