@@ -25,6 +25,10 @@ object GraftSession {
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // full engine surface out of the box: SQL-callable custom expressions
+    // and the conservative top-k window rewrite
+    graft.functions.GraftFunctions.register(s)
+    graft.plans.TopKRewriteRule.register(s)
     s
   }
 }

@@ -51,8 +51,10 @@ object Similarity {
 
     val train = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast(ArrayType(DoubleType))))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(train.select("features"))
+    // a coarse quantizer only needs a bounded subsample; training on the
+    // full corpus would make index build O(corpus × iters) for no recall win
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(train.select("features").limit(math.max(nCentroids * 100, 1000)))
     val indexed = model.transform(train)
       .select(col("corpus_id"), col("cv"), col("prediction").as("cell"))
 
