@@ -29,7 +29,7 @@ object AsOfJoin {
     val r = right.select(
       col(rightKey).as("__key"), col(rightTime).cast("timestamp").as("__t"),
       lit(1).as("__is_right"), payload.as("__pay"))
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     val l = left.select(
       (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t") +:
         lit(0).as("__is_right") +: lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
