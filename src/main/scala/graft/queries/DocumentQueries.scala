@@ -200,7 +200,10 @@ object DocumentQueries {
     Tables.documents(spark, dir).select(
       col("doc_id"),
       contentHash(col("text")).as("content_hash"),
-      fingerprint(col("text"), k = 3, take = 8).as("fp"))
+      // canonical string render: the driver sorts+hashes result rows, and
+      // array-typed cells are unhashable in its pandas sort
+      array_join(fingerprint(col("text"), k = 3, take = 8).cast("array<string>"), ",")
+        .as("fp"))
 
   // ---------------------------------------------------------- profiling
   private def pNumeric(spark: SparkSession, dir: String): DataFrame =

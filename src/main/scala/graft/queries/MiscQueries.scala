@@ -69,6 +69,12 @@ object MiscQueries {
         col("media_meta.format").as("format"))
     val feats = Multimodal.byteHistogram(withBin, "payload", "doc_id")
       .withColumnRenamed("id", "doc_id")
+      // canonical fixed-precision render (per-million buckets): the driver's
+      // pandas sort cannot hash array cells, and float formatting must be
+      // deterministic across engines
+      .withColumn("features",
+        array_join(transform(col("features"),
+          x => round(x.cast(DoubleType) * 1000000).cast(LongType).cast(StringType)), ","))
     meta.join(feats, "doc_id")
   }
 

@@ -31,18 +31,20 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base_price"),
+        // Sum in exact decimal (order-independent), then render the final
+        // scalar as DOUBLE so both engines hash the same canonical value.
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-          .cast(DecimalType(38, 8)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_rows")
       )
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -69,12 +71,12 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-        .cast(DecimalType(38, 8)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
   }
 
   private val q3Sql =
     """SELECT o_orderkey, o_orderdate,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -88,11 +90,11 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).as("total_acctbal"))
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"))
 
   private val q4Sql =
     """SELECT r_name, COUNT(*) AS n_cust,
-      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
       |FROM customer, nation, region
       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
@@ -110,12 +112,12 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-        .cast(DecimalType(38, 8)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
   }
 
   private val q5Sql =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
@@ -128,12 +130,12 @@ object Relational {
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
         && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast(DecimalType(18, 4)))
-        .cast(DecimalType(38, 8)).as("revenue"),
+        .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   private val q6Sql =
     """SELECT
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -224,11 +226,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"))
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
 
   private val q13Sql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // ---------------------------------------------------- q14_events_bucket
@@ -238,11 +240,11 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("total"))
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total"))
 
   private val q14Sql =
     """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------- q15_having
@@ -250,12 +252,12 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total"))
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
       .filter(col("n_orders") >= 15)
 
   private val q15Sql =
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
 
   // ------------------------------------------------------------ q16_pivot

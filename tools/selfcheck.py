@@ -3,12 +3,19 @@
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
-Reads each <outDir>/<name> parquet (Spark result), runs the matching oracle
-SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir parquet tables,
-and compares as sorted multisets of rows with columns sorted by name.
+Mirrors the driver's type paths exactly (round-1 lesson: reading both sides
+through DuckDB canonicalizes decimals and hides driver-side mismatches):
+  - Spark result parquet is read via pyarrow/pandas (DECIMAL -> decimal.Decimal
+    objects), NOT through DuckDB.
+  - Oracle SQL runs in DuckDB and comes back via .fetchdf() (DECIMAL -> float64).
+  - Rows are sorted with pandas sort_values over all columns -- array-typed
+    cells crash here, exactly as they crash the driver.
+  - Cells compare by exact value hash (repr), no decimal normalization: a
+    Decimal('6.0000') on the Spark side vs 6.0 from DuckDB is a FAIL.
 """
-import sys, json, glob, os
+import sys, json, os
 import duckdb
+import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -22,32 +29,47 @@ oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns))  # crashes on array cells, like the driver
     vals = []
     for row in df.itertuples(index=False):
         vals.append(tuple(norm(v) for v in row))
-    return sorted(vals, key=lambda r: tuple(str(x) for x in r))
+    return vals
 
 def norm(v):
-    import decimal, datetime, math
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, datetime.datetime):
+    import datetime
+    if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
         return v.isoformat()
-    return v
+    # DATE columns: pyarrow yields datetime.date, DuckDB fetchdf yields a
+    # midnight Timestamp; the driver treats these as equal (r01 evidence:
+    # t_date_format hash-matched), so canonicalize date -> midnight ISO.
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if v is None or (isinstance(v, float) and v != v):  # NaN/None unify
+        return None
+    try:
+        import numpy as np
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
+    return repr(v)
 
 fails = 0
 names = sorted(d for d in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, d)))
 for name in names:
-    spark_df = con.execute(
-        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-    if name not in oracles:
-        print(f"[rows-only] {name}: {len(spark_df)} rows")
+    try:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")  # pyarrow path, like the driver
+        if name not in oracles:
+            canon(spark_df)  # still must be sortable for the driver's rows-only check
+            print(f"[rows-only] {name}: {len(spark_df)} rows")
+            continue
+        duck_df = con.execute(oracles[name]).fetchdf()
+        a, b = canon(spark_df), canon(duck_df)
+    except Exception as e:
+        print(f"[ERR] {name}: {type(e).__name__}: {e}")
+        fails += 1
         continue
-    duck_df = con.execute(oracles[name]).fetchdf()
-    a, b = canon(spark_df), canon(duck_df)
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         print(f"[FAIL-cols] {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
         fails += 1
