@@ -2,10 +2,12 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.functions.VectorExprs.cosineSim
-import org.apache.spark.sql.DataFrame
+import graft.plans.TopK
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2e).
@@ -15,9 +17,30 @@ import org.apache.spark.sql.types._
   * |corpus|×|queries|. `lshTopK` is the scale path: corpus and queries are
   * bucketed by random-hyperplane signs so each query only scores its bucket;
   * recall is tunable via `nBits` (fewer bits → bigger buckets → higher
-  * recall, more compute).
+  * recall, more compute). `ivfBuild`/`ivfQuery` split the inverted-file
+  * index lifecycle the way a production ANN deployment does: index
+  * construction is an offline pass, probing is cheap and repeatable.
+  *
+  * All three rank tails go through [[graft.plans.TopK.perGroup]]: a
+  * `row_number().over(Window.partitionBy(query_id))` tail would shuffle and
+  * fully sort EVERY scored (query, candidate) pair — |corpus|×|queries| rows
+  * for brute force — whereas the TopKPerGroup operator bounds each input
+  * partition to k rows per query map-side, so the exchange carries at most
+  * k×|queries| rows and the rank column is a window over that survivor set.
   */
 object Similarity {
+
+  /** Exact per-query top-k + rank over pre-scored candidates
+    * (query_id, corpus_id, cos). See class doc for why this is not a plain
+    * window.
+    */
+  private def rankTail(scored: DataFrame, k: Int): DataFrame = {
+    val survivors = TopK.perGroup(scored, Seq("query_id"),
+      Seq(TopK.desc("cos"), TopK.asc("corpus_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    survivors.withColumn("rk", row_number().over(w).cast(LongType))
+  }
 
   /** Exact cosine top-k for each query vector. `queries` is expected to be
     * broadcast-sized (the common "probe a corpus" shape); the corpus is
@@ -30,52 +53,80 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
+    rankTail(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
-    * each vector indexed under its nearest centroid; a query scores only the
-    * `nProbe` centroid cells nearest to it. The classic recall/compute knob
-    * (more probes → higher recall); centroids are trained once (seeded,
-    * deterministic) and shipped as literals, so probing is pure expressions
-    * and the only join is corpus-cell ∈ probed-cells.
+  // ------------------------------------------------------------------ IVF
+
+  /** A built inverted-file index: k-means centroids (driver-side literals)
+    * plus the corpus with its cell assignment, persisted so repeated probes
+    * skip re-assignment. At cluster scale `indexed` would be written to a
+    * parquet table partitioned by `cell` — the persist() here is the
+    * single-JVM stand-in for that.
+    */
+  final case class IvfIndex(centroids: Seq[Seq[Double]], indexed: DataFrame) {
+    def unpersist(): Unit = indexed.unpersist()
+  }
+
+  /** Centroid ids ordered by squared-L2 distance from `v` — a pure
+    * codegen'd expression over centroid literals (no model object in the
+    * per-row path).
+    */
+  private def cellRanking(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(v, typedLit(c)).as("d"), lit(i).as("cell"))
+    }: _*))
+
+  /** Offline index build: train a coarse quantizer on a bounded subsample
+    * (a `sample()`, not a `limit()` — limit funnels rows to one partition),
+    * then assign every corpus vector to its nearest centroid in one
+    * distributed pass.
+    */
+  def ivfBuild(corpus: DataFrame, vecCol: String, idCol: String,
+               nCentroids: Int = 16, trainTarget: Int = 1600): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // a coarse quantizer only needs ~100 points per centroid; size the
+    // sample fraction off the row count (cheap parquet-metadata job)
+    val n = math.max(c.count(), 1L)
+    val frac = math.min(1.0, trainTarget.toDouble * 1.2 / n)
+    val train = c.sample(withReplacement = false, frac, seed = 42L)
+      .withColumn("features", array_to_vector(col("cv").cast(ArrayType(DoubleType))))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(train.select("features"))
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val indexed = c
+      .withColumn("cell",
+        element_at(cellRanking(col("cv"), centroids), 1).getField("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(centroids, indexed)
+  }
+
+  /** Probe a built index: each query scores only its `nProbe` nearest cells
+    * (the classic recall/compute knob). The only join is corpus-cell ∈
+    * probed-cells; the rank tail is TopKPerGroup-bounded.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame,
+               vecCol: String, idCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.withColumn("probe",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
+    val scored = index.indexed.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    rankTail(scored, k)
+  }
+
+  /** One-shot convenience: build + probe. Prefer ivfBuild/ivfQuery when the
+    * same corpus is probed more than once.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val train = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("features", array_to_vector(col("cv").cast(ArrayType(DoubleType))))
-    // a coarse quantizer only needs a bounded subsample; training on the
-    // full corpus would make index build O(corpus × iters) for no recall win
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(train.select("features").limit(math.max(nCentroids * 100, 1000)))
-    val indexed = model.transform(train)
-      .select(col("corpus_id"), col("cv"), col("prediction").as("cell"))
-
-    // distances from each query to every centroid, as literal arrays
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cellDists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Sq(col("qv"), typedLit(c)).as("d"), lit(i).as("cell"))
-    }: _*)
-    val probed = q.withColumn("probe",
-        explode(slice(array_sort(cellDists), 1, nProbe)))
-      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
-
-    val scored = indexed.join(probed, Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-  }
+              nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfQuery(ivfBuild(corpus, vecCol, idCol, nCentroids), queries,
+      vecCol, idCol, k, nProbe)
 
   /** LSH-bucketed ANN: both sides hash to `nBits` hyperplane-sign buckets;
     * candidates are bucket-mates; exact cosine ranks within bucket. One
@@ -89,9 +140,6 @@ object Similarity {
       lshBucket(col(vecCol), nBits).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
+    rankTail(scored, k)
   }
 }

@@ -5,7 +5,6 @@ import graft.functions.Transformers._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 
 /** Transformer-equivalence queries (SURVEY.md §2b): each exercises one or
   * more reference transformers (/root/reference/.../transformers/) through
@@ -191,12 +190,13 @@ object TransformerQueries {
       |FROM customer""".stripMargin
 
   // IDTransformer.scala + processor/AutoIncrementValueBuffer.scala — dense
-  // re-key of a table plus foreign-key remap in a child table.
+  // re-key of a table plus foreign-key remap in a child table. DenseId
+  // replaces the global-window rank (single-task scan) with a parallel
+  // sort + per-partition-offset numbering; see operators/DenseId.scala.
   private def tRekey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("old_id"))
-    val mapping = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("old_id"))
-      .withColumn("new_id", (row_number().over(w) + 999999L).cast(LongType))
+    val mapping = graft.operators.DenseId.withDenseId(
+      Tables.customer(spark, dir).select(col("c_custkey").as("old_id")),
+      orderCol = "old_id", idCol = "new_id", startAt = 1000000L)
     Tables.orders(spark, dir)
       .join(mapping, col("o_custkey") === col("old_id"))
       .select(col("o_orderkey"), col("new_id").as("o_custkey_new"))
@@ -210,27 +210,36 @@ object TransformerQueries {
       |SELECT o_orderkey, new_id AS o_custkey_new FROM orders JOIN m ON o_custkey = old_id""".stripMargin
 
   // processor/UniqueValueBuffer.scala — keep one row per unique key.
-  private def tUnique(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+  // A window partitioned by `lang` (~5 values) would put the whole table
+  // on 5 tasks; min_by aggregation partial-combines map-side and is
+  // skew-tolerant at any key cardinality.
+  private def tUnique(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(min_by(col("doc_id"), col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("lang"))
-  }
 
   private val tUniqueSql =
     """SELECT doc_id, lang FROM (
       | SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       | FROM documents) t WHERE rn = 1""".stripMargin
 
-  // IDGenerator.scala — generated IDs are nondeterministic across engines;
-  // rows-only check (spec asserts uniqueness instead).
+  // IDGenerator.scala — the reference hands out consecutive IDs in row
+  // order. Over a keyed table that order is the key order, so the sequence
+  // is deterministic and oracle-checkable: DenseId numbers rows 1..n in
+  // c_custkey order with every stage parallel. (uuid()/
+  // monotonically_increasing_id() remain available for the opaque-ID
+  // variant; their nondeterminism is why this query doesn't use them.)
   private def tIdGen(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(
-      col("c_custkey"),
-      monotonically_increasing_id().as("gen_id"),
-      expr("uuid()").as("gen_uuid"))
+    graft.operators.DenseId.withDenseId(
+      Tables.customer(spark, dir).select(col("c_custkey")),
+      orderCol = "c_custkey", idCol = "gen_id", startAt = 1L)
+
+  private val tIdGenSql =
+    """SELECT c_custkey,
+      | CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS gen_id
+      |FROM customer""".stripMargin
 
   // Cookbook recipe end-to-end (Processor/RecipeWorker equivalents): a
   // one-projection recipe mixing one-to-one chains, an all-to-all combine,
@@ -275,6 +284,6 @@ object TransformerQueries {
     QueryDef("t_to_json", tToJson, Some(tToJsonSql)),
     QueryDef("t_id_rekey", tRekey, Some(tRekeySql)),
     QueryDef("t_unique_value", tUnique, Some(tUniqueSql)),
-    QueryDef("t_id_generator", tIdGen, None)
+    QueryDef("t_id_generator", tIdGen, Some(tIdGenSql))
   )
 }

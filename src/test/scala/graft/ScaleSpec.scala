@@ -85,6 +85,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("l_discount"), plan)
   }
 
+  test("DenseId numbers rows like a global window without one") {
+    val df = Tables.customer(spark, sf).select(col("c_custkey"))
+    val dense = graft.operators.DenseId.withDenseId(df, "c_custkey", "id", startAt = 10L)
+    // exact parity with the single-task formulation
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c_custkey"))
+    val windowed = df.withColumn("id", row_number().over(w).cast("long") + 9L)
+    assert(dense.except(windowed).isEmpty && windowed.except(dense).isEmpty)
+  }
+
+  test("re-key queries carry no empty-partition-spec window") {
+    Seq("t_id_rekey", "t_unique_value", "t_id_generator").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q still uses a window:\n$plan")
+    }
+  }
+
   test("no cartesian products anywhere in the registry") {
     SparkEntry.registry.foreach { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
