@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -13,17 +14,33 @@ import org.apache.spark.sql.types.LongType
   * through a single task to number it. Correct at test scale, dead at
   * 100 TB.
   *
-  * The distributed equivalent keeps every stage parallel:
-  *   1. range-repartition + sort-within-partitions on the key — a normal
-  *      total-order sort, all partitions in parallel;
-  *   2. count rows per partition and prefix-sum the counts — Spark's
-  *      `zipWithIndex` does exactly this (one lightweight count job over
-  *      the already-sorted RDD; only the numPartitions-length offset
-  *      array ever reaches the driver);
-  *   3. each task numbers its own rows from its partition offset.
+  * The distributed equivalent keeps every stage parallel and entirely
+  * inside the DataFrame world (Tungsten rows + whole-stage codegen,
+  * no RDD round-trip):
+  *   1. range-repartition on the key — one full-data exchange. The
+  *      counting branch below consumes the same exchange (AQE stage reuse
+  *      emits a `ReusedExchange`; with a wide input, column pruning instead
+  *      reduces that branch to a key-only shuffle), so the table's data
+  *      crosses the wire once;
+  *   2. count rows per shuffle partition with a tiny aggregation (at most
+  *      `numPartitions` groups) and prefix-sum the counts into partition
+  *      offsets — the one empty-partition-spec window in the plan runs
+  *      over that partition-count-bounded aggregate, never over data rows;
+  *   3. sort within partitions and number each row as
+  *      `offset(partition) + local row index`. The local index is
+  *      `monotonically_increasing_id() - (partition_id << 33)`: Spark's
+  *      per-task counter with its partition-id prefix stripped, evaluated
+  *      in the same codegen stage as the sort, so no second exchange and
+  *      no extra job. The offsets reach the data via a broadcast join.
   *
   * The result is identical to the global window: the i-th row in key
-  * order gets `startAt + i`.
+  * order gets `startAt + i`. The whole computation is ONE lazy query —
+  * nothing executes at construction time, the full table crosses the wire
+  * exactly once, and every operator is codegen-friendly.
+  *
+  * Limits: assumes < 2^33 rows per shuffle partition (the bit budget of
+  * `monotonically_increasing_id`'s per-task counter) — size `numPartitions`
+  * accordingly at scale.
   */
 object DenseId {
 
@@ -37,13 +54,41 @@ object DenseId {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .repartitionByRange(parts, col(orderCol))
+    val pid = "__graft_pid"
+    val cnt = "__graft_cnt"
+    val off = "__graft_off"
+    val loc = "__graft_local"
+
+    // explicit numPartitions pins the shuffle (REPARTITION_BY_NUM), so AQE
+    // cannot coalesce the two consumers of the exchange differently — the
+    // partition ids seen by the counting branch and the numbering branch
+    // are guaranteed to line up.
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+
+    // ≤ `parts` groups: the prefix-sum window below is bounded by the
+    // partition count, not the data size.
+    val counts = ranged
+      .select(spark_partition_id().as(pid))
+      .groupBy(col(pid)).agg(count(lit(1)).as(cnt))
+    val w = Window.orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(
+      col(pid), coalesce(sum(col(cnt)).over(w), lit(0L)).as(off))
+
+    // local 0-based row index in sorted order: monotonically_increasing_id
+    // is (partitionId << 33) + rowCounter within the task, so subtracting
+    // the prefix leaves the counter. Evaluated above the sort in the same
+    // whole-stage-codegen stage.
+    val localIdx =
+      monotonically_increasing_id() -
+        shiftleft(spark_partition_id().cast(LongType), 33)
+
+    ranged
       .sortWithinPartitions(orderCol)
-    val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (startAt + idx))
-    }
-    spark.createDataFrame(indexed, schema)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(loc, localIdx)
+      .join(broadcast(offsets), Seq(pid))
+      .withColumn(idCol, (lit(startAt) + col(off) + col(loc)).cast(LongType))
+      .drop(pid, off, loc)
   }
 }

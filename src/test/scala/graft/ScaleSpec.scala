@@ -94,10 +94,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(dense.except(windowed).isEmpty && windowed.except(dense).isEmpty)
   }
 
-  test("re-key queries carry no empty-partition-spec window") {
+  test("DenseId stays in Tungsten and shuffles the data once") {
+    val df = Tables.customer(spark, sf).select(col("c_custkey"))
+    val dense = graft.operators.DenseId.withDenseId(df, "c_custkey", "id")
+    dense.collect() // finalize the adaptive plan so stage reuse is visible
+    val plan = dense.queryExecution.executedPlan.toString
+    // no RDD detour: everything is DataFrame operators inside codegen
+    assert(!plan.contains("ExistingRDD") && !plan.contains("SerializeFromObject"),
+      s"DenseId must not leave the DataFrame world:\n$plan")
+    assert(plan.contains("*("), s"DenseId plan lost whole-stage codegen:\n$plan")
+    // the range exchange is computed once and reused by the counting branch
+    assert(plan.contains("ReusedExchange"),
+      s"partition-count branch should reuse the range exchange:\n$plan")
+    // exactly one sort touches the data; the only other sort is the
+    // prefix-sum window's, over <= numPartitions count rows
+    assert("Sort \\[c_custkey".r.findAllIn(plan).size >= 1 &&
+      "Sort \\[__graft_pid".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("re-key queries: windows only over keys or partition-count-bounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     Seq("t_id_rekey", "t_unique_value", "t_id_generator").foreach { q =>
-      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("Window"), s"$q still uses a window:\n$plan")
+      val optimized = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      optimized.collect { case w: LWindow => w }.foreach { w =>
+        // an empty partition spec funnels its whole input through one task —
+        // only acceptable when that input is already aggregated down to at
+        // most numShufflePartitions rows (DenseId's per-partition counts)
+        assert(w.partitionSpec.nonEmpty ||
+          w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$q has a global window over unbounded input:\n$optimized")
+      }
     }
   }
 
