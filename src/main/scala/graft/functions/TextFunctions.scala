@@ -136,10 +136,13 @@ object TextFunctions {
 
   /** Winnowing-style document fingerprint: the `take` smallest shingle
     * hashes (a bottom-k sketch of the shingle set — the rolling-hash
-    * fingerprint family from Schleimer et al., SIGMOD'03).
+    * fingerprint family from Schleimer et al., SIGMOD'03). Tokenize →
+    * shingle → hash → sort runs as one fused codegen pass per row
+    * (WordShingleHashExpr), bit-identical to the HOF formulation
+    * `slice(array_sort(hashArray(wordShingles(text, k))), 1, take)`.
     */
   def fingerprint(text: Column, k: Int = 3, take: Int = 8): Column =
-    slice(array_sort(hashArray(wordShingles(text, k))), 1, take)
+    slice(ShingleHash.wordShingleHashes(text, k, sorted = true), 1, take)
 
   /** Single 64-bit content fingerprint of normalized text. */
   def contentHash(text: Column): Column =

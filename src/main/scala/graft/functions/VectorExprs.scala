@@ -67,9 +67,80 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** All `nBits` random-hyperplane signs of an `array<float>` vector packed
+  * into one long bucket id, in a SINGLE pass over the vector (random-
+  * hyperplane LSH, Charikar STOC'02).
+  *
+  * The column formulation (VectorFunctions.hyperplaneSign × nBits) ran one
+  * interpreted `aggregate(zip_with(...))` traversal per bit — nBits passes
+  * over a 4096-wide literal per row. Here every plane accumulates in the
+  * same fused loop; the plane matrix rides along as a codegen reference
+  * object, not a literal. Bit p is set iff the projection onto plane p is
+  * >= 0 — bit-identical to the HOF formulation (same planes, same
+  * left-to-right accumulation order).
+  */
+case class LshBucketExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  // nBits × MaxDim plane matrix, seeded — identical on driver and executors
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits)(VectorFunctions.planeArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), VectorFunctions.MaxDim)
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      var p = 0
+      while (p < nBits) { acc(p) += x * planes(p)(i); p += 1 }
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < nBits) {
+      if (acc(p) >= 0.0) bucket |= 1L << p
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val b = ctx.freshName("b")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), ${VectorFunctions.MaxDim});
+         |double[] $acc = new double[$nBits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  for (int $p = 0; $p < $nBits; $p++) $acc[$p] += $x * $planesRef[$p][$i];
+         |}
+         |long $b = 0L;
+         |for (int $p = 0; $p < $nBits; $p++) if ($acc[$p] >= 0.0) $b |= 1L << $p;
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bucket"
+}
+
 object VectorExprs {
   /** Codegen'd cosine similarity for `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd single-pass random-hyperplane LSH bucket id. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), nBits))
 }

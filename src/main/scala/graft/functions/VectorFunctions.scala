@@ -32,17 +32,19 @@ object VectorFunctions {
     * executor). Far cheaper than deriving components from hashes inside the
     * expression: the projection is then pure multiply-add per element.
     */
-  private val MaxDim = 4096
-  private def plane(p: Int): Array[Double] = {
+  private[functions] val MaxDim = 4096
+  private[functions] def planeArray(p: Int): Array[Double] = {
     val rnd = new scala.util.Random(0x5eedL + p)
     Array.fill(MaxDim)(rnd.nextDouble() * 2 - 1)
   }
 
   /** Sign bit of `v`'s projection onto deterministic random hyperplane `p`:
     * random-hyperplane LSH (Charikar, STOC'02): sum_i v[i]*plane_p[i] >= 0.
+    * Kept as the readable reference formulation (and parity oracle in
+    * VectorExprsSpec); hot paths use the fused [[LshBucketExpr]] instead.
     */
   def hyperplaneSign(v: Column, p: Int): Column = {
-    val planeLit = typedLit(plane(p).toSeq)
+    val planeLit = typedLit(planeArray(p).toSeq)
     val proj = aggregate(zip_with(v, slice(planeLit, lit(1), size(v)), (x, w) => x * w),
       lit(0.0d), (acc, x) => acc + x)
     when(proj >= 0.0d, lit(1)).otherwise(lit(0))
@@ -50,8 +52,9 @@ object VectorFunctions {
 
   /** Pack `nBits` hyperplane signs into one long bucket id. Vectors with
     * equal bucket ids are likely cosine-similar; used to bound ANN candidate
-    * sets (SURVEY.md §2e scale path).
+    * sets (SURVEY.md §2e scale path). One fused codegen pass over the
+    * vector — all planes accumulate in the same loop (VectorExprs.lshBucket).
     */
   def lshBucket(v: Column, nBits: Int): Column =
-    (0 until nBits).map(p => hyperplaneSign(v, p) * lit(1L << p)).reduce(_ + _)
+    VectorExprs.lshBucket(v, nBits)
 }

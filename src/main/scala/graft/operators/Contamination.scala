@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,11 +17,12 @@ object Contamination {
   def sharedShingles(corpus: DataFrame, bench: DataFrame,
                      textCol: String, idCol: String,
                      k: Int = 3, minShared: Int = 3): DataFrame = {
+    // shingle hashes map-side in one fused pass (WordShingleHashExpr), so
+    // the only exchange in the whole check is the 8-byte-key equi-join —
+    // no text or token array ever crosses the wire
     def exploded(df: DataFrame, side: String) =
-      df.select(col(idCol).as(s"${side}_id"), tokens(col(textCol)).as("toks"))
-        .repartition(col(s"${side}_id"))
-        .select(col(s"${side}_id"),
-          explode(hashArray(array_distinct(shinglesFromTokens(col("toks"), k)))).as("sh"))
+      df.select(col(idCol).as(s"${side}_id"),
+          explode(graft.functions.ShingleHash.wordShingleHashes(col(textCol), k)).as("sh"))
     exploded(corpus, "corpus").join(exploded(bench, "bench"), "sh")
       .filter(col("corpus_id") =!= col("bench_id"))
       .groupBy(col("corpus_id"), col("bench_id"))

@@ -31,23 +31,20 @@ object Dedup {
     df.join(keep, df(idCol) === col("keep_id"), "left_semi")
   }
 
-  /** Shingle hashes per row: id column + xxhash64 of each word k-shingle.
-    *
-    * Staging note (applies to every multi-step array pipeline here): Spark's
-    * CollapseProject merges adjacent projections, which would inline a whole
-    * upstream array expression into downstream lambda BODIES — turning an
-    * O(tokens) pipeline into O(tokens × elements) interpreted re-evaluation
-    * per row. Each stage below therefore ends in a `repartition`, which (a)
-    * is a hard barrier the optimizer can't collapse through, and (b) spreads
-    * the compute across the cluster even when the source is one small
-    * parquet file. The shuffled payload is just (id, signature) — tiny
-    * relative to the text — so this is also the layout a 100 TB run wants.
+  /** Shingle hashes per row: id column + xxhash64 of each word k-shingle,
+    * computed map-side in ONE fused codegen pass
+    * (graft.functions.WordShingleHashExpr) — the text itself never crosses
+    * the wire; the single exchange here carries `(id, array<long>)` and
+    * exists to spread the (heavier) downstream signature work even when the
+    * source is a single small parquet split. The earlier higher-order-
+    * function formulation needed a full-text shuffle barrier to dodge
+    * CollapseProject re-evaluation; the fused expression removes both the
+    * interpreted per-element cost and the text payload.
     */
   private def shingleHashes(df: DataFrame, textCol: String, idCol: String,
                             shingleK: Int): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .repartition(col("id"))
-      .select(col("id"), hashArray(shinglesFromTokens(col("toks"), shingleK)).as("sh"))
+    df.select(col(idCol).as("id"),
+        graft.functions.ShingleHash.wordShingleHashes(col(textCol), shingleK).as("sh"))
       .repartition(col("id"))
 
   /** MinHash signature from materialized shingle hashes: `nHashes`
@@ -67,11 +64,12 @@ object Dedup {
                    shingleK: Int = 3, nHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
     val rows = nHashes / bands
-    // barrier-staged: text → shingle hashes → signature → bands (see
-    // shingleHashes scaladoc for why each stage repartitions)
+    // shingle hashes map-side, then one (id, hashes) exchange; the MinHash
+    // signature computes post-exchange in parallel. `sig` is referenced by
+    // every band expression below, which CollapseProject leaves alone
+    // (non-cheap alias used more than once), so it is evaluated once per row.
     val sig = shingleHashes(df, textCol, idCol, shingleK)
       .select(col("id"), signatureOf(col("sh"), nHashes).as("sig"))
-      .repartition(col("id"))
 
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -98,10 +96,11 @@ object Dedup {
     * exchange in simhash dedup is the candidate pairing itself.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as("id"),
+        graft.functions.ShingleHash.tokenHashes(col(textCol)).as("th"))
       .repartition(col("id"))
       .select(col("id"),
-        graft.functions.SimHashExprApi.simhashOf(hashArray(col("toks"))).as("simhash"))
+        graft.functions.SimHashExprApi.simhashOf(col("th")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, paired by the
     * pigeonhole trick: split the 64-bit signature into `maxDist+1` chunks —
@@ -136,19 +135,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int = 4,
                         threshold: Double = 0.8): DataFrame = {
-    // normalize → barrier (shuffled by block key, which the join reuses) →
-    // n-grams from the materialized string; see shingleHashes scaladoc.
+    // n-gram hashes map-side in one fused pass (normalize → grams → hash →
+    // sort, graft.functions.NGramHashExpr: sorted so the per-pair scorer is
+    // a codegen'd merge walk; hashed so set ops compare 8-byte longs and the
+    // block exchange never carries text — 64-bit collisions can't move a
+    // Jaccard across the threshold). The one repartition shuffles
+    // (id, gram-hashes) on the block key, which BOTH sides of the self-join
+    // below reuse — no further exchange.
     val g = df.select(
-        (col(idCol).as("id") +: normalizeWs(col(textCol)).as("norm") +:
+        (col(idCol).as("id") +:
+          graft.functions.ShingleHash.ngramHashes(col(textCol), n).as("grams") +:
           blockCols.map(col)): _*)
       .repartition(blockCols.map(col): _*)
-      // hash each n-gram to a long (cheaper set ops, ~4× smaller shuffle;
-      // 64-bit collisions can't move a Jaccard across the threshold) and
-      // sort ONCE PER ROW so the per-pair scorer is a codegen'd merge walk
-      .select(
-        (col("id") +:
-          array_sort(hashArray(ngramsFromNormalized(col("norm"), n))).as("grams") +:
-          blockCols.map(col)): _*)
     val l = g.toDF(("id_a" +: "grams_a" +: blockCols): _*)
     val r = g.toDF(("id_b" +: "grams_b" +: blockCols): _*)
     val jac = graft.functions.JaccardExpr.jaccardSorted(col("grams_a"), col("grams_b"))

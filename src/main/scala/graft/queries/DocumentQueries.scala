@@ -299,10 +299,13 @@ object DocumentQueries {
   // --------------------------------------------------------- d_repetition
   // Gopher-style repetition signal: share of the most frequent word bigram.
   private def dRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // bigram hashes map-side in one fused pass (WordShingleHashExpr), so the
+    // first exchange is the partial-aggregated (doc_id, bigram-hash) count —
+    // never the tokenized text. Hashing can't change the aggregate outputs
+    // (n_bigrams is a plain count; a within-doc 64-bit collision is ~2^-40).
     val bg = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(bigramsFromTokens(col("toks"))).as("bg"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.bigramHashes(col("text"))).as("bg"))
     bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram_n"))

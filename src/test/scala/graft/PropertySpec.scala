@@ -110,4 +110,20 @@ class PropertySpec extends AnyFunSuite {
       assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
     }
   }
+
+  test("property: fused lshBucket equals the per-plane hyperplaneSign packing") {
+    import graft.functions.VectorFunctions
+    val nBits = 8
+    val vec = Gen.listOfN(32, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0f))
+    val data = samples(vec)
+    val hofBucket = (0 until nBits)
+      .map(p => VectorFunctions.hyperplaneSign(col("v"), p).cast("long") * lit(1L << p))
+      .reduce(_ + _)
+    val got = data.toDF("v").select(
+      VectorExprs.lshBucket(col("v"), nBits).as("fused"),
+      hofBucket.as("hof"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (fused, hof) => assert(fused == hof) }
+  }
 }

@@ -127,6 +127,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup-family exchanges carry hashes, never text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
+        "d_contamination", "d_repetition", "d_fingerprint").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        e.child.output.foreach { attr =>
+          assert(!attr.dataType.isInstanceOf[ArrayType] ||
+            attr.dataType.asInstanceOf[ArrayType].elementType != StringType,
+            s"$q shuffles a string array (${attr.name}) — hash before the exchange")
+          // block keys (lang/source) are legitimate scalar strings; the
+          // document payload columns must never cross an exchange
+          assert(!Seq("text", "toks", "norm", "grams_s").contains(attr.name.toLowerCase),
+            s"$q shuffles raw text column '${attr.name}':\n$plan")
+        }
+      }
+    }
+  }
+
   test("no cartesian products anywhere in the registry") {
     SparkEntry.registry.foreach { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
