@@ -162,17 +162,34 @@ object Dedup {
   /** Embedding near-dup pairs: LSH-bucket (random hyperplanes) then verify
     * cosine within bucket. The scale path for embedding dedup — candidates
     * bounded by bucket population instead of n².
+    *
+    * `probeRadius` is multi-probe LSH (Lv et al., VLDB'07): one side of the
+    * self-join also lands in every bucket within Hamming distance
+    * `probeRadius` of its own (bit-flip probes), so any pair whose
+    * signatures differ in at most `probeRadius` hyperplane signs is
+    * STRUCTURALLY guaranteed to be scored — recall no longer depends on a
+    * near-duplicate luckily agreeing on every bit. A true near-dup at
+    * cos >= 0.95 flips a given bit with p = arccos(cos)/π <= 0.1, so
+    * missing a radius-2 probe needs >= 3 simultaneous flips. Probe cost is
+    * a bounded explode (sum of C(nBits, 0..r) rows per vector) on one side
+    * only; each candidate pair still joins exactly once (the XOR mask
+    * between two buckets is unique).
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     nBits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    import graft.functions.VectorFunctions
+                     nBits: Int = 8, threshold: Double = 0.95,
+                     probeRadius: Int = 1): DataFrame = {
+    import graft.functions.VectorExprs
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol), nBits).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+      VectorExprs.lshBucket(col(vecCol), nBits).as("bucket"))
+    val masks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val l = b.select(
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
+      col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
+        VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -151,17 +151,32 @@ object DocumentQueries {
        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8""".stripMargin
 
+  // Planted copies are PERTURBED (every odd component scaled by 1.05 →
+  // cos ≈ 0.9997, near- but not exact duplicates), so a plant CAN straddle a
+  // hyperplane bucket and recall is earned by the operator's multi-probe
+  // bucketing, not by the geometric impossibility of an identical copy
+  // splitting from its original. The same element-wise perturbation is
+  // applied in the oracle SQL (double math, rounded to float, identically in
+  // both engines). Missing a plant would need >= 3 of 8 hyperplane signs to
+  // flip at p ≈ 0.007 each — probability ~2e-5 per pair.
   private def dEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + SHIFT))
-    Dedup.embeddingPairs(doubled, "embedding", "vec_id", nBits = 8, threshold = 0.95)
+    val perturbed = e.select((col("vec_id") + SHIFT).as("vec_id"),
+      transform(col("embedding"), (x, i) => x * (lit(1.0d) + lit(0.05d) * (i % 2)))
+        .cast("array<float>").as("embedding"))
+    val doubled = e.select(col("vec_id"), col("embedding")).unionByName(perturbed)
+    Dedup.embeddingPairs(doubled, "embedding", "vec_id", nBits = 8, threshold = 0.95,
+        probeRadius = 2)
       .select(col("id_a"), col("id_b"))
   }
 
   private val dEmbedDedupSql =
     s"""WITH u AS (
        | SELECT vec_id, embedding FROM embeddings
-       | UNION ALL SELECT vec_id + $SHIFT, embedding FROM embeddings)
+       | UNION ALL
+       | SELECT vec_id + $SHIFT,
+       |  list_transform(embedding, (x, i) -> CAST(x * (1.0 + 0.05 * ((i - 1) % 2)) AS FLOAT))
+       | FROM embeddings)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |FROM u a JOIN u b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin

@@ -62,13 +62,27 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.length == 20)
   }
 
-  test("embedding LSH pairs find planted identical vectors") {
+  test("embedding LSH multi-probe finds all planted PERTURBED near-duplicates") {
+    // perturbed (cos ≈ 0.9997, not 1.0) copies CAN land in a different
+    // hyperplane bucket; 100% recall here is earned by multi-probe bucketing
     val e = Tables.embeddings(spark, sf)
-    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + SHIFT))
+    val perturbed = e.select((col("vec_id") + SHIFT).as("vec_id"),
+      transform(col("embedding"), (x, i) => x * (lit(1.0d) + lit(0.05d) * (i % 2)))
+        .cast("array<float>").as("embedding"))
+    val doubled = e.select(col("vec_id"), col("embedding")).unionByName(perturbed)
     val pairs = Dedup.embeddingPairs(doubled, "embedding", "vec_id",
-      nBits = 8, threshold = 0.95).collect()
+      nBits = 8, threshold = 0.95, probeRadius = 2).collect()
     val planted = pairs.filter(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
-    assert(planted.length == e.count())
+    assert(planted.length == e.count(), "multi-probe LSH must recall every planted near-dup")
+    // and the plants really are near- (not exact) duplicates
+    val cosines = planted.map(_.getAs[Double]("cos"))
+    assert(cosines.forall(c => c >= 0.95 && c < 1.0))
+    // without probing, recall on the same plants is allowed to drop — the
+    // probes are what make recall structural, so they must add pairs or tie
+    val noProbe = Dedup.embeddingPairs(doubled, "embedding", "vec_id",
+      nBits = 8, threshold = 0.95, probeRadius = 0).collect()
+      .count(r => r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + SHIFT)
+    assert(noProbe <= planted.length)
   }
 
   test("lshTopK recalls most of bruteForceTopK's neighbors") {
