@@ -20,14 +20,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Index construction is an offline step (a cell-partitioned table at
-    // cluster scale); prebuild it so d_ann_ivf times the probe, not the build.
-    try graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    // cluster scale); prebuild it so d_ann_ivf times the probe, not the
+    // build — but report the build as its own timed line item so the total
+    // still reflects ALL work performed.
+    val tBuild0 = System.nanoTime()
+    try {
+      val idx = graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
+      idx.indexed.count() // materialize the persisted cell assignment
+    } catch { case _: Throwable => () }
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }.toMap + ("d_ann_ivf_build" -> buildSec)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -210,11 +210,15 @@ object Transformers {
   /** atomic/BoxDataIntoList.scala:27-30 — box values into an array. */
   def boxIntoList(cols: Column*): Column = array(cols: _*)
 
-  /** generators/DrupalVanCodeGenerator.scala:108-121 — one vancode path
-    * segment: zero-padded base-36 of a per-thread sequence number, slash
-    * terminated (e.g. 1 → "01/"). The reference's per-article numbering
-    * state becomes a row_number window upstream; this renders the segment.
+  /** generators/DrupalVanCodeGenerator.scala:142-151 `toBase36` — one
+    * vancode path segment: lowercase base-36 of a per-thread sequence
+    * number, prefixed with (digit count - 1), e.g. 1 → "01", 36 → "110".
+    * The reference's per-article numbering state becomes a row_number
+    * window upstream (see operators/VanCode for the full thread-path
+    * composition); this renders one segment.
     */
-  def vancodeSegment(n: Column): Column =
-    concat(lpad(lower(conv(n.cast(StringType), 10, 36)), 2, "0"), lit("/"))
+  def vancodeSegment(n: Column): Column = {
+    val b36 = lower(conv(n.cast(StringType), 10, 36))
+    concat((length(b36) - 1).cast(StringType), b36)
+  }
 }

@@ -13,11 +13,26 @@ import org.apache.spark.sql.types._
   */
 object Profiling {
 
+  /** Sampled input for profile passes — Stats.scala:46 takes a `percent`
+    * parameter so the reference can profile a fraction of a huge source;
+    * `df.sample` is the distributed equivalent (per-partition Bernoulli
+    * sampling, no shuffle, deterministic under the fixed seed).
+    */
+  private def sampled(df: DataFrame, samplePercent: Double): DataFrame = {
+    require(samplePercent > 0 && samplePercent <= 100,
+      s"samplePercent must be in (0, 100], got $samplePercent")
+    if (samplePercent >= 100) df
+    else df.sample(withReplacement = false, samplePercent / 100.0, seed = 42L)
+  }
+
   /** NumericAnalyzer.scala:41-58 equivalent: count/min/max/mean per numeric
     * column. Mean is reported as an exact integer per-mille (floor(sum*1000/
-    * n)) so results are engine-portable (SURVEY.md §6).
+    * n)) so results are engine-portable (SURVEY.md §6). `samplePercent`
+    * mirrors Stats.scala:46's sampled profiling.
     */
-  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def numericProfile(df: DataFrame, cols: Seq[String],
+                     samplePercent: Double = 100.0): DataFrame = {
+    val in = sampled(df, samplePercent)
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}_count"),
@@ -27,13 +42,15 @@ object Profiling {
           .cast(LongType).as(s"${c}_mean_milli")
       )
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    in.agg(aggs.head, aggs.tail: _*)
   }
 
   /** StringAnalyzer.scala:38-54 equivalent: length stats + cardinality per
-    * string column.
+    * string column. `samplePercent` mirrors Stats.scala:46.
     */
-  def stringProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def stringProfile(df: DataFrame, cols: Seq[String],
+                    samplePercent: Double = 100.0): DataFrame = {
+    val in = sampled(df, samplePercent)
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}_count"),
@@ -42,7 +59,7 @@ object Profiling {
         countDistinct(col(c)).as(s"${c}_distinct")
       )
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    in.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Order-independent dataset checksum — the distributed analog of the

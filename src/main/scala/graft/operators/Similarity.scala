@@ -83,7 +83,8 @@ object Similarity {
     * distributed pass.
     */
   def ivfBuild(corpus: DataFrame, vecCol: String, idCol: String,
-               nCentroids: Int = 16, trainTarget: Int = 1600): IvfIndex = {
+               nCentroids: Int = 16, trainTarget: Int = 1600,
+               persist: Boolean = true): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
@@ -96,10 +97,10 @@ object Similarity {
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .fit(train.select("features"))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val indexed = c
-      .withColumn("cell",
-        element_at(cellRanking(col("cv"), centroids), 1).getField("cell"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = c.withColumn("cell",
+      element_at(cellRanking(col("cv"), centroids), 1).getField("cell"))
+    val indexed =
+      if (persist) assigned.persist(StorageLevel.MEMORY_AND_DISK) else assigned
     IvfIndex(centroids, indexed)
   }
 
@@ -119,13 +120,18 @@ object Similarity {
     rankTail(scored, k)
   }
 
-  /** One-shot convenience: build + probe. Prefer ivfBuild/ivfQuery when the
-    * same corpus is probed more than once.
+  /** One-shot convenience: build + probe, index discarded afterwards.
+    * STRONGLY prefer ivfBuild (once, offline) + ivfQuery (per probe) for any
+    * corpus probed more than once — this re-trains the quantizer and
+    * re-assigns every corpus vector on EVERY call. The transient index is
+    * not persisted, so nothing leaks cached blocks after the result is
+    * consumed (the cell assignment is recomputed by each downstream action,
+    * which is the price of one-shot convenience).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
-    ivfQuery(ivfBuild(corpus, vecCol, idCol, nCentroids), queries,
+    ivfQuery(ivfBuild(corpus, vecCol, idCol, nCentroids, persist = false), queries,
       vecCol, idCol, k, nProbe)
 
   /** LSH-bucketed ANN: both sides hash to `nBits` hyperplane-sign buckets;

@@ -197,17 +197,28 @@ object DocumentQueries {
       | CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
       |FROM s QUALIFY rk <= 10""".stripMargin
 
-  // The IVF index is built ONCE per data dir (an offline step — at cluster
-  // scale it would be a parquet table partitioned by cell); the registered
-  // query measures what production ANN serving measures: the probe.
+  // The IVF index is built ONCE per (session, data dir) — an offline step;
+  // at cluster scale it would be a parquet table partitioned by cell — and
+  // the registered query measures what production ANN serving measures: the
+  // probe. Keyed by session UUID so a second SparkSession in the same JVM
+  // never sees an index bound to a foreign (or stopped) session, and entries
+  // for dead sessions are evicted (their persisted blocks died with the
+  // session's block manager).
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Similarity.IvfIndex]()
 
   /** Build (or fetch the cached) IVF index for `dir`'s embeddings table. */
-  def ivfIndex(spark: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfCache.computeIfAbsent(dir, _ =>
+  def ivfIndex(spark: SparkSession, dir: String): Similarity.IvfIndex = {
+    ivfCache.entrySet().removeIf(e => e.getValue.indexed.sparkSession.sparkContext.isStopped)
+    val key = (System.identityHashCode(spark).toString, dir)
+    val idx = ivfCache.computeIfAbsent(key, _ =>
       Similarity.ivfBuild(Tables.embeddings(spark, dir), "embedding", "vec_id",
         nCentroids = 16))
+    if (idx.indexed.sparkSession ne spark) { // identityHashCode collision
+      ivfCache.remove(key)
+      ivfIndex(spark, dir)
+    } else idx
+  }
 
   private def dAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -24,6 +24,18 @@ object Relational {
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Canonical render of an exact decimal SUM: widen to DECIMAL(38, scale)
+    * BEFORE the double cast. The synthetic money columns carry 2 actual
+    * decimals, so scale-8 PRODUCT sums (price × discount) hold exact scale-4
+    * values with four trailing zeros — rescaling 8→4 is exact, never rounds,
+    * and keeps the unscaled value inside double's 2^53 exact range up to
+    * ~9e11 in money (a scale-8 render would cross it at ~9e7). Rounding to
+    * fewer real decimals is NOT safe cross-engine: Spark rescales decimals
+    * HALF_UP, DuckDB HALF_EVEN, so any true tie (x.xx50) would diverge.
+    */
+  private def decToDouble(c: Column, scale: Int = 4): Column =
+    c.cast(DecimalType(38, scale)).cast(DoubleType)
+
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
   // ---------------------------------------------------------------- q1_agg
@@ -33,18 +45,19 @@ object Relational {
       .agg(
         // Sum in exact decimal (order-independent), then render the final
         // scalar as DOUBLE so both engines hash the same canonical value.
-        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("revenue"),
+        decToDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        decToDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        decToDouble(sum(dec(col("l_extendedprice"))
+            * (lit(1) - col("l_discount")).cast(DecimalType(18, 4))))
+          .as("revenue"),
         count(lit(1)).as("n_rows")
       )
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -70,13 +83,14 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-        .cast(DoubleType).as("revenue"))
+      .agg(decToDouble(sum(dec(col("l_extendedprice"))
+          * (lit(1) - col("l_discount")).cast(DecimalType(18, 4))))
+        .as("revenue"))
   }
 
   private val q3Sql =
     """SELECT o_orderkey, o_orderdate,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -90,11 +104,11 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"))
+        decToDouble(sum(dec(col("c_acctbal")))).as("total_acctbal"))
 
   private val q4Sql =
     """SELECT r_name, COUNT(*) AS n_cust,
-      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_acctbal
       |FROM customer, nation, region
       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
@@ -111,13 +125,14 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(18, 4)))
-        .cast(DoubleType).as("revenue"))
+      .agg(decToDouble(sum(dec(col("l_extendedprice"))
+          * (lit(1) - col("l_discount")).cast(DecimalType(18, 4))))
+        .as("revenue"))
   }
 
   private val q5Sql =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
@@ -129,13 +144,13 @@ object Relational {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
         && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast(DecimalType(18, 4)))
-        .cast(DoubleType).as("revenue"),
+      .agg(decToDouble(sum(dec(col("l_extendedprice"))
+          * col("l_discount").cast(DecimalType(18, 4)))).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   private val q6Sql =
     """SELECT
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -226,11 +241,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        decToDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
 
   private val q13Sql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // ---------------------------------------------------- q14_events_bucket
@@ -240,11 +255,11 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total"))
+        decToDouble(sum(col("value").cast(DecimalType(18, 6)))).as("total"))
 
   private val q14Sql =
     """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------- q15_having
@@ -252,12 +267,12 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        decToDouble(sum(dec(col("o_totalprice")))).as("total"))
       .filter(col("n_orders") >= 15)
 
   private val q15Sql =
     """SELECT o_custkey, COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin
 
   // ------------------------------------------------------------ q16_pivot

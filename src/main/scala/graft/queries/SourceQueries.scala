@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DenseId, ForeignKey, VanCode}
+import graft.sinks.Sinks
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-checked queries for the round-3 reference surfaces: fixed-width
+  * flat files (parsers/FileParserFunctions.scala:146/:273), cross-source
+  * foreign-key resolution (transformers/FetchForeignKeyValue.scala:41) and
+  * Drupal vancode thread paths (generators/DrupalVanCodeGenerator.scala).
+  */
+object SourceQueries {
+
+  // ----------------------------------------------------- q21_fixed_width
+  // Round-trip proof: write nation as a fixed-width flat file, read it back
+  // with the fixed-width source, and project typed columns; the oracle reads
+  // the original parquet. Any column drift, padding bug or type loss in
+  // either direction breaks the hash.
+  private val fwFields = Seq(("n_nationkey", 6), ("n_name", 26), ("n_regionkey", 4))
+
+  private def q21FixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fw").toString
+    Sinks.writeFixedWidth(
+      Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"),
+      tmp, fwFields)
+    Sources.readFixedWidth(spark, tmp, fwFields)
+      .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast(LongType).as("n_regionkey"))
+  }
+
+  private val q21FixedWidthSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      | CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation""".stripMargin
+
+  // --------------------------------------------------------- t_fk_fetch
+  // Migration re-key: the customer dimension gets target-side dense ids
+  // (DenseId = the auto-increment the target DB would assign), and every
+  // order's FK is resolved against that target snapshot with one join —
+  // FetchForeignKeyValue.scala:41's per-row target lookup, set-at-a-time.
+  private def tFkFetch(spark: SparkSession, dir: String): DataFrame = {
+    val mapping = DenseId.withDenseId(
+      Tables.customer(spark, dir).select(col("c_custkey")),
+      "c_custkey", "new_key", startAt = 1000000L)
+    ForeignKey.fetch(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+      "o_custkey", mapping, "c_custkey", "new_key", "o_custkey_new")
+  }
+
+  private val tFkFetchSql =
+    """WITH m AS (
+      | SELECT c_custkey,
+      |  999999 + ROW_NUMBER() OVER (ORDER BY c_custkey) AS new_key
+      | FROM customer)
+      |SELECT o_orderkey, o_custkey, CAST(new_key AS BIGINT) AS o_custkey_new
+      |FROM orders LEFT JOIN m ON o_custkey = c_custkey""".stripMargin
+
+  // ---------------------------------------------------------- t_vancode
+  // Thread-path composition over a deterministic synthetic comment tree:
+  // customers per nation are the comments of one "article"; the customer at
+  // 1-based rank rn replies to the one at rank rn/3 (0 → top-level). The
+  // oracle replays the path build with a recursive CTE.
+  private def tVanCode(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("article")).orderBy(col("cid"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast(LongType).as("cid"),
+        col("c_nationkey").cast(LongType).as("article"))
+      .withColumn("rn", row_number().over(w))
+    val p = c.select(col("cid").as("pcid"), col("article").as("particle"),
+      col("rn").as("prn"))
+    val tree = c.join(p,
+        col("article") === col("particle") && col("prn") === floor(col("rn") / 3),
+        "left")
+      .select(col("cid"), col("article"), coalesce(col("pcid"), lit(0L)).as("parent"))
+    VanCode.withVanCodes(tree, "cid", "article", "parent", maxDepth = 16)
+      .select(col("cid"), col("vancode"))
+  }
+
+  private val tVanCodeSql =
+    """WITH RECURSIVE base0 AS (
+      | SELECT c_custkey AS cid, CAST(c_nationkey AS BIGINT) AS article,
+      |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      | FROM customer),
+      |tree AS (
+      | SELECT a.cid, a.article, COALESCE(b.cid, 0) AS parent
+      | FROM base0 a LEFT JOIN base0 b
+      |  ON a.article = b.article AND b.rn = a.rn // 3),
+      |seg AS (
+      | SELECT cid, article, parent,
+      |  CAST(length(lower(to_base(n, 36))) - 1 AS VARCHAR) || lower(to_base(n, 36)) AS seg
+      | FROM (
+      |  SELECT cid, article, parent,
+      |   ROW_NUMBER() OVER (PARTITION BY article, parent ORDER BY cid)
+      |    - CASE WHEN parent = 0 THEN 0 ELSE 1 END AS n
+      |  FROM tree)),
+      |paths AS (
+      | SELECT cid, parent AS cur, '' AS anc FROM seg
+      | UNION ALL
+      | SELECT p.cid, s.parent, p.anc || s.seg || '.'
+      | FROM paths p JOIN seg s ON p.cur = s.cid WHERE p.cur != 0)
+      |SELECT g.cid, p.anc || g.seg || '/' AS vancode
+      |FROM seg g JOIN paths p ON g.cid = p.cid AND p.cur = 0""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
+    QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
+    QueryDef("t_vancode", tVanCode, Some(tVanCodeSql))
+  )
+}

@@ -56,6 +56,39 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Fixed-width flat-file sink (writers/FileWriterActor.scala writing
+    * DFASDL elements with fixed byte widths): every column is rendered,
+    * right-padded/truncated to its width, and the concatenated record is
+    * written as one text line per row. The inverse of
+    * Sources.readFixedWidth.
+    */
+  def writeFixedWidth(df: DataFrame, path: String, fields: Seq[(String, Int)],
+                      saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    val rendered = fields.map { case (name, w) =>
+      rpad(coalesce(col(name).cast("string"), lit("")), w, " ").substr(1, w)
+    }
+    df.select(concat(rendered: _*).as("value")).write.mode(saveMode).text(path)
+  }
+
+  /** Network file writer (writers/NetworkFileWriterActor.scala:64: the
+    * reference pushes finished files to FTP/SFTP targets). Spark writes any
+    * Hadoop-FileSystem scheme directly, so ftp:// / sftp:// URIs stream
+    * partition files without a staging copy; http(s) has no Hadoop FS —
+    * write locally and upload, exactly like the reference's connection-
+    * management step.
+    */
+  def writeNetworkCsv(df: DataFrame, uri: String, header: Boolean = true,
+                      delimiter: String = ",",
+                      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val scheme = java.net.URI.create(uri).getScheme
+    require(scheme == "ftp" || scheme == "sftp" || scheme == "file",
+      s"scheme $scheme not writable as a Hadoop filesystem; stage the output " +
+        "locally and upload (reference: NetworkFileWriterActor.scala uploads " +
+        "after the file is complete)")
+    writeCsv(df, uri, header, delimiter, mode)
+  }
+
   /** JDBC writes batch per partition (DatabaseWriterActor.scala's prepared-
     * statement batches, but one concurrent writer per partition).
     */

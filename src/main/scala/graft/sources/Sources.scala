@@ -77,6 +77,29 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Fixed-width flat file (parsers/FileParserFunctions.scala:146
+    * `readNextByteElement` / :273 `readNextStringElement`: the reference
+    * walks arbitrary flat files element-by-element guided by DFASDL element
+    * widths). Spark form: one distributed text scan + a substring projection
+    * per field — splits parallelize by file block, the projection is pure
+    * codegen. `fields` are (name, width) pairs in record order; values are
+    * trimmed (DFASDL's trim="both" default) and empty fields become null.
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     fields: Seq[(String, Int)],
+                     trimValues: Boolean = true): DataFrame = {
+    val offsets = fields.scanLeft(1) { case (off, (_, w)) => off + w }
+    val cols = fields.zip(offsets).map { case ((name, w), off) =>
+      val raw = org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("value"), off, w)
+      val v = if (trimValues) org.apache.spark.sql.functions.trim(raw) else raw
+      org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.length(v) === 0, null)
+        .otherwise(v).as(name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+
   /** Excel (helpers/ExcelToCSVConverter.scala). STUB: no POI/OOXML library
     * ships in this environment; the reference converts XLS(X) → CSV and
     * re-parses, which is exactly what a caller should do upstream. Kept as
