@@ -80,8 +80,8 @@ object Dedup {
 
     val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast(IntegerType)),
-      v => v === 1)).cast(DoubleType) / nHashes.toDouble
+    // codegen'd agreement fraction — one fused loop per candidate pair
+    val est = graft.functions.MinHashExpr.sigAgree(col("sig_a"), col("sig_b"))
 
     l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))

@@ -77,26 +77,80 @@ object Similarity {
       struct(l2Sq(v, typedLit(c)).as("d"), lit(i).as("cell"))
     }: _*))
 
+  /** Seeded k-means++ + Lloyd's iterations over an in-memory sample — the
+    * coarse-quantizer trainer (Arthur & Vassilvitskii SODA'07 init, Lloyd'82
+    * refinement). A coarse quantizer only ever trains on a BOUNDED sample
+    * (~100 points per centroid), so the training set fits on the driver by
+    * construction; a distributed ML pipeline spends more wall-clock
+    * scheduling its per-iteration jobs than this loop takes in total.
+    */
+  private def kmeansFit(points: Array[Array[Double]], k: Int, iters: Int,
+                        seed: Long): Seq[Seq[Double]] = {
+    if (points.isEmpty) return Seq(Seq(0.0))
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn proportional to squared distance
+    val kk = math.min(k, points.length)
+    val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(points.length)))
+    val minD2 = points.map(p => d2(p, centers(0)))
+    while (centers.length < kk) {
+      val total = minD2.sum
+      var pick = if (total > 0) rnd.nextDouble() * total else 0.0
+      var idx = 0
+      while (idx < points.length - 1 && pick > minD2(idx)) { pick -= minD2(idx); idx += 1 }
+      centers += points(idx)
+      var i = 0
+      while (i < points.length) {
+        val nd = d2(points(i), centers(centers.length - 1))
+        if (nd < minD2(i)) minD2(i) = nd
+        i += 1
+      }
+    }
+    // Lloyd's refinement
+    var cs = centers.toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < cs.length) {
+          val dd = d2(p, cs(j)); if (dd < bestD) { bestD = dd; best = j }; j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cs = cs.indices.map { j =>
+        if (counts(j) == 0) cs(j) // empty cell keeps its centroid
+        else sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    cs.map(_.toSeq).toSeq
+  }
+
   /** Offline index build: train a coarse quantizer on a bounded subsample
-    * (a `sample()`, not a `limit()` — limit funnels rows to one partition),
-    * then assign every corpus vector to its nearest centroid in one
-    * distributed pass.
+    * (a `sample()`, not a `limit()` — limit funnels rows to one partition;
+    * the collected sample is ≤ ~1.2×trainTarget rows by construction), then
+    * assign every corpus vector to its nearest centroid in one distributed
+    * pass.
     */
   def ivfBuild(corpus: DataFrame, vecCol: String, idCol: String,
                nCentroids: Int = 16, trainTarget: Int = 1600,
                persist: Boolean = true): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     // a coarse quantizer only needs ~100 points per centroid; size the
     // sample fraction off the row count (cheap parquet-metadata job)
     val n = math.max(c.count(), 1L)
     val frac = math.min(1.0, trainTarget.toDouble * 1.2 / n)
     val train = c.sample(withReplacement = false, frac, seed = 42L)
-      .withColumn("features", array_to_vector(col("cv").cast(ArrayType(DoubleType))))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(train.select("features"))
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = kmeansFit(train, nCentroids, iters = 5, seed = 42L)
     val assigned = c.withColumn("cell",
       element_at(cellRanking(col("cv"), centroids), 1).getField("cell"))
     val indexed =
