@@ -159,6 +159,73 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-duplicate PAIRS into connected components — the cluster
+    * step every production dedup pipeline runs after candidate scoring
+    * (pairs alone under-delete: A~B and B~C must collapse to one cluster
+    * even when A~C was never scored).
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/hash-to-min
+    * formulation of connected components): every vertex starts labelled
+    * with its own id; each round every vertex takes the minimum label among
+    * itself and its neighbors; converged when the global label sum stops
+    * changing (labels only decrease, so the sum is a 1-row convergence
+    * witness). Rounds needed = graph diameter — near-dup clusters are
+    * near-cliques, so 2-4 rounds in practice. Each round is one
+    * hash-partitioned join + aggregation over (edges ∪ labels); iterates
+    * persist and release their predecessor, so at 100 TB this is a handful
+    * of bounded shuffles, nothing driver-side but one scalar per round.
+    *
+    * Returns (`id`, `cluster`) where `cluster` is the component's minimum
+    * member id — stable, deterministic canonical representative.
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                 maxIters: Int = 20): DataFrame = {
+    // each round references the previous labels TWICE (union + join), so
+    // without lineage truncation the logical plan doubles per round and
+    // blows up after ~10 iterations; localCheckpoint materializes the round
+    // and restarts the plan from the stored blocks (on a cluster with
+    // unreliable executors this would be a reliable checkpoint dir instead)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var prevSum = Option.empty[java.math.BigDecimal]
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val prev = labels
+      labels = prev.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      // labels only decrease → the exact decimal sum is a convergence witness
+      val s = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivors after cluster resolution: keep exactly one row (the minimum
+    * `idCol`) per connected component of `pairs`; rows in no pair survive
+    * untouched.
+    */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val doomed = components(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id"))
+    df.join(doomed, df(idCol) === doomed("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs: LSH-bucket (random hyperplanes) then verify
     * cosine within bucket. The scale path for embedding dedup — candidates
     * bounded by bucket population instead of n².

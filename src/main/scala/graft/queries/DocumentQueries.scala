@@ -143,7 +143,7 @@ object DocumentQueries {
        | FROM documents WHERE doc_id < 50),
        |g AS (
        | SELECT doc_id, lang, source,
-       |  list_distinct(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+       |  list_distinct(list_transform(range(1, greatest(length(s) - 3, 1) + 1),
        |    i -> s[i:i+3])) AS grams
        | FROM (SELECT doc_id, lang, source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM u))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -159,6 +159,64 @@ object DocumentQueries {
   // applied in the oracle SQL (double math, rounded to float, identically in
   // both engines). Missing a plant would need >= 3 of 8 hyperplane signs to
   // flip at p ≈ 0.007 each — probability ~2e-5 per pair.
+  // ------------------------------------------------------ d_dedup_cluster
+  // Pair → cluster resolution. Plants form CHAINS, not cliques: B = A plus
+  // a reversed-text slice (J(A,B) ≈ 0.87), C = B plus a second slice
+  // (J(B,C) ≈ 0.89 but J(A,C) ≈ 0.78 < threshold), so {A,B,C} only becomes
+  // one cluster through transitive connected-components resolution — the
+  // exact reason a production dedup pipeline needs the cluster step. The
+  // oracle rebuilds the identical pair set and resolves components with a
+  // recursive min-label CTE.
+  private def dDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val sliceLen = floor(length(col("text")) / 7).cast(IntegerType)
+    val b = concat(col("text"), lit(" "), reverse(col("text")).substr(lit(1), sliceLen))
+    val c = concat(b, lit(" "), reverse(col("text")).substr(sliceLen + 1, sliceLen))
+    val u = docs
+      .unionByName(docs.select((col("doc_id") + SHIFT).as("doc_id"), b.as("text"),
+        col("lang"), col("source")))
+      .unionByName(docs.select((col("doc_id") + 2 * SHIFT).as("doc_id"), c.as("text"),
+        col("lang"), col("source")))
+    val pairs = Dedup.ngramJaccardPairs(u, "text", "doc_id",
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
+    Dedup.components(pairs).select(col("id"), col("cluster"))
+  }
+
+  private val dDedupClusterSql =
+    s"""WITH RECURSIVE d AS (
+       | SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 100),
+       |u AS (
+       | SELECT doc_id, text, lang, source FROM d
+       | UNION ALL
+       | SELECT doc_id + $SHIFT,
+       |  text || ' ' || substr(reverse(text), 1, length(text) // 7),
+       |  lang, source FROM d
+       | UNION ALL
+       | SELECT doc_id + ${2 * SHIFT},
+       |  text || ' ' || substr(reverse(text), 1, length(text) // 7)
+       |   || ' ' || substr(reverse(text), length(text) // 7 + 1, length(text) // 7),
+       |  lang, source FROM d),
+       |g AS (
+       | SELECT doc_id, lang, source,
+       |  -- positions 1..len-3: full 4-grams only, matching Spark's
+       |  -- sequence(1, greatest(len - (n-1), 1)) exactly (no partial tail)
+       |  list_distinct(list_transform(range(1, greatest(length(s) - 3, 1) + 1),
+       |    i -> s[i:i+3])) AS grams
+       | FROM (SELECT doc_id, lang, source, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM u)),
+       |p AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       | WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |       len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |r AS (
+       | SELECT id, id AS label FROM verts
+       | UNION
+       | SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
+       |SELECT id, MIN(label) AS cluster FROM r GROUP BY id""".stripMargin
+
   private def dEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val perturbed = e.select((col("vec_id") + SHIFT).as("vec_id"),
@@ -419,6 +477,7 @@ object DocumentQueries {
     QueryDef("d_dedup_minhash", dMinhash, None),
     QueryDef("d_dedup_simhash", dSimhash, None),
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
+    QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),

@@ -85,6 +85,30 @@ class DedupSpec extends AnyFunSuite {
     assert(noProbe <= planted.length)
   }
 
+  test("components resolves chains transitively and keeps disjoint clusters apart") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1~3 edge), clique 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // survivors: one canonical row per cluster, untouched rows kept
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
+    val kept = Dedup.keepCanonical(docs, pairs, "id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 99L))
+  }
+
+  test("components converges on a long path within the iteration budget") {
+    import spark.implicits._
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(path).as[(Long, Long)].collect()
+    assert(got.length == 12 && got.forall(_._2 == 1L))
+  }
+
   test("lshTopK recalls most of bruteForceTopK's neighbors") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
