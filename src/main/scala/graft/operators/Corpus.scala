@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-curation operators for training-data pipelines (SURVEY.md §2e):
+  * quality-percentile filtering, deterministic mixture sampling, and
+  * fixed-budget sequence packing — the selection/composition steps that sit
+  * between scoring/dedup and tokenizer output in an LLM data pipeline.
+  */
+object Corpus {
+
+  /** Keep the top `keepNum/keepDen` fraction of each group by
+    * (`scoreCol` desc, `idCol` asc — deterministic ties). EXACT rank
+    * semantics: one window per group, so each group is fully sorted. Right
+    * for group-bounded data; for groups of billions of rows prefer
+    * [[qualityFilterApprox]], which replaces the per-group sort with a
+    * sketch threshold + broadcast join.
+    */
+  def qualityFilterTop(df: DataFrame, scoreCol: String, groupCol: String,
+                       idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter(col("__rk") * keepDen <= col("__n") * keepNum)
+      .drop("__rk", "__n")
+  }
+
+  /** Scale path for quality filtering: per-group approximate score
+    * threshold (percentile_approx sketch — one partial-combined agg, groups
+    * collapse to one row each), broadcast back and filter. No per-group
+    * sort anywhere; the error knob is the sketch accuracy.
+    */
+  def qualityFilterApprox(df: DataFrame, scoreCol: String, groupCol: String,
+                          keepFrac: Double, accuracy: Int = 10000): DataFrame = {
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepFrac), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thr), groupCol).filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Deterministic hash-mod row selector: keeps a row iff
+    * `mix(id) % 1000 < perMille`. Pure integer arithmetic (Knuth
+    * multiplicative hash mod a prime), so the SAME rows are selected on
+    * every engine, every run, every partitioning — unlike rng-based
+    * `sample()`, this is reproducible across the stack and can be
+    * oracle-checked. Use a per-row `perMille` column for mixture weighting
+    * (different sampling rates per source).
+    */
+  def hashModKeep(id: Column, perMille: Column): Column =
+    (id.cast(LongType) * lit(2654435761L) % lit(1000003L)) % lit(1000L) < perMille
+
+  /** Stratified mixture sample: keep each row with its group's per-mille
+    * rate, deterministically (see [[hashModKeep]]). `rates` maps group
+    * value → per-mille; missing groups get `defaultPerMille`.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMille)) { case (acc, (g, pm)) =>
+      when(col(groupCol) === g, lit(pm)).otherwise(acc)
+    }
+    df.filter(hashModKeep(col(idCol), rate))
+  }
+
+  /** Contiguous sequence packing (the concat-then-chunk shape an LLM data
+    * pipeline uses to fill context windows): within each group, walk rows
+    * in `orderCol` order accumulating `tokenCol`; a row belongs to the
+    * budget-window its first token falls in — `floor(cumsum_before /
+    * budget)`. One running-sum window per group, deterministic; a sequence
+    * can overshoot the budget by at most the last document's length (the
+    * tokenizer-side chunker trims the straddling document, which is
+    * per-row work outside this operator's scope). A true close-when-full
+    * greedy packer is a sequential fold — not expressible as a window —
+    * and changes bin totals by at most one document either way.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_id", floor((col("__cum") - col(tokenCol)) / budget).cast(LongType))
+      .drop("__cum")
+  }
+}

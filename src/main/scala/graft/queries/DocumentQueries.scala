@@ -453,6 +453,97 @@ object DocumentQueries {
       | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY source""".stripMargin
 
+  // ------------------------------------------------- corpus curation (r3)
+  // d_quality_filter: keep the top half of each source by quality score
+  // (exact rank semantics; ties broken by doc_id so both engines agree).
+  private def dQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.qualityFilterTop(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality")),
+      "quality", "source", "doc_id", keepNum = 1, keepDen = 2)
+
+  private val dQualityFilterSql =
+    """WITH q AS (
+      | SELECT doc_id, source,
+      |  CAST(greatest(0, CAST(FLOOR((least(length(text), 400) * 1000 / 400) * 0.5 +
+      |   least(CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'], x))) * 1000 // len(toks) END * 4, 300) * 0.5) AS BIGINT)
+      |   - least(CASE WHEN length(text) = 0 THEN 0 ELSE (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1000 // length(text) END * 2, 500)) AS BIGINT) AS quality
+      | FROM (SELECT doc_id, source, text,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |       FROM documents))
+      |SELECT doc_id, source, quality FROM (
+      | SELECT doc_id, source, quality,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk,
+      |  COUNT(*) OVER (PARTITION BY source) AS n
+      | FROM q) t
+      |WHERE rk * 2 <= n""".stripMargin
+
+  // d_stratified_sample: deterministic hash-mod mixture — even-indexed
+  // sources kept at 250‰, odd at 600‰; pure integer arithmetic, so the
+  // oracle selects the identical row set.
+  private def dStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast(IntegerType)
+    val rate = when(pmod(srcIdx, lit(2)) === 0, lit(250)).otherwise(lit(600))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(graft.operators.Corpus.hashModKeep(col("doc_id"), rate))
+  }
+
+  private val dStratifiedSampleSql =
+    """SELECT doc_id, source FROM documents
+      |WHERE (doc_id * 2654435761 % 1000003) % 1000 <
+      |      CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 250 ELSE 600 END""".stripMargin
+
+  // d_token_pack: pack each source's documents (doc_id order) into
+  // 2048-token context sequences; report per-sequence doc/token counts.
+  private def dTokenPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Corpus.packSequences(t, "source", "doc_id", "n_tokens", budget = 2048L)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+  }
+
+  private val dTokenPackSql =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM t)
+      |SELECT source, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+      | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      |FROM c GROUP BY source, seq_id""".stripMargin
+
+  // d_domains: URL domain extraction + per-domain doc frequency (URLs
+  // planted deterministically — the raw synthetic text has none).
+  private def dDomains(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"), lit(" see http://site"), pmod(col("doc_id"), lit(7)),
+      lit(".example.com/page/"), col("doc_id"),
+      lit(" and https://mirror"), pmod(col("doc_id"), lit(3)), lit(".example.org/x"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(dirty, lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_urls"))
+  }
+
+  private val dDomainsSql =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  text || ' see http://site' || (doc_id % 7) || '.example.com/page/' || doc_id ||
+      |  ' and https://mirror' || (doc_id % 3) || '.example.org/x' AS dirty
+      | FROM documents),
+      |e AS (
+      | SELECT doc_id, u.domain
+      | FROM d, UNNEST(regexp_extract_all(dirty, 'https?://([A-Za-z0-9.-]+)', 1)) AS u(domain))
+      |SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, COUNT(*) AS n_urls
+      |FROM e GROUP BY domain""".stripMargin
+
   // ------------------------------------------------------------ p_sketches
   // Approximate aggregation sketches (HyperLogLog++ count-distinct and
   // approximate quantiles). Sketch internals differ per engine, so no
@@ -478,6 +569,10 @@ object DocumentQueries {
     QueryDef("d_dedup_simhash", dSimhash, None),
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
     QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),
+    QueryDef("d_quality_filter", dQualityFilter, Some(dQualityFilterSql)),
+    QueryDef("d_stratified_sample", dStratifiedSample, Some(dStratifiedSampleSql)),
+    QueryDef("d_token_pack", dTokenPack, Some(dTokenPackSql)),
+    QueryDef("d_domains", dDomains, Some(dDomainsSql)),
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators: quality filtering (exact + approx agreement),
+  * deterministic mixture sampling, sequence packing invariants.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("qualityFilterTop keeps exactly the top fraction per group, ties by id") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 1L), ("b", 6L, 2L)
+    ).toDF("g", "id", "score")
+    val kept = Corpus.qualityFilterTop(df, "score", "g", "id", 1, 2)
+      .select("id").as[Long].collect().toSet
+    // group a keeps 2 of 4: score 30 (id 2) and 30 (id 4); b keeps 1 of 2: score 2
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("qualityFilterApprox agrees with the exact filter on a well-separated corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("score"))
+    val exact = Corpus.qualityFilterTop(docs, "score", "source", "doc_id", 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Corpus.qualityFilterApprox(docs, "score", "source", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (exact intersect approx).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"approx/exact overlap only $overlap")
+    // approx keeps roughly the requested fraction
+    assert(math.abs(approx.size.toDouble / docs.count() - 0.5) < 0.1)
+  }
+
+  test("mixtureSample is deterministic and tracks per-group rates") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "hi" else "lo")).toDF("id", "g")
+    val rates = Map("hi" -> 800, "lo" -> 100)
+    val s1 = Corpus.mixtureSample(df, "id", "g", rates).as[(Long, String)].collect().toSet
+    val s2 = Corpus.mixtureSample(df.repartition(7), "id", "g", rates)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2, "selection must not depend on partitioning")
+    val hi = s1.count(_._2 == "hi").toDouble / 2000
+    val lo = s1.count(_._2 == "lo").toDouble / 2000
+    assert(math.abs(hi - 0.8) < 0.05, s"hi rate $hi")
+    assert(math.abs(lo - 0.1) < 0.05, s"lo rate $lo")
+    // unknown groups default to dropped
+    assert(Corpus.mixtureSample(df, "id", "g", Map.empty).count() == 0)
+  }
+
+  test("packSequences: contiguous, budget-aligned starts, bounded overshoot") {
+    val df = (1L to 100L).map(i => (i, "g", 100L + (i % 7) * 50)).toDF("id", "g", "toks")
+    val packed = Corpus.packSequences(df, "g", "id", "toks", budget = 1000L)
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("toks").as("total"), max("toks").as("biggest"),
+        min("id").as("lo"), max("id").as("hi"))
+      .collect()
+    val maxDoc = 100L + 6 * 50
+    seqs.foreach { r =>
+      assert(r.getAs[Long]("total") <= 1000L + maxDoc,
+        s"sequence ${r.getAs[Long]("seq_id")} overshoots by more than one doc")
+    }
+    // sequences partition the id range contiguously
+    val ranges = seqs.map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(lo2 == hi1 + 1, "non-contiguous packing")
+      case _ =>
+    }
+  }
+}
