@@ -61,6 +61,61 @@ object Streams {
       .select(col("session_window.start").as("sstart"),
         col("session_window.end").as("send"), col("user_id"), col("n_events"))
 
+  /** Document schema for streaming text pipelines (matches the
+    * documents.parquet testdata table).
+    */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** File-based document stream — the ingestion shape of a continuously
+    * arriving training-data corpus.
+    */
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentSchema).parquet(dir)
+
+  /** Streaming contamination screening: a STREAM-STATIC join — incoming
+    * documents explode to shingle hashes map-side (the same fused
+    * WordShingleHashExpr as the batch operator, so no text in any exchange)
+    * and join the static benchmark shingle table; Spark broadcasts the
+    * static side per micro-batch. Stateless, so no watermark is required —
+    * the streaming form of operators/Contamination.sharedShingles, which is
+    * how a pipeline screens documents AS THEY ARRIVE instead of re-scanning
+    * the corpus.
+    */
+  def contaminationStream(docs: DataFrame, bench: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          k: Int = 3, minShared: Int = 3): DataFrame = {
+    val streamShingles = docs.select(col(idCol).as("corpus_id"),
+      explode(graft.functions.ShingleHash.wordShingleHashes(col(textCol), k)).as("sh"))
+    val benchShingles = bench.select(col(idCol).as("bench_id"),
+      explode(graft.functions.ShingleHash.wordShingleHashes(col(textCol), k)).as("sh"))
+    // distinct aggregations aren't supported on streams: dedup the
+    // (doc, bench, shingle) triples first (state bounded by matched shingle
+    // pairs; add a watermark upstream to bound it by time at scale), then a
+    // plain count
+    streamShingles.join(benchShingles, "sh")
+      .filter(col("corpus_id") =!= col("bench_id"))
+      .dropDuplicates("corpus_id", "bench_id", "sh")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Streaming quality gate: per-document scoring + threshold filtering is
+    * stateless row-at-a-time work, identical in batch and streaming — the
+    * shape that lets one scoring definition serve both the backfill and the
+    * live ingest path.
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+                  minQuality: Long = 300L): DataFrame =
+    docs.withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+
   // ------------------------------------------------------- custom state
 
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -101,6 +101,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() == Tables.events(spark, TestSpark.sf).count())
   }
 
+  test("stream-static contamination join matches the batch operator") {
+    val docsDir = Files.createTempDirectory("docs_stream").toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.mode("overwrite").parquet(docsDir)
+    val bench = Tables.documents(spark, TestSpark.sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val streamed = Streams.runToMemory(spark,
+      Streams.contaminationStream(Streams.documentStream(spark, docsDir), bench),
+      "contam_stream", OutputMode.Complete())
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Contamination.sharedShingles(
+        Tables.documents(spark, TestSpark.sf), bench, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch contamination disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
+  test("streaming quality gate equals the batch filter") {
+    val docsDir = Files.createTempDirectory("docs_stream_q").toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.mode("overwrite").parquet(docsDir)
+    val streamed = Streams.runToMemory(spark,
+      Streams.qualityGate(Streams.documentStream(spark, docsDir), minQuality = 300L)
+        .select(col("doc_id"), col("quality")),
+      "quality_stream", OutputMode.Append())
+      .as[(Long, Long)].collect().toSet
+    val batch = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 300L)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
