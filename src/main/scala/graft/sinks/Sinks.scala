@@ -56,6 +56,30 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Unique-filtered append (writers/BaseWriterFilter.scala: the reference
+    * filters each write batch against already-written unique values before
+    * the actual write). Spark form: dedup the batch on the unique keys,
+    * anti-join what the target already holds, append the remainder — one
+    * bounded scan of the target's key columns (column-pruned at the parquet
+    * reader), no driver-side state. Returns the number of rows written.
+    */
+  def appendUnique(df: DataFrame, path: String, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val fresh = df.dropDuplicates(keys)
+    val novel =
+      if (new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(new org.apache.hadoop.fs.Path(path))) {
+        val existing = spark.read.parquet(path).select(keys.map(col): _*)
+        fresh.join(existing, keys, "left_anti")
+      } else fresh
+    val n = novel.cache().count()
+    if (n > 0) novel.write.mode(SaveMode.Append).parquet(path)
+    novel.unpersist()
+    n
+  }
+
   /** Fixed-width flat-file sink (writers/FileWriterActor.scala writing
     * DFASDL elements with fixed byte widths): every column is rendered,
     * right-padded/truncated to its width, and the concatenated record is

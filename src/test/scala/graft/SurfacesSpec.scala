@@ -67,6 +67,18 @@ class SurfacesSpec extends AnyFunSuite {
     }
   }
 
+  test("appendUnique writes each unique key once across batches and replays") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uniq").toString + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("k", "v")
+    val n1 = Sinks.appendUnique(b1, tmp, Seq("k"))
+    assert(n1 == 2) // within-batch dup on k=2 collapsed
+    val b2 = Seq((2L, "replay"), (3L, "c")).toDF("k", "v")
+    val n2 = Sinks.appendUnique(b2, tmp, Seq("k"))
+    assert(n2 == 1) // k=2 already written -> only k=3 lands
+    val keys = spark.read.parquet(tmp).select("k").as[Long].collect().sorted
+    assert(keys === Array(1L, 2L, 3L))
+  }
+
   test("foreign-key fetch resolves through the target mapping, null when absent") {
     val facts = Seq((100L, 1L), (101L, 2L), (102L, 9L)).toDF("fact_id", "fk")
     val target = Seq((1L, 501L), (2L, 502L)).toDF("k", "target_id")
