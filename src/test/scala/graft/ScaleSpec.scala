@@ -112,17 +112,17 @@ class ScaleSpec extends AnyFunSuite {
       "Sort \\[__graft_pid".r.findAllIn(plan).size >= 1, plan)
   }
 
-  test("re-key queries: windows only over keys or partition-count-bounded input") {
+  test("EVERY registry query: windows only over keys or partition-count-bounded input") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    Seq("t_id_rekey", "t_unique_value", "t_id_generator").foreach { q =>
-      val optimized = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+    SparkEntry.registry.foreach { d =>
+      val optimized = d.run(spark, sf).queryExecution.optimizedPlan
       optimized.collect { case w: LWindow => w }.foreach { w =>
         // an empty partition spec funnels its whole input through one task —
         // only acceptable when that input is already aggregated down to at
         // most numShufflePartitions rows (DenseId's per-partition counts)
         assert(w.partitionSpec.nonEmpty ||
           w.child.collectFirst { case a: Aggregate => a }.isDefined,
-          s"$q has a global window over unbounded input:\n$optimized")
+          s"${d.name} has a global window over unbounded input:\n$optimized")
       }
     }
   }
