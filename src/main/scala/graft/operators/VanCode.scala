@@ -55,13 +55,19 @@ object VanCode {
       .withColumn("__seg", seg)
 
     // pointer doubling: (__anc = first-2^k-ancestor segments nearest-first
-    // with trailing dots, __jump = 2^k-th ancestor id or 0)
+    // with trailing dots, __jump = 2^k-th ancestor id or 0). Every round
+    // references the previous state TWICE (as itself and as its own hop
+    // table), so like Dedup.components the per-round state is
+    // localCheckpoint-materialized — otherwise the plan doubles per round
+    // and the sibling window recomputes in every leaf.
     var cur = base.select(col(idCol).as("__id"), col("__seg"),
       lit("").as("__anc"), col("__parent").as("__jump"))
+      .localCheckpoint()
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1)))
     for (_ <- 1 to rounds) {
       val hop = cur.select(col("__id").as("__hid"), col("__seg").as("__hseg"),
         col("__anc").as("__hanc"), col("__jump").as("__hjump"))
+      val prev = cur
       cur = cur.join(hop, col("__jump") === col("__hid"), "left")
         .select(col("__id"), col("__seg"),
           when(col("__jump") === 0L, col("__anc"))
@@ -69,6 +75,8 @@ object VanCode {
             .as("__anc"),
           when(col("__jump") === 0L, lit(0L))
             .otherwise(coalesce(col("__hjump"), lit(0L))).as("__jump"))
+        .localCheckpoint()
+      prev.unpersist()
     }
     val codes = cur.select(col("__id"),
       concat(col("__anc"), col("__seg"), lit("/")).as(outCol))
