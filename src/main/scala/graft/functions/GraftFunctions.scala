@@ -18,5 +18,21 @@ object GraftFunctions {
       exprs => RegexpReplaceSomeExpr(exprs(0),
         exprs(1).eval().toString, exprs(2).eval().toString,
         exprs(3).eval().asInstanceOf[Int]), "scala_udf")
+    // round-3 fused text/vector expressions
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      exprs => WordShingleHashExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], distinct = true, sorted = false), "scala_udf")
+    reg.createOrReplaceTempFunction("token_hashes",
+      exprs => WordShingleHashExpr(exprs(0), 1, distinct = false, sorted = false), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NGramHashExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSigExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("sig_agree",
+      exprs => SigAgreeExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHashExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      exprs => LshBucketExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

@@ -28,4 +28,34 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .as[String].collect()(0)
     assert(s == "a_b_c0")
   }
+
+  test("fused text/vector expressions are callable from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("the quick brown fox jumps", 1L)).toDF("t", "id")
+      .createOrReplaceTempView("docs_sql")
+    val row = spark.sql(
+      """SELECT word_shingle_hashes(t, 3) AS sh, token_hashes(t) AS th,
+        |       ngram_hashes(t, 4) AS ng,
+        |       sig_agree(minhash_sig(word_shingle_hashes(t, 3), 16),
+        |                 minhash_sig(word_shingle_hashes(t, 3), 16)) AS self_agree,
+        |       simhash64(token_hashes(t)) AS sim
+        |FROM docs_sql""".stripMargin).collect()(0)
+    import graft.functions.{ShingleHash, TextFunctions}
+    val api = Seq("the quick brown fox jumps").toDF("t").select(
+      ShingleHash.wordShingleHashes(org.apache.spark.sql.functions.col("t"), 3).as("sh"),
+      ShingleHash.tokenHashes(org.apache.spark.sql.functions.col("t")).as("th"),
+      ShingleHash.ngramHashes(org.apache.spark.sql.functions.col("t"), 4).as("ng"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(row.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(row.getSeq[Long](2) == api.getSeq[Long](2))
+    assert(row.getDouble(3) == 1.0)
+
+    Seq((Array.fill(8)(0.5f), 1L)).toDF("v", "id").createOrReplaceTempView("vecs_sql")
+    val b = spark.sql("SELECT lsh_bucket(v, 6) AS b FROM vecs_sql").as[Long].collect()(0)
+    val bApi = Seq(Array.fill(8)(0.5f)).toDF("v")
+      .select(graft.functions.VectorExprs.lshBucket(
+        org.apache.spark.sql.functions.col("v"), 6)).as[Long].collect()(0)
+    assert(b == bApi)
+  }
 }
