@@ -159,6 +159,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** C4/RefinedWeb-style line-level dedup: drop every line whose exact
+    * content appears in more than `maxDocs` documents corpus-wide (the
+    * boilerplate-removal pass — nav bars, cookie banners, license headers).
+    *
+    * Shape: lines explode with their position, the corpus-wide frequency
+    * count groups on the 8-byte line hash (map-side partial combine — the
+    * exchange carries (hash, count), never line text), offenders anti-join
+    * out, and documents reassemble by sorting the surviving (pos, line)
+    * structs per document. Returns (`idCol`, `clean_text`); documents whose
+    * every line was boilerplate come back with an empty string.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                maxDocs: Int = 1, sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "pos", "line")
+      .withColumn("lh", xxhash64(col("line")))
+    val boilerplate = lines.groupBy(col("lh"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("lh"))
+    val kept = lines.join(boilerplate, Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), sep).as("clean_text"))
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Resolve near-duplicate PAIRS into connected components — the cluster
     * step every production dedup pipeline runs after candidate scoring
     * (pairs alone under-delete: A~B and B~C must collapse to one cluster

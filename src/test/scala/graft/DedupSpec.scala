@@ -85,6 +85,23 @@ class DedupSpec extends AnyFunSuite {
     assert(noProbe <= planted.length)
   }
 
+  test("lineDedup removes corpus-wide boilerplate lines, keeps order, empties covered docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nunique gamma"),
+      (3L, "COOKIE BANNER"),
+      (4L, "solo document line")
+    ).toDF("doc_id", "text")
+    val clean = Dedup.lineDedup(docs, "text", "doc_id", maxDocs = 1)
+      .as[(Long, String)].collect().toMap
+    assert(clean == Map(
+      1L -> "unique alpha\nunique beta", // banner gone, order kept
+      2L -> "unique gamma",
+      3L -> "",                          // all lines were boilerplate
+      4L -> "solo document line"))       // untouched
+  }
+
   test("components resolves chains transitively and keeps disjoint clusters apart") {
     import spark.implicits._
     // chain 1-2-3 (no 1~3 edge), clique 10-11-12, isolated pair 20-21
