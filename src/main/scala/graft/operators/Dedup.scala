@@ -220,8 +220,10 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
+    // seed with round one's result directly — label(v) = min(v, neighbors) —
+    // instead of label(v) = v, saving one full propagation round
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__nmin"))
+      .select(col("src").as("id"), least(col("src"), col("__nmin")).as("cluster"))
       .localCheckpoint()
     var prevSum = Option.empty[java.math.BigDecimal]
     var iter = 0
