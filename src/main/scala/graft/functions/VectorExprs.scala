@@ -134,6 +134,91 @@ case class LshBucketExpr(child: Expression, nBits: Int)
   override def prettyName: String = "lsh_bucket"
 }
 
+/** All centroid ids of a coarse quantizer ordered by squared-L2 distance
+  * from an `array<float>` vector, in ONE codegen pass (every centroid
+  * accumulates in the same loop over the vector; ties order by centroid id
+  * — identical to `array_sort(array(struct(l2Sq(v, c_i), i)))`, which
+  * evaluated one interpreted aggregate(zip_with) traversal per centroid).
+  * The IVF cell-assignment/probe primitive (Similarity.ivfBuild/ivfQuery).
+  */
+case class NearestCellsExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val cs: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  private def rank(dist: Array[Double]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = dist.length
+    val idx = Array.range(0, k)
+    // stable insertion sort: equal distances keep ascending centroid id
+    var i = 1
+    while (i < k) {
+      val d = dist(idx(i)); val v = idx(i)
+      var j = i - 1
+      while (j >= 0 && dist(idx(j)) > d) { idx(j + 1) = idx(j); j -= 1 }
+      idx(j + 1) = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val k = cs.length
+    val dist = new Array[Double](k)
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      var j = 0
+      while (j < k) {
+        if (i < cs(j).length) { val d = x - cs(j)(i); dist(j) += d * d }
+        j += 1
+      }
+      i += 1
+    }
+    rank(dist)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("centroids", cs, "double[][]")
+    val self = ctx.addReferenceObj("expr", this, classOf[NearestCellsExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val dist = ctx.freshName("dist"); val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |int $k = $csRef.length;
+         |double[] $dist = new double[$k];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if ($i < $csRef[$j].length) {
+         |      double $d = $x - $csRef[$j][$i];
+         |      $dist[$j] += $d * $d;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $self.rankPublic($dist);
+       """.stripMargin
+    })
+  }
+
+  /** codegen entry point for the ranking tail */
+  def rankPublic(dist: Array[Double]): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    rank(dist)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells"
+}
+
 object VectorExprs {
   /** Codegen'd cosine similarity for `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
@@ -143,4 +228,8 @@ object VectorExprs {
   /** Codegen'd single-pass random-hyperplane LSH bucket id. */
   def lshBucket(v: Column, nBits: Int): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), nBits))
+
+  /** Codegen'd single-pass centroid ranking (IVF assignment/probe). */
+  def nearestCells(v: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(v), centroids))
 }

@@ -68,14 +68,14 @@ object Similarity {
     def unpersist(): Unit = indexed.unpersist()
   }
 
-  /** Centroid ids ordered by squared-L2 distance from `v` — a pure
-    * codegen'd expression over centroid literals (no model object in the
-    * per-row path).
+  /** Centroid ids ordered by squared-L2 distance from `v` — one fused
+    * codegen pass over the vector with every centroid accumulating in the
+    * same loop (graft.functions.NearestCellsExpr; the expression-tree
+    * formulation ran one interpreted aggregate(zip_with) per centroid per
+    * row — corpus-wide at assignment time).
     */
   private def cellRanking(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Sq(v, typedLit(c)).as("d"), lit(i).as("cell"))
-    }: _*))
+    graft.functions.VectorExprs.nearestCells(v, centroids)
 
   /** Seeded k-means++ + Lloyd's iterations over an in-memory sample — the
     * coarse-quantizer trainer (Arthur & Vassilvitskii SODA'07 init, Lloyd'82
@@ -152,7 +152,7 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = kmeansFit(train, nCentroids, iters = 5, seed = 42L)
     val assigned = c.withColumn("cell",
-      element_at(cellRanking(col("cv"), centroids), 1).getField("cell"))
+      element_at(cellRanking(col("cv"), centroids), 1))
     val indexed =
       if (persist) assigned.persist(StorageLevel.MEMORY_AND_DISK) else assigned
     IvfIndex(centroids, indexed)
@@ -167,7 +167,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q.withColumn("probe",
         explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
-      .select(col("query_id"), col("qv"), col("probe").getField("cell").as("cell"))
+      .select(col("query_id"), col("qv"), col("probe").as("cell"))
     val scored = index.indexed.join(probed, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))

@@ -111,6 +111,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fused nearestCells equals the struct-sort centroid ranking") {
+    import graft.functions.VectorFunctions
+    val centroids: Seq[Seq[Double]] =
+      (0 until 6).map(i => Seq.tabulate(8)(j => (i * 8 + j) % 5 - 2.0))
+    val vec = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+    val data = samples(vec)
+    val structRank = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.l2Sq(col("v"), typedLit(c)).as("d"), lit(i).as("cell"))
+    }: _*))
+    val got = data.toDF("v").select(
+      VectorExprs.nearestCells(col("v"), centroids).as("fused"),
+      transform(structRank, s => s.getField("cell")).as("hof"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    got.foreach { case (fused, hof) => assert(fused == hof) }
+  }
+
   test("property: fused lshBucket equals the per-plane hyperplaneSign packing") {
     import graft.functions.VectorFunctions
     val nBits = 8
