@@ -174,6 +174,35 @@ object Similarity {
     rankTail(scored, k)
   }
 
+  /** Persist a built index as the cluster-scale layout the ivfBuild
+    * scaladoc describes: the cell-assigned corpus as a parquet table
+    * PARTITIONED BY cell (so probes read only their nProbe cell directories
+    * — partition pruning does what the in-memory persist does locally),
+    * plus a centroid sidecar.
+    */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    val spark = index.indexed.sparkSession
+    index.indexed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").json(s"$path/centroids")
+  }
+
+  /** Load an index written by [[ivfWrite]]. The cells table stays lazy —
+    * a probe scans only the partitions its cell filter selects.
+    */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.json(s"$path/centroids")
+      .select(col("cell").cast(IntegerType), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    IvfIndex(centroids, spark.read.parquet(s"$path/cells")
+      .select(col("corpus_id"), col("cv"), col("cell").cast(IntegerType).as("cell")))
+  }
+
   /** One-shot convenience: build + probe, index discarded afterwards.
     * STRONGLY prefer ivfBuild (once, offline) + ivfQuery (per probe) for any
     * corpus probed more than once — this re-trains the quantizer and

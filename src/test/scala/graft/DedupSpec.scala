@@ -155,6 +155,27 @@ class DedupSpec extends AnyFunSuite {
     assert(r8 > 0.99, s"probing every cell must be exact, got $r8")
   }
 
+  test("IVF index round-trips through the cell-partitioned parquet layout") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val built = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      persist = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfWrite(built, dir)
+    val loaded = Similarity.ivfRead(spark, dir)
+    assert(loaded.centroids == built.centroids)
+    val a = Similarity.ivfQuery(built, q, "embedding", "vec_id", k = 10, nProbe = 3)
+      .select("query_id", "corpus_id", "rk").as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.ivfQuery(loaded, q, "embedding", "vec_id", k = 10, nProbe = 3)
+      .select("query_id", "corpus_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "probe results must be identical through the on-disk index")
+    // the probe plan prunes to the selected cell partitions
+    val plan = Similarity.ivfQuery(loaded, q, "embedding", "vec_id", k = 10, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"cell filter should prune index partitions:\n$plan")
+  }
+
   test("langId is deterministic and covers zh heuristic") {
     val r = Seq("the cat is on the mat and it is fine",
       "der hund ist nicht auf der matte und das ist gut",
