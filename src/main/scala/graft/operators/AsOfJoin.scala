@@ -46,4 +46,37 @@ object AsOfJoin {
       .filter(col("__is_right") === 0)
       .select((leftCols.map(col) :+ col("__match").as("asof")): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row with `rightTime >= leftTime`
+    * per key (next-quote / next-shipment lookup) — the mirror composition:
+    * same single shuffle+sort, with the window running backward from the
+    * end and right rows sorting after left rows at equal time so the match
+    * stays inclusive.
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame = {
+    val payload = struct(rightPayload.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("__key"), col(rightTime).cast("timestamp").as("__t"),
+      lit(1).as("__is_right"), payload.as("__pay"))
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t") +:
+        lit(0).as("__is_right") +: lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
+        leftCols.map(col)): _*)
+    val unioned = r
+      .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .unionByName(l)
+    // left rows sort before right rows at equal time → inclusive match when
+    // scanning toward the future
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__is_right").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("__match", first(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select((leftCols.map(col) :+ col("__match").as("asof")): _*)
+  }
 }

@@ -106,6 +106,26 @@ object Streams {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming near-duplicate dedup: keep the first document per 64-bit
+    * SimHash signature (Hamming-0 near-dups — whitespace/case/token-order
+    * jitter collapses to the same signature). The signature computes
+    * map-side in the same fused codegen pass as the batch operator; state
+    * is one 8-byte key per distinct surviving document, bounded by the
+    * event-time watermark when `tsCol` is set. The streaming form of
+    * Dedup.simhash + exact-signature grouping — candidate-PAIR near-dup
+    * (banded LSH joins) stays a batch/backfill concern; this is the cheap
+    * in-flight pass that runs on ingest.
+    */
+  def nearDupDedupStream(docs: DataFrame, textCol: String = "text",
+                         tsCol: Option[String] = None,
+                         watermark: String = "1 hour"): DataFrame = {
+    val sig = docs.withColumn("__simhash",
+      graft.functions.SimHashExprApi.simhashOf(
+        graft.functions.ShingleHash.tokenHashes(col(textCol))))
+    val bounded = tsCol.fold(sig)(t => sig.withWatermark(t, watermark))
+    bounded.dropDuplicates("__simhash").drop("__simhash")
+  }
+
   /** Streaming quality gate: per-document scoring + threshold filtering is
     * stateless row-at-a-time work, identical in batch and streaming — the
     * shape that lets one scoring definition serve both the backfill and the

@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch contamination disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming near-dup dedup keeps one doc per simhash signature") {
+    val docsDir = Files.createTempDirectory("docs_stream_nd").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA  beta\tgamma delta"), // same tokens after normalization
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(docsDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val kept = Streams.runToMemory(spark,
+      Streams.nearDupDedupStream(stream), "neardup_stream", OutputMode.Append())
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 2, s"expected one of {1,2} plus 3, got $kept")
+    assert(kept.contains(3L))
+    assert(kept.contains(1L) || kept.contains(2L))
+  }
+
   test("streaming quality gate equals the batch filter") {
     val docsDir = Files.createTempDirectory("docs_stream_q").toString
     spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
