@@ -83,4 +83,26 @@ object Validators {
     val cb = Profiling.datasetChecksum(b, cols).collect()(0)
     ca == cb
   }
+
+  /** Incremental-sync diff between two snapshots keyed by `keys`: per-key
+    * status `added` (only in `b`), `removed` (only in `a`), `changed`
+    * (both, but `compareCols` differ — compared by per-row hash, so one
+    * full outer join + codegen'd hash is the whole cost) or `same`. This is
+    * the change-detection pass a continuous source→target sync runs between
+    * agent executions (the reference re-walks both sides; here it is one
+    * co-partitioned join at any scale).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val ha = a.select((keys.map(col) :+
+      xxhash64(compareCols.map(col): _*).as("__ha")): _*)
+    val hb = b.select((keys.map(col) :+
+      xxhash64(compareCols.map(col): _*).as("__hb")): _*)
+    ha.join(hb, keys, "full_outer")
+      .select((keys.map(col) :+
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("same")).as("status")): _*)
+  }
 }

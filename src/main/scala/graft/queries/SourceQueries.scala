@@ -107,9 +107,38 @@ object SourceQueries {
       |SELECT g.cid, p.anc || g.seg || '/' AS vancode
       |FROM seg g JOIN paths p ON g.cid = p.cid AND p.cur = 0""".stripMargin
 
+  // ------------------------------------------------- q22_snapshot_diff
+  // Incremental-sync change detection: snapshot B mutates orders
+  // deterministically (keys %97 removed, %101 repriced, %103 re-added
+  // under shifted keys); the diff must classify every key exactly. The
+  // oracle derives the statuses analytically from the same mutation rules.
+  private def q22SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val b = a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + lit(1.0d))
+          .otherwise(col("o_totalprice")))
+      .unionByName(a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority")))
+    graft.operators.Validators.snapshotDiff(a, b,
+        keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice", "o_orderpriority"))
+      .filter(col("status") =!= "same")
+  }
+
+  private val q22SnapshotDiffSql =
+    """SELECT o_orderkey, 'removed' AS status FROM orders WHERE o_orderkey % 97 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'changed' FROM orders
+      |WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
+      |UNION ALL
+      |SELECT o_orderkey + 1000000, 'added' FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
-    QueryDef("t_vancode", tVanCode, Some(tVanCodeSql))
+    QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),
+    QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql))
   )
 }

@@ -32,4 +32,13 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(Validators.contentMatches(o, o.repartition(7), Seq("o_orderkey", "o_totalprice")))
     assert(!Validators.contentMatches(o, o.limit(10), Seq("o_orderkey", "o_totalprice")))
   }
+
+  test("snapshotDiff classifies added, removed, changed and same keys") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("k", "s", "v")
+    val b = Seq((1L, "x", 10.0), (2L, "y", 25.0), (4L, "w", 40.0)).toDF("k", "s", "v")
+    val diff = Validators.snapshotDiff(a, b, Seq("k"), Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
