@@ -519,6 +519,35 @@ object DocumentQueries {
       | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
       |FROM c GROUP BY source, seq_id""".stripMargin
 
+  // d_rarity: corpus-conditional token-rarity scoring — a surprisal proxy
+  // (rare tokens ⇒ high score) without any external model: one corpus-wide
+  // token-frequency aggregation, one join back onto the exploded tokens,
+  // one per-doc aggregation. Per-token rarity is 64 - (binary digit count
+  // of the token's corpus frequency) = 63 - floor(log2(tf)) — INTEGER-exact
+  // in both engines (float log would flip floor() at ulp boundaries).
+  private def dRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(graft.functions.ShingleHash.tokenHashes(col("text"))).as("th"))
+    val freq = toks.groupBy(col("th")).agg(count(lit(1)).as("tf"))
+    toks.join(freq, "th")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(lit(64) - length(conv(col("tf").cast(StringType), 10, 2))).as("rsum"))
+      .select(col("doc_id"), col("n_toks"),
+        floor(col("rsum") * 1000 / col("n_toks")).cast(LongType).as("rarity_pm"))
+  }
+
+  private val dRaritySql =
+    """WITH t AS (
+      | SELECT doc_id, u.tok
+      | FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |       FROM documents), UNNEST(toks) AS u(tok)),
+      |f AS (SELECT tok, COUNT(*) AS tf FROM t GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      | CAST(SUM(64 - length(to_base(tf, 2))) * 1000 // COUNT(*) AS BIGINT) AS rarity_pm
+      |FROM t JOIN f USING (tok) GROUP BY doc_id""".stripMargin
+
   // d_domains: URL domain extraction + per-domain doc frequency (URLs
   // planted deterministically — the raw synthetic text has none).
   private def dDomains(spark: SparkSession, dir: String): DataFrame = {
@@ -573,6 +602,7 @@ object DocumentQueries {
     QueryDef("d_stratified_sample", dStratifiedSample, Some(dStratifiedSampleSql)),
     QueryDef("d_token_pack", dTokenPack, Some(dTokenPackSql)),
     QueryDef("d_domains", dDomains, Some(dDomainsSql)),
+    QueryDef("d_rarity", dRarity, Some(dRaritySql)),
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
