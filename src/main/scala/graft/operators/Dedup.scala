@@ -65,28 +65,36 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     val rows = nHashes / bands
     // shingle hashes map-side, then one (id, hashes) exchange; the MinHash
-    // signature computes post-exchange in parallel. `sig` is referenced by
-    // every band expression below, which CollapseProject leaves alone
-    // (non-cheap alias used more than once), so it is evaluated once per row.
+    // signature computes post-exchange in parallel. The signature table is
+    // materialized once (localCheckpoint) because THREE consumers need it —
+    // the band explode and both sides of the survivor scoring join; at
+    // cluster scale this is the signature table a dedup pipeline writes to
+    // parquet anyway. `sig` is referenced by every band expression below,
+    // which CollapseProject leaves alone (non-cheap alias used repeatedly).
     val sig = shingleHashes(df, textCol, idCol, shingleK)
       .select(col("id"), signatureOf(col("sh"), nHashes).as("sig"))
+      .localCheckpoint()
 
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(array_join(slice(col("sig"), b * rows + 1, rows), ",")).as("bh"))
     }
-    val banded = sig.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("id"), col("sig"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // the band exchange carries (band, bh, id) ONLY — 20 bytes per tuple
+    // instead of the full signature × bands; signatures rejoin below, once,
+    // and only for candidate pairs
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
 
-    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
     // codegen'd agreement fraction — one fused loop per candidate pair
-    val est = graft.functions.MinHashExpr.sigAgree(col("sig_a"), col("sig_b"))
-
-    l.join(r, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.MinHashExpr.sigAgree(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
