@@ -287,15 +287,25 @@ object Dedup {
                      nBits: Int = 8, threshold: Double = 0.95,
                      probeRadius: Int = 1): DataFrame = {
     import graft.functions.VectorExprs
+    // the bucketed "index" is materialized once (three consumers: probes,
+    // bucket side, vector lookups) — at cluster scale this is a persisted
+    // bucket-partitioned table, like the IVF cells
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorExprs.lshBucket(col(vecCol), nBits).as("bucket"))
+      .localCheckpoint()
     val masks = (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // probe exchanges carry (bucket, id) ONLY — the probe-multiplied rows
+    // never ship the vector; vectors join back once per candidate pair
     val l = b.select(
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      col("id").as("id_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(b.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(b.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
