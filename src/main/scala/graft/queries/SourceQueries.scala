@@ -135,8 +135,31 @@ object SourceQueries {
       |UNION ALL
       |SELECT o_orderkey + 1000000, 'added' FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
 
+  // ----------------------------------------------------------- q23_excel
+  // Round-trip proof for the pure-JDK xlsx source/sink: write the documents
+  // table (long free text — the hostile case for cell encoding/escaping) as
+  // a workbook, read it back through the Excel source, re-type the numeric
+  // columns; the oracle reads the original parquet. Any cell-encoding,
+  // escaping, shared/inline-string or column-alignment bug breaks the hash.
+  private def q23Excel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx")
+    Sinks.writeExcel(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang", "n_chars"),
+      tmp.resolve("documents.xlsx").toString)
+    Sources.readExcel(spark, tmp.toString)
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        col("text"), col("lang"),
+        col("n_chars").cast(LongType).as("n_chars"))
+  }
+
+  private val q23ExcelSql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+      | CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
+    QueryDef("q23_excel", q23Excel, Some(q23ExcelSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
     QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),
     QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql))

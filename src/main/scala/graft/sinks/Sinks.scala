@@ -113,6 +113,13 @@ object Sinks {
     writeCsv(df, uri, header, delimiter, mode)
   }
 
+  /** Excel .xlsx sink (the write direction of the reference's Excel
+    * surface, helpers/ExcelToCSVConverter.scala). Pure-JDK OOXML writer —
+    * see [[graft.sources.Excel.write]] for the streaming/row-cap contract.
+    */
+  def writeExcel(df: DataFrame, file: String, sheetName: String = "Sheet1"): Unit =
+    graft.sources.Excel.write(df, file, sheetName)
+
   /** JDBC writes batch per partition (DatabaseWriterActor.scala's prepared-
     * statement batches, but one concurrent writer per partition).
     */

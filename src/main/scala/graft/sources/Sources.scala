@@ -100,16 +100,15 @@ object Sources {
     spark.read.text(path).select(cols: _*)
   }
 
-  /** Excel (helpers/ExcelToCSVConverter.scala). STUB: no POI/OOXML library
-    * ships in this environment; the reference converts XLS(X) → CSV and
-    * re-parses, which is exactly what a caller should do upstream. Kept as
-    * an explicit unsupported surface rather than a silent absence.
+  /** Excel .xlsx (helpers/ExcelToCSVConverter.scala:50). Pure-JDK OOXML
+    * reader (ZIP + StAX — see [[Excel]]); one task per workbook via the
+    * binaryFile source, so a directory of exports parallelizes by file.
+    * All columns are strings, like csv without inferSchema. Legacy binary
+    * .xls is not supported (pre-OOXML BIFF needs POI; convert upstream).
     */
-  def readExcel(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "Excel input requires an external XLS(X)->CSV conversion step " +
-        "(reference: helpers/ExcelToCSVConverter.scala); no POI library is " +
-        "available in this build. Convert to CSV and use readCsv.")
+  def readExcel(spark: SparkSession, path: String,
+                header: Boolean = true, sheet: Option[String] = None): DataFrame =
+    Excel.read(spark, path, header, sheet)
 
   /** Network file sources (NetworkFileParser.scala +
     * helpers/NetworkFileHelpers.scala): the reference pulls files over
