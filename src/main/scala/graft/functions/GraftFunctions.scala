@@ -34,5 +34,10 @@ object GraftFunctions {
       exprs => SimHashExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",
       exprs => LshBucketExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    // round-4: unicode canonicalization (same names DuckDB/utf8proc use)
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => UnicodeNormalizeExpr(exprs(0), "NFC"), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize",
+      exprs => UnicodeNormalizeExpr(exprs(0), "NFKC"), "scala_udf")
   }
 }

@@ -573,6 +573,82 @@ object DocumentQueries {
       |SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, COUNT(*) AS n_urls
       |FROM e GROUP BY domain""".stripMargin
 
+  // ----------------------------------------------------------- d_line_dedup
+  // C4-style line-level boilerplate removal, registered end-to-end: plant a
+  // per-source header and a corpus-wide footer, break each doc's sentences
+  // onto their own lines, and Dedup.lineDedup must strip exactly the lines
+  // shared across >1 documents while reassembling the rest in order. The
+  // library groups on the 8-byte line hash (the exchange never carries line
+  // text); the oracle groups on the line text itself — identical survivors
+  // unless xxhash64 collides (the d_dedup_exact precedent).
+  private def dLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("SHARED HEADER "), col("source"), lit("\n"),
+        regexp_replace(col("text"), "\\. ", "\n"),
+        lit("\nCOMMON FOOTER")).as("dirty"))
+    Dedup.lineDedup(dirty, "dirty", "doc_id", maxDocs = 1)
+  }
+
+  private val dLineDedupSql =
+    """WITH d AS (
+      | SELECT doc_id, 'SHARED HEADER ' || source || chr(10) ||
+      |   replace(text, '. ', chr(10)) || chr(10) || 'COMMON FOOTER' AS dirty
+      | FROM documents),
+      |l AS (
+      | SELECT doc_id, u.s.line AS line, u.s.pos AS pos
+      | FROM d, UNNEST(list_transform(string_split(dirty, chr(10)),
+      |   (x, i) -> {'line': x, 'pos': i})) AS u(s)),
+      |b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1),
+      |k AS (
+      | SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      | FROM l ANTI JOIN b USING (line) GROUP BY doc_id)
+      |SELECT doc_id, COALESCE(clean_text, '') AS clean_text
+      |FROM documents LEFT JOIN k USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------------------ d_normalize
+  // Unicode canonicalization before hashing (the step that makes "é"
+  // composed and "e"+U+0301 hash identically): NFC compose + whitespace
+  // collapse + lowercase, all codegen (UnicodeNormalizeExpr). The planted
+  // suffix carries DECOMPOSED combining sequences so NFC provably does
+  // work — the oracle plants the identical codepoints via chr() and
+  // DuckDB's nfc_normalize must agree byte-for-byte.
+  private def dNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // decomposed: "cafe" + combining acute (U+0301) and "A" + combining
+    // ring (U+030A) - NFC must compose both into single codepoints
+    val dirty = concat(col("text"), lit(" cafe\u0301 A\u030A"))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      lower(trim(regexp_replace(
+        graft.functions.NormalizeExpr.nfc(dirty), "\\s+", " "))).as("norm_text"))
+  }
+
+  private val dNormalizeSql =
+    """SELECT doc_id,
+      | lower(trim(regexp_replace(
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)),
+      |  '\s+', ' ', 'g'))) AS norm_text
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- p_percentiles
+  // Exact distribution percentiles of document length — the profiling
+  // surface a curation pipeline thresholds against. Spark's `percentile`
+  // and DuckDB's `quantile_cont` share the linear-interpolation definition
+  // (index p*(n-1)), so the doubles must match exactly.
+  private def pPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      expr("percentile(n_chars, 0.25)").as("p25"),
+      expr("percentile(n_chars, 0.5)").as("p50"),
+      expr("percentile(n_chars, 0.75)").as("p75"),
+      expr("percentile(n_chars, 0.9)").as("p90"),
+      expr("percentile(n_chars, 0.99)").as("p99"))
+
+  private val pPercentilesSql =
+    """SELECT quantile_cont(n_chars, 0.25) AS p25,
+      | quantile_cont(n_chars, 0.5) AS p50,
+      | quantile_cont(n_chars, 0.75) AS p75,
+      | quantile_cont(n_chars, 0.9) AS p90,
+      | quantile_cont(n_chars, 0.99) AS p99
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ p_sketches
   // Approximate aggregation sketches (HyperLogLog++ count-distinct and
   // approximate quantiles). Sketch internals differ per engine, so no
@@ -586,6 +662,9 @@ object DocumentQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p_sketches", pSketches, None),
+    QueryDef("d_normalize", dNormalize, Some(dNormalizeSql)),
+    QueryDef("d_line_dedup", dLineDedup, Some(dLineDedupSql)),
+    QueryDef("p_percentiles", pPercentiles, Some(pPercentilesSql)),
     QueryDef("d_pii_scrub", dPiiScrub, Some(dPiiScrubSql)),
     QueryDef("d_repetition", dRepetition, Some(dRepetitionSql)),
     QueryDef("d_contamination", dContamination, Some(dContaminationSql)),

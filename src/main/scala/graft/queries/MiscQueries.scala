@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Multimodal
+import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,8 +107,28 @@ object MiscQueries {
       |FROM events ASOF JOIN o
       | ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin
 
+  // ---------------------------------------------------- q24_interval_join
+  // Range (interval) join: every purchase attributed to the same user's
+  // clicks in the preceding 30 minutes — the batch twin of
+  // Streams.attributionJoin (the watermarked stream-stream join). The plan
+  // is an equi-join on user_id with the time band as a join-level filter:
+  // one hash shuffle on the key, no cartesian, which is the shape that
+  // survives a 100 TB event table.
+  private def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Streams.attributionJoin(ev) // identical logic; batch DataFrames are fine
+  }
+
+  private val qIntervalJoinSql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      | epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
+    QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
     QueryDef("m_multimodal_feat", mFeatures, None)

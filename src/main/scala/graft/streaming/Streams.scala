@@ -106,6 +106,34 @@ object Streams {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** STREAM-STREAM interval join with watermark-bounded state: attribute
+    * each purchase to the clicks of the same user in the preceding
+    * `attributionWindow`. Both sides carry a watermark and the join
+    * condition bounds event-time distance, so Spark can expire buffered
+    * rows — the state never grows past (watermark + window) per side,
+    * which is what makes a stream-stream join runnable forever at scale.
+    * The batch twin is q24_interval_join (a plain range join), hash-checked
+    * against the DuckDB oracle; StreamingSpec pins stream/batch parity.
+    */
+  def attributionJoin(events: DataFrame,
+                      attributionWindow: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_millis(col("cts")).as("click_ms"),
+        unix_millis(col("pts")).as("purchase_ms"))
+  }
+
   /** Streaming near-duplicate dedup: keep the first document per 64-bit
     * SimHash signature (Hamming-0 near-dups — whitespace/case/token-order
     * jitter collapses to the same signature). The signature computes

@@ -93,9 +93,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.extractSchemaJson(sample).contains("\"name\":\"amount\""))
   }
 
-  test("excel is an explicit documented stub") {
-    intercept[UnsupportedOperationException] {
-      Sources.readExcel(spark, "/tmp/nope.xlsx")
-    }
+  test("excel round-trips through the pure-JDK xlsx source/sink") {
+    // full coverage lives in ExcelSpec; this pins the Sources/Sinks surface
+    val dir = tmp("xlsx")
+    Sinks.writeExcel(sample, dir + "/s.xlsx")
+    val back = Sources.readExcel(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "name", "amount", "day"))
+    assert(back.count() == 3)
+    assert(back.filter(col("name") === "beta").count() == 1)
   }
 }

@@ -58,4 +58,13 @@ class SqlFunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("v"), 6)).as[Long].collect()(0)
     assert(b == bApi)
   }
+
+  test("unicode normalize functions are callable from SQL") {
+    // decomposed e+U+0301 composes to U+00E9; NFKC folds the fi ligature
+    Seq(("cafe\u0301", "\ufb01sh")).toDF("a", "b").createOrReplaceTempView("norm_sql")
+    val r = spark.sql(
+      "SELECT nfc_normalize(a) AS na, nfkc_normalize(b) AS nb FROM norm_sql").collect()(0)
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "fish")
+  }
 }

@@ -118,6 +118,21 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch contamination disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    // inner stream-stream joins emit matches as they arrive (the watermark
+    // only bounds buffered state), so a one-drop finite input yields the
+    // complete batch answer
+    val streamed = Streams.runToMemory(spark,
+      Streams.attributionJoin(Streams.eventStream(spark, streamDir)),
+      "attr_join", OutputMode.Append())
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Streams.attributionJoin(Tables.events(spark, TestSpark.sf))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch interval join disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming near-dup dedup keeps one doc per simhash signature") {
     val docsDir = Files.createTempDirectory("docs_stream_nd").toString
     val docs = Seq(

@@ -31,6 +31,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bg(2L) < 200.0)
   }
 
+  test("unicode NFC normalization composes combining sequences (codegen + interpreted)") {
+    import graft.functions.NormalizeExpr
+    // "é" composed (U+00E9) vs "e"+U+0301; "Å" (U+00C5) vs "A"+U+030A
+    val df = Seq(("caf\u00e9 \u00c5", "cafe\u0301 A\u030A")).toDF("composed", "decomposed")
+    val r = df.select(NormalizeExpr.nfc(col("composed")).as("c"),
+      NormalizeExpr.nfc(col("decomposed")).as("d")).collect()(0)
+    assert(r.getString(0) == r.getString(1), "NFC must unify the two spellings")
+    assert(r.getString(0) == "caf\u00e9 \u00c5")
+    // interpreted path (filter forces eval in some plans) agrees with codegen
+    val n = df.filter(NormalizeExpr.nfc(col("composed")) ===
+      NormalizeExpr.nfc(col("decomposed"))).count()
+    assert(n == 1)
+    // NFKC folds compatibility forms: the ﬁ ligature becomes "fi"
+    val lig = Seq("ﬁsh").toDF("t")
+      .select(NormalizeExpr.nfkc(col("t"))).as[String].collect()(0)
+    assert(lig == "fish")
+  }
+
   test("contamination finds a planted benchmark copy and ignores disjoint docs") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
