@@ -79,6 +79,28 @@ object MiscQueries {
     meta.join(feats, "doc_id")
   }
 
+  // -------------------------------------------------- m_multimodal_sample
+  // Frame-sampling plumbing over opaque binary payloads: fixed-size chunks,
+  // keep every stride-th (what a video pipeline does per frame-group).
+  // Chunks render as sha256 so cells stay scalar. The corpus text is pure
+  // ASCII (verified), so the oracle's character slicing replays the byte
+  // slicing exactly; sha256(VARCHAR) hashes the same UTF-8 bytes Spark's
+  // sha2(BINARY) sees.
+  private def mSample(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    Multimodal.sampleChunks(withBin, "payload", chunkBytes = 100, stride = 3)
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        sha2(col("chunk"), 256).as("chunk_sha"))
+  }
+
+  private val mSampleSql =
+    """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+      | sha256(substring(text, u.i * 100 + 1, 100)) AS chunk_sha
+      |FROM documents,
+      | UNNEST(range(0, greatest(CAST(ceil(length(text) / 100.0) AS INT), 1))) AS u(i)
+      |WHERE u.i % 3 = 0""".stripMargin
+
   // ------------------------------------------------------- q18_asof_join
   // Latest order at-or-before each event for the same user — backward as-of
   // join via graft.operators.AsOfJoin (union + window; one shuffle). The
@@ -131,6 +153,7 @@ object MiscQueries {
     QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
-    QueryDef("m_multimodal_feat", mFeatures, None)
+    QueryDef("m_multimodal_feat", mFeatures, None),
+    QueryDef("m_multimodal_sample", mSample, Some(mSampleSql))
   )
 }
