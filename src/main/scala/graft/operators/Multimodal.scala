@@ -43,31 +43,38 @@ object Multimodal {
     * size, which is exactly the shape a vectorized decoder needs.
     */
   def byteHistogram(df: DataFrame, binCol: String, idCol: String,
-                    batchSize: Int = 256): DataFrame = {
+                    batchSize: Int = 256): DataFrame =
+    byteHistogramCounts(df, binCol, idCol, batchSize)
+      .select(col("id"),
+        transform(col("counts"),
+          c => c.cast(DoubleType) / greatest(col("n_bytes"), lit(1L)).cast(DoubleType))
+          .cast(ArrayType(FloatType)).as("features"))
+
+  /** Raw 16-bucket byte counts + payload length — the integer-exact form of
+    * [[byteHistogram]] (no float division), which is what an engine-portable
+    * comparison needs. Dataset mapPartitions with a product encoder: the
+    * per-partition batched iteration a vectorized decoder needs, without the
+    * RDD detour's Row reflection.
+    */
+  def byteHistogramCounts(df: DataFrame, binCol: String, idCol: String,
+                          batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("features", ArrayType(FloatType))
-    ))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // batch boundary = where a vectorized decoder would process a block
-        batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](binIdx)
-          val hist = new Array[Long](16)
-          var i = 0
-          while (i < bytes.length) {
-            hist((bytes(i) & 0xff) >>> 4) += 1
-            i += 1
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a vectorized decoder would process a block
+          batch.iterator.map { case (id, bytes) =>
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) >>> 4) += 1
+              i += 1
+            }
+            (id, hist, bytes.length.toLong)
           }
-          val n = math.max(bytes.length, 1).toFloat
-          Row(row.getLong(idIdx), hist.map(h => h / n).toSeq)
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      }.toDF("id", "counts", "n_bytes")
   }
 
   /** STUB — pixel decode. The plumbing contract: binary in, H×W×C float

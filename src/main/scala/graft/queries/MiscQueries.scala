@@ -61,23 +61,41 @@ object MiscQueries {
       |FROM documents""".stripMargin
 
   // Full multimodal plumbing: metadata struct + batched per-partition
-  // feature extraction + chunk sampling. Hash-based features → rows-only.
+  // feature extraction + chunk sampling. The 16-bucket byte histogram is
+  // rendered per-million in INTEGER arithmetic (count*1e6 div n — the
+  // pmod trick keeps the double division exact), so DuckDB can replay it
+  // bit-for-bit: the corpus is ASCII, so per-character high nibbles are the
+  // byte histogram.
   private def mFeatures(spark: SparkSession, dir: String): DataFrame = {
     val withBin = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
     val meta = Multimodal.attachMetadata(withBin, "payload")
       .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
         col("media_meta.format").as("format"))
-    val feats = Multimodal.byteHistogram(withBin, "payload", "doc_id")
+    val feats = Multimodal.byteHistogramCounts(withBin, "payload", "doc_id")
       .withColumnRenamed("id", "doc_id")
       // canonical fixed-precision render (per-million buckets): the driver's
-      // pandas sort cannot hash array cells, and float formatting must be
-      // deterministic across engines
+      // pandas sort cannot hash array cells, and the render must be
+      // integer-exact so both engines agree
       .withColumn("features",
-        array_join(transform(col("features"),
-          x => round(x.cast(DoubleType) * 1000000).cast(LongType).cast(StringType)), ","))
+        array_join(transform(col("counts"), c => {
+          val x = c * lit(1000000L)
+          val n = greatest(col("n_bytes"), lit(1L))
+          ((x - pmod(x, n)) / n).cast(LongType).cast(StringType)
+        }), ","))
+      .select(col("doc_id"), col("features"))
     meta.join(feats, "doc_id")
   }
+
+  private val mFeaturesSql =
+    """WITH ch AS (
+      | SELECT doc_id, octet_length(encode(text)) AS n,
+      |  list_transform(string_split_regex(text, ''), c -> unicode(c) >> 4) AS nib
+      | FROM documents)
+      |SELECT doc_id, CAST(n AS BIGINT) AS byte_len, 'unknown' AS format,
+      | array_to_string(list_transform(range(0, 16),
+      |   b -> CAST(len(list_filter(nib, x -> x = b)) * 1000000 // greatest(n, 1) AS VARCHAR)), ',') AS features
+      |FROM ch""".stripMargin
 
   // -------------------------------------------------- m_multimodal_sample
   // Frame-sampling plumbing over opaque binary payloads: fixed-size chunks,
@@ -153,7 +171,7 @@ object MiscQueries {
     QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
-    QueryDef("m_multimodal_feat", mFeatures, None),
+    QueryDef("m_multimodal_feat", mFeatures, Some(mFeaturesSql)),
     QueryDef("m_multimodal_sample", mSample, Some(mSampleSql))
   )
 }
