@@ -113,6 +113,40 @@ object Sinks {
     writeCsv(df, uri, header, delimiter, mode)
   }
 
+  /** Compact a parquet dataset's small files into ~`targetFileBytes` files.
+    * Long-running ingest (streaming sinks, per-batch appends) accumulates
+    * thousands of tiny files whose open/footer costs dominate scans at
+    * 100 TB; periodic compaction is standard table maintenance. One
+    * distributed read → round-robin repartition → write; returns the target
+    * file count. Written to `outPath` (swap or retention is the caller's
+    * policy — an in-place rewrite that fails midway would lose data).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                     outPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
+  /** Range-partitioned, sorted parquet layout: rows land in `nFiles` files
+    * with pairwise-disjoint key ranges (repartitionByRange) and sorted
+    * row groups inside each (sortWithinPartitions), so parquet min/max
+    * statistics let downstream key filters skip whole files and row
+    * groups — the scan-pruning layout for the columns a 100 TB table is
+    * filtered by. ScaleSpec asserts the disjoint-range property on disk.
+    */
+  def writeSorted(df: DataFrame, path: String, keys: Seq[String],
+                  nFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(nFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Excel .xlsx sink (the write direction of the reference's Excel
     * surface, helpers/ExcelToCSVConverter.scala). Pure-JDK OOXML writer —
     * see [[graft.sources.Excel.write]] for the streaming/row-cap contract.

@@ -147,6 +147,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet collapses a many-small-files dataset, content intact") {
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString + "/t"
+    val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.mode("overwrite").parquet(in) // 64 tiny files
+    val n = Sinks.compactParquet(spark, in, out, targetFileBytes = 1L << 30)
+    assert(n == 1)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, found $files")
+    // order-independent checksum: compaction must not lose or alter rows
+    val cols = Seq("o_orderkey", "o_totalprice")
+    assert(Profiling.datasetChecksum(spark.read.parquet(out), cols).collect()(0) ==
+      Profiling.datasetChecksum(src, cols).collect()(0))
+  }
+
+  test("writeSorted lays files out with pairwise-disjoint key ranges") {
+    val out = java.nio.file.Files.createTempDirectory("sorted_out").toString + "/t"
+    Sinks.writeSorted(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+      out, Seq("o_orderkey"), nFiles = 8)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length >= 2, "range partitioning should produce several files")
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 < lo2, s"file key ranges overlap: hi=$hi1 vs next lo=$lo2")
+    }
+  }
+
   test("no cartesian products anywhere in the registry") {
     SparkEntry.registry.foreach { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
