@@ -154,6 +154,12 @@ object Sinks {
   def writeExcel(df: DataFrame, file: String, sheetName: String = "Sheet1"): Unit =
     graft.sources.Excel.write(df, file, sheetName)
 
+  /** Distributed Excel sink: one workbook per partition, written
+    * executor-side in parallel (see [[graft.sources.Excel.writeSharded]]).
+    */
+  def writeExcelSharded(df: DataFrame, dir: String, sheetName: String = "Sheet1"): Unit =
+    graft.sources.Excel.writeSharded(df, dir, sheetName)
+
   /** JDBC writes batch per partition (DatabaseWriterActor.scala's prepared-
     * statement batches, but one concurrent writer per partition).
     */

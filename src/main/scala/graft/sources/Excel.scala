@@ -275,14 +275,49 @@ object Excel {
     * numbers) becomes an inline string; nulls are absent cells. Streams via
     * `toLocalIterator` — one pass, no full collect — but necessarily a
     * single file: the format caps a sheet at 1,048,576 rows, so "big" Excel
-    * data is a directory of workbooks (see `read`).
+    * data is a directory of workbooks (see `read` and [[writeSharded]]).
     */
   def write(df: DataFrame, file: String, sheetName: String = "Sheet1"): Unit = {
-    val schema = df.schema
-    val rowCap = 1048576
     val p = java.nio.file.Paths.get(file)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    val os = java.nio.file.Files.newOutputStream(p)
+    val it = df.toLocalIterator()
+    try writeWorkbook(df.schema,
+      new Iterator[Row] { def hasNext = it.hasNext; def next() = it.next() },
+      os, sheetName)
+    finally os.close()
+  }
+
+  /** Distributed Excel sink: one workbook per partition, written
+    * executor-side in parallel — the write analog of `read`'s
+    * directory-of-workbooks path, and the only way Excel output scales
+    * (each file stays under the format's row cap; repartition upstream to
+    * size the shards). Files land as `part-NNNNN.xlsx` under `dir` via the
+    * Hadoop FileSystem for the path's scheme.
+    */
+  def writeSharded(df: DataFrame, dir: String, sheetName: String = "Sheet1"): Unit = {
+    val schema = df.schema
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(dir))
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val os = fs.create(path, true)
+      try writeWorkbook(schema, it, os, sheetName)
+      finally os.close()
+    }
+  }
+
+  /** Stream one workbook (header + rows) onto `os`. Serializable-safe: used
+    * both driver-side (write) and executor-side (writeSharded).
+    */
+  private def writeWorkbook(schema: org.apache.spark.sql.types.StructType,
+                            rows: Iterator[Row], os: OutputStream,
+                            sheetName: String): Unit = {
+    val rowCap = 1048576
+    val zos = new ZipOutputStream(os)
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -329,11 +364,10 @@ object Excel {
       emitRow(schema.fieldNames.toIndexedSeq.zipWithIndex.map { case (name, i) =>
         i -> s"""<c r="${ref(i)}" t="inlineStr"><is><t xml:space="preserve">${escText(name)}</t></is></c>"""
       })
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
+      while (rows.hasNext) {
         require(rowNum <= rowCap,
           s"xlsx sheet cap ($rowCap rows) exceeded; write a directory of workbooks instead")
-        val row: Row = it.next()
+        val row: Row = rows.next()
         val cells = (0 until schema.length).flatMap { i =>
           if (row.isNullAt(i)) None
           else Some(i -> cellXml(ref(i), row.get(i)))

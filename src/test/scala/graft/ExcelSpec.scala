@@ -138,6 +138,18 @@ class ExcelSpec extends AnyFunSuite {
     assert(back.select("k").as[String].collect().toSet == Set("1", "2", "3"))
   }
 
+  test("sharded write emits one workbook per partition, read back whole") {
+    val dir = tmpDir("xlsx_shard").toString + "/out"
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(3)
+    Excel.writeSharded(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.length == 3, s"expected 3 shards, got ${files.length}")
+    val back = Sources.readExcel(spark, dir)
+    assert(back.count() == 50)
+    assert(back.select("k").as[String].collect().map(_.toLong).toSet ==
+      (1 to 50).map(_.toLong).toSet)
+  }
+
   test("header=false yields positional columns") {
     val dir = tmpDir("xlsx_nohdr")
     Sinks.writeExcel(Seq((1, "a")).toDF("c1", "c2"), dir.resolve("n.xlsx").toString)
