@@ -142,4 +142,31 @@ class PropertySpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     got.foreach { case (fused, hof) => assert(fused == hof) }
   }
+
+  test("property: xlsx workbook round-trips arbitrary unicode cell matrices") {
+    import graft.sources.Excel
+    // XML-legal scalar strings: printable ASCII + BMP letters + specials
+    // the writer must escape; excludes raw control chars (illegal in XML 1.0)
+    val cell = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(' ', '~'),
+      1 -> Gen.oneOf('<', '>', '&', '"', '\'', 'é', 'ñ', '漢', '→'),
+      1 -> Gen.const('\t')
+    )).map(_.mkString.take(24))
+    val rowGen = Gen.listOfN(4, Gen.option(cell))
+    val data = samples(rowGen, n = 40)
+    val df = data.map { r =>
+      (r(0).orNull, r(1).orNull, r(2).orNull, r(3).orNull)
+    }.toDF("c0", "c1", "c2", "c3")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_prop")
+    Excel.write(df, dir.resolve("p.xlsx").toString)
+    val back = Excel.parseWorkbook(
+      java.nio.file.Files.readAllBytes(dir.resolve("p.xlsx")))
+    assert(back.length == data.length + 1) // header + rows
+    back.drop(1).zip(data).zipWithIndex.foreach { case ((got, want), i) =>
+      val w = want.map(_.orNull)
+      // absent trailing cells parse as a shorter row — pad like the reader
+      val g = got.padTo(4, null).toSeq
+      assert(g == w, s"row $i: $g != $w")
+    }
+  }
 }
