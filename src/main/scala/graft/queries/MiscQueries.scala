@@ -166,8 +166,39 @@ object MiscQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin
 
+  // ---------------------------------------------------- q26_asof_forward
+  // Earliest event at-or-after each order's date per customer (the
+  // next-activity lookup) — the forward mirror of q18, same single
+  // shuffle+sort composition; DuckDB replays it with a forward ASOF
+  // (o_orderdate <= ts). Events pre-deduped per (user, ts) so ties are
+  // deterministic; the match timestamp renders as epoch ms (nanos-safe).
+  private def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    graft.operators.AsOfJoin.forward(orders, ev,
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTime = "o_orderdate", rightTime = "ts",
+        rightPayload = Seq("event_id", "ts"))
+      .filter(col("asof").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("asof.event_id").as("next_event"),
+        unix_millis(col("asof.ts")).as("next_ms"))
+  }
+
+  private val qAsofForwardSql =
+    """WITH e AS (
+      | SELECT user_id, ts, MAX(event_id) AS event_id
+      | FROM events GROUP BY user_id, ts)
+      |SELECT o_orderkey, o_custkey, event_id AS next_event, epoch_ms(e.ts) AS next_ms
+      |FROM orders ASOF JOIN e
+      | ON o_custkey = user_id AND o_orderdate <= e.ts""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
+    QueryDef("q26_asof_forward", qAsofForward, Some(qAsofForwardSql)),
     QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
