@@ -167,21 +167,29 @@ object DocumentQueries {
   // exact reason a production dedup pipeline needs the cluster step. The
   // oracle rebuilds the identical pair set and resolves components with a
   // recursive min-label CTE.
-  private def dDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus of chained near-dups (A~B, B~C — never scored A~C) shared by
+    * the cluster and apply queries.
+    */
+  private def clusterInput(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val sliceLen = floor(length(col("text")) / 7).cast(IntegerType)
     val b = concat(col("text"), lit(" "), reverse(col("text")).substr(lit(1), sliceLen))
     val c = concat(b, lit(" "), reverse(col("text")).substr(sliceLen + 1, sliceLen))
-    val u = docs
+    docs
       .unionByName(docs.select((col("doc_id") + SHIFT).as("doc_id"), b.as("text"),
         col("lang"), col("source")))
       .unionByName(docs.select((col("doc_id") + 2 * SHIFT).as("doc_id"), c.as("text"),
         col("lang"), col("source")))
-    val pairs = Dedup.ngramJaccardPairs(u, "text", "doc_id",
-      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
-    Dedup.components(pairs).select(col("id"), col("cluster"))
   }
+
+  private def clusterPairs(u: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairs(u, "text", "doc_id",
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
+
+  private def dDedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(clusterPairs(clusterInput(spark, dir)))
+      .select(col("id"), col("cluster"))
 
   private val dDedupClusterSql =
     s"""WITH RECURSIVE d AS (
@@ -216,6 +224,28 @@ object DocumentQueries {
        | UNION
        | SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id)
        |SELECT id, MIN(label) AS cluster FROM r GROUP BY id""".stripMargin
+
+  // ----------------------------------------------------- d_dedup_apply
+  // The user-facing END of the dedup pipeline: candidate pairs → connected
+  // components → keep one canonical survivor (min id) per cluster, pass
+  // every unclustered doc through. Same corpus as d_dedup_cluster; the
+  // oracle re-derives the survivors from its recursive-CTE labels.
+  private def dDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val u = clusterInput(spark, dir)
+    Dedup.keepCanonical(u, clusterPairs(u), "doc_id").select(col("doc_id"))
+  }
+
+  private val dDedupApplySql = {
+    // reuse the cluster derivation, then drop every non-canonical member
+    val labels = dDedupClusterSql
+      .replaceFirst("(?s)\\s*SELECT id, MIN\\(label\\) AS cluster FROM r GROUP BY id$", "")
+    // NOTE: no stripMargin here — labels is finished SQL whose `||` concats
+    // a second stripMargin would mangle
+    labels + ",\ndoomed AS (\n" +
+      " SELECT id FROM (SELECT id, MIN(label) AS cluster FROM r GROUP BY id)\n" +
+      " WHERE id != cluster)\n" +
+      "SELECT doc_id FROM u ANTI JOIN doomed ON doc_id = id"
+  }
 
   private def dEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -677,6 +707,7 @@ object DocumentQueries {
     QueryDef("d_dedup_simhash", dSimhash, None),
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
     QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),
+    QueryDef("d_dedup_apply", dDedupApply, Some(dDedupApplySql)),
     QueryDef("d_quality_filter", dQualityFilter, Some(dQualityFilterSql)),
     QueryDef("d_stratified_sample", dStratifiedSample, Some(dStratifiedSampleSql)),
     QueryDef("d_token_pack", dTokenPack, Some(dTokenPackSql)),

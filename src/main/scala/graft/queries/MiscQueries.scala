@@ -97,6 +97,24 @@ object MiscQueries {
       |   b -> CAST(len(list_filter(nib, x -> x = b)) * 1000000 // greatest(n, 1) AS VARCHAR)), ',') AS features
       |FROM ch""".stripMargin
 
+  // ------------------------------------------------------- q27_skew_join
+  // The salted skew join under the driver's hash-check: spreading each hot
+  // key over saltFactor sub-keys (dimension side replicated + broadcast)
+  // must return EXACTLY the plain join's rows, so the oracle is simply the
+  // unsalted join. l_linenumber keeps output rows unique for stable sorts.
+  private def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    graft.operators.SkewJoin.salted(li, o, "l_orderkey", "o_orderkey", saltFactor = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_totalprice"))
+  }
+
+  private val qSkewJoinSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   // -------------------------------------------------- m_multimodal_sample
   // Frame-sampling plumbing over opaque binary payloads: fixed-size chunks,
   // keep every stride-th (what a video pipeline does per frame-group).
@@ -199,6 +217,7 @@ object MiscQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
     QueryDef("q26_asof_forward", qAsofForward, Some(qAsofForwardSql)),
+    QueryDef("q27_skew_join", qSkewJoin, Some(qSkewJoinSql)),
     QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
