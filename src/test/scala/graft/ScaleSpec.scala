@@ -176,6 +176,13 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salted skew join broadcasts the replicated dimension side (q27)") {
+    val plan = SparkEntry.queries("q27_skew_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"salt replication should broadcast, not shuffle, the dim side:\n$plan")
+  }
+
   test("no cartesian products anywhere in the registry") {
     SparkEntry.registry.foreach { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
