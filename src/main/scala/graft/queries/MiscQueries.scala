@@ -104,6 +104,7 @@ object MiscQueries {
   // unsalted join. l_linenumber keeps output rows unique for stable sorts.
   private def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45.0) // pushed below the salt projection
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
     graft.operators.SkewJoin.salted(li, o, "l_orderkey", "o_orderkey", saltFactor = 8)
@@ -113,7 +114,8 @@ object MiscQueries {
 
   private val qSkewJoinSql =
     """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 45.0""".stripMargin
 
   // -------------------------------------------------- m_multimodal_sample
   // Frame-sampling plumbing over opaque binary payloads: fixed-size chunks,

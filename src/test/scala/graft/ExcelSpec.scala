@@ -150,6 +150,14 @@ class ExcelSpec extends AnyFunSuite {
       (1 to 50).map(_.toLong).toSet)
   }
 
+  test("malformed bytes fail with a clear not-an-xlsx error") {
+    val garbage = Array.tabulate[Byte](256)(i => (i * 7).toByte)
+    val err = intercept[IllegalArgumentException] {
+      Excel.parseWorkbook(garbage)
+    }
+    assert(err.getMessage.contains("not an xlsx"))
+  }
+
   test("header=false yields positional columns") {
     val dir = tmpDir("xlsx_nohdr")
     Sinks.writeExcel(Seq((1, "a")).toDF("c1", "c2"), dir.resolve("n.xlsx").toString)
