@@ -204,6 +204,25 @@ object Streams {
       .outputMode(outputMode)
       .start()
 
+  /** Exactly-once-per-key parquet sink: each micro-batch anti-joins the
+    * keys already on disk before appending (Sinks.appendUnique — the
+    * reference's BaseWriterFilter semantics), so REPLAYED batches after a
+    * checkpoint recovery, and duplicate keys arriving across batches, land
+    * at most once. The target's key columns are the only state — column-
+    * pruned scan, no driver memory — which is what makes the idempotence
+    * hold at any table size.
+    */
+  def toParquetUnique(streamed: DataFrame, outDir: String, checkpointDir: String,
+                      keys: Seq[String])
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.Sinks.appendUnique(batch, outDir, keys); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous JDBC sink via foreachBatch — the streaming form of the
     * reference's DatabaseWriterActor: each micro-batch writes as one batched
     * JDBC transaction set, per partition.

@@ -170,6 +170,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("toParquetUnique lands replayed and cross-batch duplicate keys once") {
+    val in = Files.createTempDirectory("uniq_in").toString
+    val out = Files.createTempDirectory("uniq_sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("uniq_ckpt").toString
+    val all = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val first = all.filter(col("event_id") < 200)
+    val fresh = all.filter(col("event_id") >= 200 && col("event_id") < 350)
+    val (nFirst, nFresh) = (first.count(), fresh.count())
+    assert(nFirst > 0 && nFresh > 0)
+    first.write.mode("overwrite").parquet(in)
+    val q1 = Streams.toParquetUnique(
+      Streams.eventStream(spark, in), out, ckpt, keys = Seq("event_id"))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == nFirst)
+    // drop the SAME rows again plus genuinely fresh ones; only the fresh land
+    first.write.mode("append").parquet(in)
+    fresh.write.mode("append").parquet(in)
+    val q2 = Streams.toParquetUnique(
+      Streams.eventStream(spark, in), out, ckpt, keys = Seq("event_id"))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == nFirst + nFresh,
+      s"expected ${nFirst + nFresh} unique keys, got ${got.count()}")
+    assert(got.select("event_id").distinct().count() == nFirst + nFresh)
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
