@@ -16,12 +16,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // reclaim localCheckpoint blocks pinned by iterative operators after
+    // each query — across 80 sequential queries the leak taxes every later
+    // job with GC pauses (see Bench.reclaimBlocks)
+    val protectedRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedRdds(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

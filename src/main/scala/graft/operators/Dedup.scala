@@ -217,6 +217,12 @@ object Dedup {
     * Returns (`id`, `cluster`) where `cluster` is the component's minimum
     * member id — stable, deterministic canonical representative.
     */
+  /** NOTE on lifecycle: the returned DataFrame is backed by localCheckpoint
+    * blocks (the converged labels). Long-lived sessions running many
+    * components() calls should unpersist results when done — leaked blocks
+    * surface as uniform GC drift across subsequent jobs (see
+    * Bench.reclaimBlocks).
+    */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                  maxIters: Int = 20): DataFrame = {
     // each round references the previous labels TWICE (union + join), so
