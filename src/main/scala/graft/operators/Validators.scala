@@ -35,6 +35,85 @@ object Validators {
     }
   }
 
+  // ------------------------------------------------------- constraints
+
+  /** Declarative data-quality constraints (the deequ-style gate an ETL run
+    * puts between load and publish — the batch generalization of the
+    * reference's per-field SyntaxValidator checks).
+    */
+  sealed trait Constraint { def rule: String }
+  /** `col` must never be null. */
+  final case class NotNull(col: String) extends Constraint {
+    def rule = s"not_null:$col"
+  }
+  /** `cols` must be unique together; violations = excess duplicate rows. */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def rule = s"unique:${cols.mkString("+")}"
+  }
+  /** Non-null values of `col` must lie in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Constraint {
+    def rule = s"in_range:$col"
+  }
+  /** Non-null values of `col` must match `regex` (RE2-portable subset). */
+  final case class MatchesRegex(col: String, regex: String) extends Constraint {
+    def rule = s"matches:$col"
+  }
+  /** Non-null `col` values must exist in `ref`'s `refCol` (FK integrity). */
+  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
+      extends Constraint {
+    def rule = s"ref:$col"
+  }
+  /** Arbitrary SQL predicate every row must satisfy. */
+  final case class Satisfies(name: String, predicate: String) extends Constraint {
+    def rule = s"satisfies:$name"
+  }
+
+  /** Evaluate `constraints` over `df` → one row per rule:
+    * (rule string, violations long). ALL row-wise rules (not-null, range,
+    * regex, satisfies) AND uniqueness fuse into a SINGLE full scan (one
+    * aggregate: conditional sums + count-distinct); each referential rule
+    * adds one join-aggregate with a broadcastable distinct key side. The
+    * whole report is one lazy DataFrame — nothing driver-side — so it runs
+    * at any table size for the cost of ~one scan.
+    */
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    import org.apache.spark.sql.Column
+    val rowWise: Seq[(String, Column)] = constraints.collect {
+      case c @ NotNull(n) =>
+        c.rule -> sum(when(col(n).isNull, 1L).otherwise(0L))
+      case c @ Unique(cols) =>
+        c.rule -> (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+      case c @ InRange(n, lo, hi) =>
+        c.rule -> sum(when(col(n).isNotNull && (col(n) < lo || col(n) > hi), 1L)
+          .otherwise(0L))
+      case c @ MatchesRegex(n, re) =>
+        c.rule -> sum(when(col(n).isNotNull && !col(n).rlike(re), 1L).otherwise(0L))
+      case c @ Satisfies(_, p) =>
+        c.rule -> sum(when(!expr(p), 1L).otherwise(0L))
+    }
+    val scanReport: Option[DataFrame] =
+      if (rowWise.isEmpty) None
+      else {
+        val agg = df.agg(rowWise.head._2.as("v0"),
+          rowWise.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"v${i + 1}") }: _*)
+        val stacked = rowWise.zipWithIndex
+          .map { case ((r, _), i) => s"'${r.replace("'", "''")}', CAST(v$i AS BIGINT)" }
+          .mkString(", ")
+        Some(agg.select(expr(
+          s"stack(${rowWise.size}, $stacked) AS (rule, violations)")))
+      }
+    val refReports: Seq[DataFrame] = constraints.collect {
+      case c @ RefIntegrity(n, ref, refCol) =>
+        val keys = broadcast(ref.select(col(refCol).as("__refkey")).distinct()
+          .withColumn("__hit", lit(1)))
+        df.select(col(n)).join(keys, col(n) === col("__refkey"), "left")
+          .agg(sum(when(col(n).isNotNull && col("__hit").isNull, 1L).otherwise(0L))
+            .cast(LongType).as("violations"))
+          .select(lit(c.rule).as("rule"), col("violations"))
+    }
+    (scanReport.toSeq ++ refReports).reduce(_ unionByName _)
+  }
+
   final case class SyntaxReport(path: String, format: String, ok: Boolean,
                                 rows: Long, corruptRows: Long, detail: String)
 

@@ -157,8 +157,66 @@ object SourceQueries {
       | CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------ q28_constraints
+  // Declarative data-quality gate (Validators.checkConstraints): orders
+  // with four kinds of planted dirt — nulled priorities (%97), negated
+  // totals (%101), dangling customer FKs (%103), duplicated keys (%107) —
+  // must yield EXACT violation counts per rule, plus one passing rule.
+  // Row-wise rules and uniqueness fuse into a single scan; the FK rule is
+  // one broadcast join-aggregate.
+  private def q28Constraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validators._
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val mutated = o
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(97)) === 0, lit(null))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(101)) === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(103)) === 0, col("o_custkey") + 9000000L)
+          .otherwise(col("o_custkey")))
+    val dirty = mutated.unionByName(
+      mutated.filter(pmod(col("o_orderkey"), lit(107)) === 0))
+    checkConstraints(dirty, Seq(
+      NotNull("o_orderpriority"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 1e9),
+      MatchesRegex("o_orderpriority", "^[1-5]-"),
+      RefIntegrity("o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      Satisfies("key_positive", "o_orderkey > 0")))
+  }
+
+  private val q28ConstraintsSql =
+    """WITH d0 AS (
+      | SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 103 = 0 THEN o_custkey + 9000000 ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      | FROM orders),
+      |d AS (SELECT * FROM d0 UNION ALL SELECT * FROM d0 WHERE o_orderkey % 107 = 0)
+      |SELECT 'not_null:o_orderpriority' AS rule,
+      | CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM d
+      |UNION ALL SELECT 'unique:o_orderkey',
+      | CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM d
+      |UNION ALL SELECT 'in_range:o_totalprice',
+      | CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+      |   AND (o_totalprice < 0 OR o_totalprice > 1000000000.0) THEN 1 ELSE 0 END) AS BIGINT) FROM d
+      |UNION ALL SELECT 'matches:o_orderpriority',
+      | CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+      |   AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) FROM d
+      |UNION ALL SELECT 'ref:o_custkey',
+      | CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      | FROM (SELECT o_custkey, c_custkey AS c
+      |       FROM d LEFT JOIN customer ON o_custkey = c_custkey)
+      |UNION ALL SELECT 'satisfies:key_positive',
+      | CAST(SUM(CASE WHEN NOT (o_orderkey > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
+    QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),
     QueryDef("q23_excel", q23Excel, Some(q23ExcelSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
     QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),

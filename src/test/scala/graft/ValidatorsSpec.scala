@@ -33,6 +33,34 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(!Validators.contentMatches(o, o.limit(10), Seq("o_orderkey", "o_totalprice")))
   }
 
+  test("checkConstraints counts violations exactly, one row per rule") {
+    import spark.implicits._
+    import Validators._
+    val df = Seq(
+      (1L, Some("a@x.io"), Some(10.0), Some(1L)),
+      (2L, None,           Some(-5.0), Some(2L)),  // null email, range viol
+      (2L, Some("bad"),    Some(20.0), Some(9L)),  // dup key, regex + fk viol
+      (3L, Some("c@y.de"), None,       None)       // nulls ignored by range/fk
+    ).toDF("k", "email", "amount", "fk")
+    val ref = Seq(1L, 2L, 3L).toDF("id")
+    val got = checkConstraints(df, Seq(
+      NotNull("email"),
+      Unique(Seq("k")),
+      InRange("amount", 0.0, 100.0),
+      MatchesRegex("email", "^[^@]+@[^@]+$"),
+      RefIntegrity("fk", ref, "id"),
+      Satisfies("k_positive", "k > 0")
+    )).as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "not_null:email" -> 1L,
+      "unique:k" -> 1L,
+      "in_range:amount" -> 1L,
+      "matches:email" -> 1L,
+      "ref:fk" -> 1L,
+      "satisfies:k_positive" -> 0L
+    ), got.toString)
+  }
+
   test("snapshotDiff classifies added, removed, changed and same keys") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("k", "s", "v")
