@@ -31,6 +31,9 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHashExpr(exprs(0))),
     "lsh_bucket" -> (exprs =>
       LshBucketExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    // round-4: int8 scalar quantization for embedding columns
+    "sq8_encode" -> (exprs => Sq8EncodeExpr(exprs(0))),
+    "sq8_cosine" -> (exprs => Sq8CosineExpr(exprs(0), exprs(1))),
     // round-4: unicode canonicalization (same names DuckDB/utf8proc use)
     "nfc_normalize" -> (exprs => UnicodeNormalizeExpr(exprs(0), "NFC")),
     "nfkc_normalize" -> (exprs => UnicodeNormalizeExpr(exprs(0), "NFKC"))

@@ -219,11 +219,122 @@ case class NearestCellsExpr(child: Expression, centroids: Seq[Seq[Double]])
   override def prettyName: String = "nearest_cells"
 }
 
+/** Scalar-quantize an `array<float>` vector to int8 codes (one byte per
+  * dimension, symmetric: code_i = round(v_i / scale) with scale =
+  * maxAbs/127) — the faiss-SQ8 memory layout. 4× smaller than float32 in
+  * memory AND on the wire, which is what lets a 100 TB embedding corpus'
+  * candidate scoring stay in RAM. Cosine over the codes needs no scale at
+  * all (it cancels), see [[Sq8CosineExpr]]; keep the float vectors around
+  * only for the final exact re-rank of the few survivors.
+  */
+case class Sq8EncodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    Sq8EncodeExpr.encode(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.Sq8EncodeExpr.encode($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sq8_encode"
+}
+
+object Sq8EncodeExpr {
+  /** shared by interpreted eval and generated code */
+  def encode(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0f) 1.0f else maxAbs / 127.0f
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = math.round(a.getFloat(i) / scale)
+      out(i) = math.max(-127, math.min(127, q)).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Cosine similarity over two int8 code arrays in one fused integer loop.
+  * The per-vector quantization scales cancel in the cosine, so the codes
+  * alone suffice: cos ≈ Σ(a_i·b_i) / (√Σa_i² · √Σb_i²) — integer
+  * multiply-adds until the final three doubles, ~4× less memory traffic
+  * than the float loop. Zero-norm codes score 0 like CosineSimExpr.
+  */
+case class Sq8CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toLong; val y = b(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $dot = 0L, $na = 0L, $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = (long) $a[$i]; long $y = (long) $b[$i];
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : (double) $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq8_cosine"
+}
+
 object VectorExprs {
   /** Codegen'd cosine similarity for `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd int8 scalar quantization of an `array<float>` vector. */
+  def sq8Encode(v: Column): Column =
+    ColumnBridge.column(Sq8EncodeExpr(ColumnBridge.expression(v)))
+
+  /** Codegen'd cosine over int8 code arrays (scales cancel). */
+  def sq8Cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      Sq8CosineExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Codegen'd single-pass random-hyperplane LSH bucket id. */
   def lshBucket(v: Column, nBits: Int): Column =

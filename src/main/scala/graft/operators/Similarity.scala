@@ -56,6 +56,39 @@ object Similarity {
     rankTail(scored, k)
   }
 
+  /** Quantized exact-rerank top-k: brute-force scoring runs over int8
+    * codes (Sq8EncodeExpr — 4× less memory traffic than float32, integer
+    * multiply-adds, quantization scales cancel in the cosine), the top
+    * `k × oversample` survivors per query come back through TopKPerGroup,
+    * and only those survivors are re-ranked by exact float cosine. The
+    * exchange is bounded to k×oversample rows per query (floats ride along
+    * only on those survivor rows) — the memory-bandwidth shape for
+    * scanning an embedding corpus where the hot loop should touch one
+    * byte, not four, per dimension. Recall@k vs the float brute force is
+    * bounded in DedupSpec (sq8TopK test).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              oversample: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.{sq8Cosine, sq8Encode}
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      sq8Encode(col(vecCol)).as("ccodes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sq8Encode(col(vecCol)).as("qcodes"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
+        sq8Cosine(col("qcodes"), col("ccodes")).as("qcos"))
+    val candidates = TopK.perGroup(scored, Seq("query_id"),
+      Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
+    // exact re-rank of the bounded survivor set (k×oversample per query)
+    val exact = candidates
+      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** A built inverted-file index: k-means centroids (driver-side literals)

@@ -285,6 +285,17 @@ object DocumentQueries {
       | CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
       |FROM s QUALIFY rk <= 10""".stripMargin
 
+  // d_ann_sq8: int8-quantized brute force + exact re-rank — the
+  // memory-bandwidth ANN path (codes are 4× smaller than floats; scales
+  // cancel in the cosine). Quantization keeps this rows-only: a borderline
+  // candidate can sit outside the oversampled window; DedupSpec bounds
+  // recall@k against the float brute force instead.
+  private def dAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.sq8TopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
   // The IVF index is built ONCE per (session, data dir) — an offline step;
   // at cluster scale it would be a parquet table partitioned by cell — and
   // the registered query measures what production ANN serving measures: the
@@ -716,6 +727,7 @@ object DocumentQueries {
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
+    QueryDef("d_ann_sq8", dAnnSq8, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),
     QueryDef("d_fingerprint", dFingerprint, None),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),

@@ -138,6 +138,27 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("sq8TopK: int8 quantization + exact re-rank nearly matches float brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.sq8TopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(sq8.size == brute.size)
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    // int8 error is tiny; with 4x oversampling the true top-10 should
+    // survive quantized pre-ranking essentially always
+    assert(recall >= 0.9, s"sq8 recall $recall below expectation")
+    // quantized codes agree with float cosine on self-similarity
+    import graft.functions.VectorExprs
+    val self = e.limit(20).select(
+      VectorExprs.sq8Cosine(VectorExprs.sq8Encode(col("embedding")),
+        VectorExprs.sq8Encode(col("embedding"))).as("c"))
+      .as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
   test("ivfTopK recall beats random cell assignment and rises with probes") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
