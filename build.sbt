@@ -15,6 +15,11 @@ run / fork := true
 // via sbt's logger: Bench/Verify emit machine-readable JSON lines that must
 // reach the caller bare, without the "[info] " prefix sbt's logger adds.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so the
+// JSON emitted by Bench/Verify is the LAST line on stdout (last-line
+// parsers otherwise read sbt's epilogue instead of the payload).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

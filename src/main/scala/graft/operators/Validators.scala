@@ -46,7 +46,12 @@ object Validators {
   final case class NotNull(col: String) extends Constraint {
     def rule = s"not_null:$col"
   }
-  /** `cols` must be unique together; violations = excess duplicate rows. */
+  /** `cols` must be unique together; violations = excess duplicate rows.
+    * SQL UNIQUE-constraint semantics on NULLs: a row with ANY null key
+    * column passes (matching `COUNT(DISTINCT col)`'s null handling, deequ,
+    * and the DuckDB oracle) — only fully-non-null key tuples are counted
+    * and deduplicated.
+    */
   final case class Unique(cols: Seq[String]) extends Constraint {
     def rule = s"unique:${cols.mkString("+")}"
   }
@@ -78,18 +83,29 @@ object Validators {
     */
   def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     import org.apache.spark.sql.Column
+    if (constraints.isEmpty) // empty gate: an empty report, not a reduce crash
+      return df.limit(0).select(lit("").as("rule"), lit(0L).as("violations"))
+    // Every conditional sum is coalesced to 0: over an EMPTY frame SUM is
+    // NULL, and a gate must report "0 violations", not NULL, for a rule an
+    // empty table vacuously satisfies.
+    def violSum(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
     val rowWise: Seq[(String, Column)] = constraints.collect {
       case c @ NotNull(n) =>
-        c.rule -> sum(when(col(n).isNull, 1L).otherwise(0L))
+        c.rule -> violSum(col(n).isNull)
       case c @ Unique(cols) =>
-        c.rule -> (count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
+        // see Unique's scaladoc: null-keyed rows pass, so count and
+        // dedup only fully-non-null key tuples (the `when` feeds
+        // count_distinct NULL for null-keyed rows, which it ignores)
+        val allNonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+        c.rule -> (violSum(allNonNull) -
+          count_distinct(when(allNonNull, struct(cols.map(col): _*))))
       case c @ InRange(n, lo, hi) =>
-        c.rule -> sum(when(col(n).isNotNull && (col(n) < lo || col(n) > hi), 1L)
-          .otherwise(0L))
+        c.rule -> violSum(col(n).isNotNull && (col(n) < lo || col(n) > hi))
       case c @ MatchesRegex(n, re) =>
-        c.rule -> sum(when(col(n).isNotNull && !col(n).rlike(re), 1L).otherwise(0L))
+        c.rule -> violSum(col(n).isNotNull && !col(n).rlike(re))
       case c @ Satisfies(_, p) =>
-        c.rule -> sum(when(!expr(p), 1L).otherwise(0L))
+        c.rule -> violSum(!expr(p))
     }
     val scanReport: Option[DataFrame] =
       if (rowWise.isEmpty) None
@@ -107,8 +123,9 @@ object Validators {
         val keys = broadcast(ref.select(col(refCol).as("__refkey")).distinct()
           .withColumn("__hit", lit(1)))
         df.select(col(n)).join(keys, col(n) === col("__refkey"), "left")
-          .agg(sum(when(col(n).isNotNull && col("__hit").isNull, 1L).otherwise(0L))
-            .cast(LongType).as("violations"))
+          .agg(coalesce(
+            sum(when(col(n).isNotNull && col("__hit").isNull, 1L).otherwise(0L)),
+            lit(0L)).cast(LongType).as("violations"))
           .select(lit(c.rule).as("rule"), col("violations"))
     }
     (scanReport.toSeq ++ refReports).reduce(_ unionByName _)

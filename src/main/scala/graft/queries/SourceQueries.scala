@@ -23,11 +23,31 @@ object SourceQueries {
   // either direction breaks the hash.
   private val fwFields = Seq(("n_nationkey", 6), ("n_name", 26), ("n_regionkey", 4))
 
+  /** Round-trip queries write a temp artifact as INPUT for the read side.
+    * That write is an eager action, so memoize it per data dir (the content
+    * is a pure function of the dir) — one write per JVM instead of one per
+    * warmup/timed/sweep invocation, and no unbounded temp-disk growth. The
+    * files are registered for deletion at JVM exit (dir first: deleteOnExit
+    * runs in reverse registration order, so files go before their dir).
+    */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def cachedArtifact(kind: String, dir: String)(write: String => Unit): String =
+    artifactCache.computeIfAbsent((kind, dir), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind")
+      write(tmp.toString)
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      tmp.toString
+    })
+
   private def q21FixedWidth(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fw").toString
-    Sinks.writeFixedWidth(
-      Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"),
-      tmp, fwFields)
+    val tmp = cachedArtifact("fw", dir) { out =>
+      Sinks.writeFixedWidth(
+        Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey"),
+        out, fwFields)
+    }
     Sources.readFixedWidth(spark, tmp, fwFields)
       .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
         col("n_name"),
@@ -142,11 +162,12 @@ object SourceQueries {
   // columns; the oracle reads the original parquet. Any cell-encoding,
   // escaping, shared/inline-string or column-alignment bug breaks the hash.
   private def q23Excel(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx")
-    Sinks.writeExcel(
-      Tables.documents(spark, dir).select("doc_id", "text", "lang", "n_chars"),
-      tmp.resolve("documents.xlsx").toString)
-    Sources.readExcel(spark, tmp.toString)
+    val tmp = cachedArtifact("xlsx", dir) { out =>
+      Sinks.writeExcel(
+        Tables.documents(spark, dir).select("doc_id", "text", "lang", "n_chars"),
+        java.nio.file.Paths.get(out).resolve("documents.xlsx").toString)
+    }
+    Sources.readExcel(spark, tmp)
       .select(col("doc_id").cast(LongType).as("doc_id"),
         col("text"), col("lang"),
         col("n_chars").cast(LongType).as("n_chars"))

@@ -196,6 +196,8 @@ object Excel {
     var text = new StringBuilder
     var capture = false      // inside <v> or an <is>'s <t>
     var inIs = false
+    var isBuf = new StringBuilder // concatenation of an <is>'s <t> runs
+    var isHasText = false
     def setCell(v: String): Unit = {
       while (row.size < cellCol) row.add(null)
       if (row.size == cellCol) row.add(v) else row.set(cellCol, v)
@@ -215,7 +217,7 @@ object Excel {
               } else if (ln == "t") cellType = r.getAttributeValue(i)
               i += 1
             }
-          case "is" => inIs = true
+          case "is" => inIs = true; isBuf = new StringBuilder; isHasText = false
           case "v" if cellCol >= 0 => capture = true; text = new StringBuilder
           case "t" if inIs => capture = true; text = new StringBuilder
           case _ => ()
@@ -228,7 +230,9 @@ object Excel {
           case "row" if row != null =>
             rows += row.toArray(new Array[String](row.size)); row = null
           case "c" => cellCol = -1
-          case "is" => inIs = false
+          case "is" => // one cell per <is>, all <t> runs concatenated
+            inIs = false
+            if (isHasText && cellCol >= 0) setCell(isBuf.toString)
           case "v" if capture =>
             capture = false
             val raw = text.toString
@@ -242,8 +246,9 @@ object Excel {
             }
             if (cellCol >= 0) setCell(v)
           case "t" if capture && inIs =>
+            // a rich-text <is> holds one <t> per run: accumulate, set at </is>
             capture = false
-            if (cellCol >= 0) setCell(text.toString)
+            isBuf.append(text); isHasText = true
           case _ => ()
         }
       case _ => ()
@@ -300,13 +305,36 @@ object Excel {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       .mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // Ship the SESSION'S Hadoop conf to the executors (S3A credentials,
+    // fs.defaultFS, endpoint overrides); a bare `new Configuration()` there
+    // would silently resolve a differently-configured filesystem.
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration))
     df.foreachPartition { (it: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(confBc.value.conf)
       val os = fs.create(path, true)
       try writeWorkbook(schema, it, os, sheetName)
       finally os.close()
+    }
+  }
+
+  /** Java-serializable carrier for a Hadoop `Configuration` (which is only
+    * `Writable`-serializable itself) — the same shape Spark's own file sinks
+    * use to move the driver conf into tasks.
+    */
+  private final class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
     }
   }
 
@@ -389,8 +417,32 @@ object Excel {
       s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${escText(other.toString)}</t></is></c>"""
   }
 
-  private def escText(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** XML 1.0 text escape. CR must go out as `&#13;` (a literal CR is
+    * line-end-normalized to LF by every conformant parser, so "\r" would
+    * round-trip as "\n"); tab and LF are representable raw; every other
+    * C0 control character is unrepresentable in XML 1.0 EVEN AS a char
+    * reference, so we fail fast instead of emitting a workbook this very
+    * reader (or Excel) would reject.
+    */
+  private[graft] def escText(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '\r' => sb.append("&#13;")
+        case c if c < 0x20 && c != '\t' && c != '\n' =>
+          throw new IllegalArgumentException(
+            f"cell text contains control character U+${c.toInt}%04X, " +
+              "which XML 1.0 (and therefore xlsx) cannot represent")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   private def escAttr(s: String): String =
     escText(s).replace("\"", "&quot;")

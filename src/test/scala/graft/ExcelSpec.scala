@@ -158,6 +158,42 @@ class ExcelSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not an xlsx"))
   }
 
+  test("inline-string cell with multiple rich-text runs concatenates all runs") {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, s: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(s.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="S" sheetId="1"/></sheets></workbook>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><r><t>in </t></r><r><t xml:space="preserve">line </t></r><r><t>runs</t></r></is></c>
+        |<c r="B1" t="inlineStr"><is><t>single</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val rows = Excel.parseWorkbook(bos.toByteArray)
+    assert(rows.map(_.toSeq) == Vector(Seq("in line runs", "single")))
+  }
+
+  test("carriage returns round-trip; other C0 control chars are rejected at write") {
+    val dir = tmpDir("xlsx_cr")
+    val df = Seq((1L, "crlf\r\nline"), (2L, "bare\rcr"), (3L, "tab\tlf\n"))
+      .toDF("id", "txt")
+    Sinks.writeExcel(df, dir.resolve("cr.xlsx").toString)
+    val back = Sources.readExcel(spark, dir.toString)
+      .sort(col("id").cast("long")).select("txt").as[String].collect()
+    // a raw CR would be XML-normalized to LF on read; &#13; must survive
+    assert(back.toSeq == Seq("crlf\r\nline", "bare\rcr", "tab\tlf\n"))
+    // Excel.write streams driver-side, so the escape failure surfaces raw
+    val err = intercept[IllegalArgumentException] {
+      Sinks.writeExcel(Seq((1L, "nul\u0000byte")).toDF("id", "txt"),
+        dir.resolve("bad.xlsx").toString)
+    }
+    assert(err.getMessage.contains("control character"))
+  }
+
   test("header=false yields positional columns") {
     val dir = tmpDir("xlsx_nohdr")
     Sinks.writeExcel(Seq((1, "a")).toDF("c1", "c2"), dir.resolve("n.xlsx").toString)

@@ -145,12 +145,14 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: xlsx workbook round-trips arbitrary unicode cell matrices") {
     import graft.sources.Excel
-    // XML-legal scalar strings: printable ASCII + BMP letters + specials
-    // the writer must escape; excludes raw control chars (illegal in XML 1.0)
+    // XML-representable strings: printable ASCII + BMP letters + specials
+    // the writer must escape, plus the three representable control chars
+    // (tab/LF raw, CR as &#13; — a raw CR would normalize to LF on read);
+    // all other C0 controls are rejected by the writer (tested separately)
     val cell = Gen.listOf(Gen.frequency(
       8 -> Gen.choose(' ', '~'),
       1 -> Gen.oneOf('<', '>', '&', '"', '\'', 'é', 'ñ', '漢', '→'),
-      1 -> Gen.const('\t')
+      1 -> Gen.oneOf('\t', '\n', '\r')
     )).map(_.mkString.take(24))
     val rowGen = Gen.listOfN(4, Gen.option(cell))
     val data = samples(rowGen, n = 40)

@@ -61,6 +61,28 @@ class ValidatorsSpec extends AnyFunSuite {
     ), got.toString)
   }
 
+  test("checkConstraints edge cases: empty frame, empty rule list, null unique keys") {
+    import spark.implicits._
+    import Validators._
+    // empty input: every rule is vacuously satisfied — 0, never NULL
+    val empty = Seq.empty[(Long, Option[String])].toDF("k", "email")
+    val onEmpty = checkConstraints(empty, Seq(
+      NotNull("email"), Unique(Seq("k")), InRange("k", 0.0, 10.0),
+      MatchesRegex("email", "^x"), RefIntegrity("k", Seq(1L).toDF("id"), "id"),
+      Satisfies("p", "k > 0")
+    )).as[(String, Long)].collect().toMap
+    assert(onEmpty.values.forall(_ == 0L), onEmpty.toString)
+    assert(onEmpty.size == 6)
+    // empty rule list: an empty report, not a crash
+    assert(checkConstraints(empty, Seq.empty).count() == 0)
+    // SQL UNIQUE semantics: null-keyed rows pass; dup (1,"a") counts once
+    val nulls = Seq((Some(1L), "a"), (Some(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("k", "v")
+    val uniq = checkConstraints(nulls, Seq(Unique(Seq("k"))))
+      .as[(String, Long)].collect().toMap
+    assert(uniq == Map("unique:k" -> 1L), uniq.toString)
+  }
+
   test("snapshotDiff classifies added, removed, changed and same keys") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("k", "s", "v")
