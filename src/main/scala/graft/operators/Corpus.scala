@@ -86,4 +86,35 @@ object Corpus {
       .withColumn("seq_id", floor((col("__cum") - col(tokenCol)) / budget).cast(LongType))
       .drop("__cum")
   }
+
+  /** Per-document top-`k` keyword extraction by tf/df weight — the
+    * distinctive-term summary a curation pipeline attaches to each document
+    * (topic tagging, mixture diagnostics, cluster labeling).
+    *
+    * Scoring: term frequency divided by document frequency. Rank-wise this
+    * is the same family as tf·idf but engine-portable: one IEEE division
+    * that any engine computes bit-identically, where log-idf would hang the
+    * ranking on libm's `ln` rounding. Ties break on token text, so top-k is
+    * fully deterministic. Tokens are lowercased maximal `[a-z]+` runs of at
+    * least `minTokenLen` chars.
+    *
+    * 100 TB shape: tokenization explodes map-side; the (doc,term) and term
+    * aggregates are partial-combined keyed shuffles; the df attach is an
+    * equi-join on term; the final top-k window partitions by document, so
+    * no global sort appears anywhere. Output: (doc_id, token, tf, df, rk).
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                minTokenLen: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token").asc)
+    tf.join(docFreq, "token")
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("doc_id", "token", "tf", "df", "rk")
+  }
 }

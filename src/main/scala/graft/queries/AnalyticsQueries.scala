@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Corpus, FuzzyJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics surfaces: blocked fuzzy record linkage, per-document
+  * keyword extraction, and sequential funnel analysis — each with an exact
+  * DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  // ---------------------------------------------------- q29_fuzzy_link
+  // Record linkage under entry noise: the dirty side mutates every customer
+  // name deterministically (drop the '#' separator, bump the last digit), and
+  // the linkage must recover pairs within 2 edits — which includes the true
+  // match for every record (distance exactly 2) AND near-miss neighbors
+  // whose keys differ inside the block (realistic false candidates the
+  // caller thresholds). Blocking: first 7 of the name's digits, so blocks
+  // hold the ~100 key-adjacent records and the join is one keyed shuffle.
+  private def digitsPrefix(c: org.apache.spark.sql.Column) =
+    substring(regexp_replace(c, "[^0-9]", ""), 1, 7)
+
+  private def q29FuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val dirty = Tables.customer(spark, dir).select(
+      col("c_custkey").as("did"),
+      concat(
+        regexp_replace(expr("substring(c_name, 1, length(c_name)-1)"), "#", ""),
+        ((expr("substring(c_name, length(c_name), 1)").cast("int") + 1) % 10)
+          .cast("string")).as("d_name"))
+    FuzzyJoin.byEditDistance(clean, "cid", "c_name", dirty, "did", "d_name",
+        blockKey = digitsPrefix, maxDist = 2)
+      .withColumnRenamed("left_id", "clean_id")
+      .withColumnRenamed("right_id", "dirty_id")
+  }
+
+  private val q29FuzzyLinkSql =
+    """WITH clean AS (
+      | SELECT c_custkey AS clean_id, c_name,
+      |  substring(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 7) AS blk
+      | FROM customer),
+      |dirty0 AS (
+      | SELECT c_custkey AS dirty_id,
+      |  replace(substring(c_name, 1, length(c_name)-1), '#', '')
+      |   || CAST((CAST(substring(c_name, length(c_name), 1) AS INTEGER) + 1) % 10 AS VARCHAR)
+      |   AS d_name
+      | FROM customer),
+      |dirty AS (
+      | SELECT dirty_id, d_name,
+      |  substring(regexp_replace(d_name, '[^0-9]', '', 'g'), 1, 7) AS blk
+      | FROM dirty0)
+      |SELECT clean_id, dirty_id, CAST(levenshtein(c_name, d_name) AS BIGINT) AS dist
+      |FROM clean JOIN dirty USING (blk)
+      |WHERE levenshtein(c_name, d_name) <= 2""".stripMargin
+
+  // --------------------------------------------------------- d_tfidf
+  // Distinctive-keyword extraction over the documents corpus: top-3 terms
+  // per document by tf/df weight (engine-portable tf·idf family — see
+  // Corpus.tfIdfTopK). The oracle replays tokenization, both aggregates and
+  // the ranked window in DuckDB; integer tf/df/rk outputs keep the hash
+  // compare exact.
+  private def dTfidf(spark: SparkSession, dir: String): DataFrame =
+    Corpus.tfIdfTopK(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  private val dTfidfSql =
+    """WITH tok AS (
+      | SELECT doc_id, t AS token FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |  FROM documents)
+      | WHERE length(t) >= 3),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |docfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |ranked AS (
+      | SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+      |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |   ORDER BY CAST(tf.tf AS DOUBLE) / docfreq.df DESC, tf.token) AS rk
+      | FROM tf JOIN docfreq USING (token))
+      |SELECT doc_id, token, tf, df, rk FROM ranked WHERE rk <= 3""".stripMargin
+
+  // --------------------------------------------------------- q30_funnel
+  // Ordered-sequence funnel on the events stream: users who viewed, then
+  // clicked at-or-after their first view, then purchased at-or-after that
+  // first qualifying click. Each stage is one keyed aggregate plus an
+  // equi-join on user — no windows, no per-user sorts — so the funnel is
+  // three shuffles at any scale. Timestamps compare as epoch MICROS on both
+  // engines (the parquet is nano-precision; micros is the shared floor).
+  private def q30Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .join(viewed, "user_id").where(col("us") >= col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id").where(col("us") >= col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def stage(df: DataFrame, n: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(name).as("event_type"), col("users"))
+    stage(viewed, 1L, "view")
+      .unionByName(stage(clicked, 2L, "click"))
+      .unionByName(stage(purchased, 3L, "purchase"))
+  }
+
+  private val q30FunnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, COUNT(*) AS users FROM v
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),
+    QueryDef("d_tfidf", dTfidf, Some(dTfidfSql)),
+    QueryDef("q30_funnel", q30Funnel, Some(q30FunnelSql))
+  )
+}
