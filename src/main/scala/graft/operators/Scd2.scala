@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history maintenance — the APPLY step of
+  * incremental sync. [[Validators.snapshotDiff]] detects what changed
+  * between agent runs; this operator folds each new snapshot into a
+  * versioned history table (validity intervals instead of overwrites),
+  * which is how a warehouse target keeps every state the reference's
+  * continuous source→target sync ever shipped
+  * (/root/reference/src/main/scala/com/wegtam/tensei/agent/Processor.scala
+  * drives repeated full-table runs; the history semantics are the standard
+  * Kimball SCD type 2).
+  *
+  * Contract: `valid_from`/`valid_to` are ISO date strings; an open (current)
+  * row has `valid_to IS NULL`. Snapshots are COMPLETE states of the source
+  * (a key absent from the snapshot means deleted at the source).
+  *
+  * 100 TB shape: one full-outer join of the OPEN slice against the snapshot
+  * on the key columns (both sides hash-partition on the same keys — the
+  * diff, the close and the open all reuse that co-partitioning) plus a
+  * pass-through union of the closed slice, which never reshuffles. Change
+  * detection compares a codegen'd xxhash64 of the tracked columns, so wide
+  * rows diff without shipping their payload twice.
+  */
+object Scd2 {
+
+  /** Start a history from the first snapshot: every row open since `ts`. */
+  def init(snap: DataFrame, ts: String): DataFrame =
+    snap.withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("string"))
+
+  /** Fold the complete snapshot `snap` (state of the source at `ts`) into
+    * SCD2 history `scd`. Unchanged open rows persist; changed keys close
+    * their open row at `ts` and open a fresh version; keys missing from the
+    * snapshot close at `ts`; new keys open at `ts`. Closed rows pass
+    * through untouched. Null-safe change compare (NULL == NULL, like
+    * IS NOT DISTINCT FROM).
+    */
+  def merge(scd: DataFrame, snap: DataFrame, keys: Seq[String],
+            compareCols: Seq[String], ts: String): DataFrame = {
+    val dataCols = keys ++ compareCols
+    require(snap.columns.toSeq == dataCols,
+      s"snapshot columns must be exactly keys ++ compareCols ($dataCols), got ${snap.columns.toSeq}")
+    require(scd.columns.toSeq == dataCols ++ Seq("valid_from", "valid_to"),
+      s"scd columns must be keys ++ compareCols ++ (valid_from, valid_to), got ${scd.columns.toSeq}")
+    val open = scd.filter(col("valid_to").isNull)
+    val closed = scd.filter(col("valid_to").isNotNull)
+    val diff = Validators.snapshotDiff(
+      open.select(dataCols.map(col): _*), snap, keys, compareCols)
+    def ofStatus(statuses: String*) =
+      diff.filter(col("status").isin(statuses: _*)).select(keys.map(col): _*)
+    val keep = open.join(ofStatus("same"), keys)
+      .select(scd.columns.map(col): _*)
+    val close = open.join(ofStatus("changed", "removed"), keys)
+      .withColumn("valid_to", lit(ts))
+      .select(scd.columns.map(col): _*)
+    val opened = snap.join(ofStatus("changed", "added"), keys)
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .select(scd.columns.map(col): _*)
+    closed.unionByName(keep).unionByName(close).unionByName(opened)
+  }
+}

@@ -132,17 +132,26 @@ object SourceQueries {
   // deterministically (keys %97 removed, %101 repriced, %103 re-added
   // under shifted keys); the diff must classify every key exactly. The
   // oracle derives the statuses analytically from the same mutation rules.
-  private def q22SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.orders(spark, dir)
+  private def ordersSnapshotA(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-    val b = a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+
+  /** Snapshot B's deterministic mutations: keys %97 removed, %101 repriced,
+    * %103 re-added under shifted keys. Shared by q22 (detect) and q31
+    * (apply).
+    */
+  private def mutateOrders(a: DataFrame): DataFrame =
+    a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
       .withColumn("o_totalprice",
         when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + lit(1.0d))
           .otherwise(col("o_totalprice")))
       .unionByName(a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
         .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
           col("o_totalprice"), col("o_orderpriority")))
-    graft.operators.Validators.snapshotDiff(a, b,
+
+  private def q22SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = ordersSnapshotA(spark, dir)
+    graft.operators.Validators.snapshotDiff(a, mutateOrders(a),
         keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice", "o_orderpriority"))
       .filter(col("status") =!= "same")
   }
@@ -154,6 +163,50 @@ object SourceQueries {
       |WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
       |UNION ALL
       |SELECT o_orderkey + 1000000, 'added' FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
+
+  // ------------------------------------------------------------ q31_scd2
+  // The APPLY step of incremental sync (q22 detects, this folds): snapshot A
+  // initializes an SCD type-2 history, snapshot B's mutations must version
+  // it exactly — unchanged keys stay open since A, changed keys get a closed
+  // A-version plus an open B-version, removed keys close, re-added shifted
+  // keys open at B. The oracle derives the identical history from a generic
+  // full-outer join (not the planted rules), so the operator's semantics —
+  // not the test fixture — are what is being checked.
+  private def q31Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val a = ordersSnapshotA(spark, dir)
+    graft.operators.Scd2.merge(
+      graft.operators.Scd2.init(a, "2024-01-01"), mutateOrders(a),
+      keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice", "o_orderpriority"),
+      ts = "2024-02-01")
+  }
+
+  private val q31Scd2Sql =
+    """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+      |b AS (
+      | SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      | FROM orders WHERE o_orderkey % 97 != 0
+      | UNION ALL
+      | SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority
+      | FROM orders WHERE o_orderkey % 103 = 0),
+      |j AS (
+      | SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+      |  a.o_totalprice AS pa, a.o_orderpriority AS ra,
+      |  b.o_totalprice AS pb, b.o_orderpriority AS rb
+      | FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT ka AS o_orderkey, pa AS o_totalprice, ra AS o_orderpriority,
+      | '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      |FROM j WHERE ka IS NOT NULL AND kb IS NOT NULL
+      | AND pa IS NOT DISTINCT FROM pb AND ra IS NOT DISTINCT FROM rb
+      |UNION ALL
+      |SELECT ka, pa, ra, '2024-01-01', '2024-02-01'
+      |FROM j WHERE ka IS NOT NULL
+      | AND (kb IS NULL OR pa IS DISTINCT FROM pb OR ra IS DISTINCT FROM rb)
+      |UNION ALL
+      |SELECT kb, pb, rb, '2024-02-01', CAST(NULL AS VARCHAR)
+      |FROM j WHERE kb IS NOT NULL
+      | AND (ka IS NULL OR pa IS DISTINCT FROM pb OR ra IS DISTINCT FROM rb)""".stripMargin
 
   // ----------------------------------------------------------- q23_excel
   // Round-trip proof for the pure-JDK xlsx source/sink: write the documents
@@ -241,6 +294,7 @@ object SourceQueries {
     QueryDef("q23_excel", q23Excel, Some(q23ExcelSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
     QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),
-    QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql))
+    QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql)),
+    QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql))
   )
 }

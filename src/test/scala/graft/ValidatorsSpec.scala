@@ -83,6 +83,29 @@ class ValidatorsSpec extends AnyFunSuite {
     assert(uniq == Map("unique:k" -> 1L), uniq.toString)
   }
 
+  test("scd2 merge versions changes, closes deletions, re-opens re-added keys") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    val s1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val h1 = Scd2.init(s1, "d1")
+    // d2: k1 unchanged, k2 changed, k3 removed, k4 added
+    val s2 = Seq((1L, "a", 10.0), (2L, "B", 25.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val h2 = Scd2.merge(h1, s2, Seq("k"), Seq("s", "v"), "d2")
+    // d3: k3 re-appears with a new value — must open a fresh version
+    val s3 = Seq((1L, "a", 10.0), (2L, "B", 25.0), (4L, "d", 40.0), (3L, "c", 31.0))
+      .toDF("k", "s", "v")
+    val h3 = Scd2.merge(h2, s3, Seq("k"), Seq("s", "v"), "d3")
+    val rows = h3.as[(Long, String, Double, String, Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, "a", 10.0, "d1", None),           // never touched: open since d1
+      (2L, "b", 20.0, "d1", Some("d2")),     // superseded version, closed
+      (2L, "B", 25.0, "d2", None),           // current version
+      (3L, "c", 30.0, "d1", Some("d2")),     // deleted at d2
+      (3L, "c", 31.0, "d3", None),           // re-added at d3
+      (4L, "d", 40.0, "d2", None)            // added at d2
+    ), rows.toString)
+  }
+
   test("snapshotDiff classifies added, removed, changed and same keys") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("k", "s", "v")
