@@ -62,6 +62,63 @@ object Profiling {
     in.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-width value histogram over `[lo, hi]` — the distribution view a
+    * profiler reports next to min/max/mean (the reference's analyzers keep
+    * per-field stats; a histogram is the same single aggregation pass with
+    * a computed bucket key). Values outside the range are dropped (report
+    * them via [[numericProfile]]'s min/max first). One scan, one keyed
+    * aggregate over at most `nBuckets` groups — partial combine makes the
+    * exchange `nBuckets` rows per task at any table size.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol)
+    val bucket = least(floor((v - lo) / width), lit(nBuckets - 1)).cast(LongType)
+    df.filter(v.isNotNull && v >= lo && v <= hi)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
+  }
+
+  /** Exact Pearson correlation between two columns, engine-portably: the
+    * five moment sums accumulate as DECIMAL (exact, order-independent —
+    * a plain float `corr()` depends on partition addition order), and only
+    * the final closed-form expression runs in floating point. The double
+    * ops (*, -, /, sqrt) are IEEE-754 correctly-rounded everywhere, but an
+    * engine's decimal→double CAST may double-round (DuckDB's int128 path
+    * does), so cross-engine agreement is within 1 ulp — quantize through a
+    * DECIMAL render for an exact compare (see the p_corr query). One
+    * aggregation pass.
+    */
+  def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // DECIMAL(18,6) inputs keep every product at DECIMAL(37,12) — inside
+    // the 38-digit cap, so no precision-loss rescale (whose HALF_UP ties
+    // are not engine-portable) ever fires; all five sums stay EXACT
+    def d(c: Column) = c.cast(DecimalType(18, 6))
+    val x = col(xCol); val y = col(yCol)
+    val in = df.filter(x.isNotNull && y.isNotNull)
+    in.agg(
+        count(lit(1)).as("n"),
+        sum(d(x)).as("sx"),
+        sum(d(y)).as("sy"),
+        sum(d(x) * d(x)).as("sxx"),
+        sum(d(y) * d(y)).as("syy"),
+        sum(d(x) * d(y)).as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+          sqrt((col("n") * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            (col("n") * col("syy").cast(DoubleType) -
+              col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+          .as("corr"))
+  }
+
   /** Order-independent dataset checksum — the distributed analog of the
     * reference's ChecksumValidator/DigestHelpers file digests: per-row
     * xxhash64 over the selected columns, combined with commutative

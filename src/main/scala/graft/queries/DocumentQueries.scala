@@ -690,6 +690,61 @@ object DocumentQueries {
       | quantile_cont(n_chars, 0.99) AS p99
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ p_histogram
+  // Equi-width value distribution of order totals — one scan, one keyed agg
+  // over at most 20 groups (Profiling.histogram). Bucket bounds derive from
+  // the bucket id by the same double formula in both engines.
+  private def pHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.histogram(
+      Tables.orders(spark, dir), "o_totalprice", lo = 0.0, hi = 500000.0,
+      nBuckets = 20)
+
+  private val pHistogramSql =
+    """SELECT bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
+      | 0.0 + (bucket + 1) * 25000.0 AS bucket_hi, n
+      |FROM (
+      | SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 19) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      | FROM orders
+      | WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
+      | GROUP BY 1)""".stripMargin
+
+  // ----------------------------------------------------------------- p_corr
+  // Exact Pearson correlation between line-item quantity and price
+  // (Profiling.corrExact): moment sums accumulate as exact DECIMAL (order-
+  // independent, unlike a float corr()), and the closed form runs entirely
+  // in correctly-rounded double ops (*, -, /, sqrt) — bit-identical on both
+  // engines.
+  // The closed form is 1 ulp apart across engines (DuckDB's int128-decimal
+  // -> double cast double-rounds; Spark's BigDecimal path rounds once), so
+  // the QUERY quantizes the final float through DECIMAL(38,10) — granularity
+  // nine orders above the discrepancy — while the library operator stays
+  // full-precision.
+  private def pCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.corrExact(
+        Tables.lineitem(spark, dir), "l_quantity", "l_extendedprice")
+      .select(col("n"),
+        col("corr").cast(DecimalType(38, 10)).cast(DoubleType).as("corr"))
+
+  private val pCorrSql =
+    """WITH m AS (
+      | -- DECIMAL(19,6): one digit past int64 so DuckDB multiplies in
+      | -- int128 (18,6 operands overflow), product width 38 still legal;
+      | -- the sums stay exact, which is all the double render consumes
+      | SELECT COUNT(*) AS n,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+      |  SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+      | FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+      |SELECT n, CAST(CAST(
+      | (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      | AS DECIMAL(38,10)) AS DOUBLE) AS corr
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------ p_sketches
   // Approximate aggregation sketches (HyperLogLog++ count-distinct and
   // approximate quantiles). Sketch internals differ per engine, so no
@@ -730,6 +785,8 @@ object DocumentQueries {
     QueryDef("d_ann_sq8", dAnnSq8, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),
     QueryDef("d_fingerprint", dFingerprint, None),
+    QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
+    QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),
     QueryDef("p_completeness", pCompleteness, Some(pCompletenessSql))

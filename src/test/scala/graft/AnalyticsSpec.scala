@@ -83,6 +83,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(purchased.as[(Long, Long)].collect().toSet == Set((1L, 300L)))
   }
 
+  test("histogram buckets values equi-width, clamps the top edge, drops out-of-range") {
+    val df = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 9.9, 10.0, -1.0, 11.0).toDF("v")
+    val got = graft.operators.Profiling.histogram(df, "v", 0.0, 10.0, 5)
+      .as[(Long, Double, Double, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0.0, 2.0, 2L),   // 0.0, 1.0
+      (1L, 2.0, 4.0, 1L),   // 2.5
+      (2L, 4.0, 6.0, 2L),   // 4.9, 5.0
+      (4L, 8.0, 10.0, 2L)   // 9.9 and 10.0 (hi clamps into the last bucket)
+    ), got.toString)
+  }
+
+  test("corrExact is exactly 1 on linear data and sign-correct on inverse data") {
+    val lin = (1 to 20).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    val (n, c) = graft.operators.Profiling.corrExact(lin, "x", "y")
+      .as[(Long, Double)].collect()(0)
+    assert(n == 20L && c == 1.0, s"($n, $c)")
+    val inv = (1 to 20).map(i => (i.toDouble, -3.0 * i + 100)).toDF("x", "y")
+    val c2 = graft.operators.Profiling.corrExact(inv, "x", "y")
+      .as[(Long, Double)].collect()(0)._2
+    assert(c2 == -1.0, c2.toString)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     val dir = TestSpark.sf
     Seq("q29_fuzzy_link", "d_tfidf", "q30_funnel").foreach { name =>
