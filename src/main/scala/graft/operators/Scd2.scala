@@ -62,4 +62,18 @@ object Scd2 {
       .select(scd.columns.map(col): _*)
     closed.unionByName(keep).unionByName(close).unionByName(opened)
   }
+
+  /** SCD type-1 merge — the everyday `MERGE INTO target USING source WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`: source rows win on
+    * key match (no history kept), unmatched target rows pass through.
+    * One left-anti join on the keys plus a union; both sides hash-partition
+    * on the same keys, so at any scale this is a single co-partitioned
+    * shuffle pair and no wide row ships twice.
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.toSeq == source.columns.toSeq,
+      s"target/source columns must match: ${target.columns.toSeq} vs ${source.columns.toSeq}")
+    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(source)
+  }
 }

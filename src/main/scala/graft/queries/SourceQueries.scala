@@ -208,6 +208,35 @@ object SourceQueries {
       |FROM j WHERE kb IS NOT NULL
       | AND (ka IS NULL OR pa IS DISTINCT FROM pb OR ra IS DISTINCT FROM rb)""".stripMargin
 
+  // ---------------------------------------------------------- q32_upsert
+  // SCD type-1 merge (MERGE INTO): a DELTA of changes — repriced keys plus
+  // newly added shifted keys — upserts into the orders snapshot; updated
+  // keys must show the new price exactly once, inserts append, everything
+  // else passes through untouched.
+  private def q32Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val a = ordersSnapshotA(spark, dir)
+    val delta = a
+      .filter(pmod(col("o_orderkey"), lit(101)) === 0 &&
+        pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0d))
+      .unionByName(a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority")))
+    graft.operators.Scd2.upsert(a, delta, Seq("o_orderkey"))
+  }
+
+  private val q32UpsertSql =
+    """WITH d AS (
+      | SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+      | FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
+      | UNION ALL
+      | SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority
+      | FROM orders WHERE o_orderkey % 103 = 0)
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM d
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)""".stripMargin
+
   // ----------------------------------------------------------- q23_excel
   // Round-trip proof for the pure-JDK xlsx source/sink: write the documents
   // table (long free text — the hostile case for cell encoding/escaping) as
@@ -295,6 +324,7 @@ object SourceQueries {
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),
     QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),
     QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql)),
-    QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql))
+    QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql)),
+    QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql))
   )
 }

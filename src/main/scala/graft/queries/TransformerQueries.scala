@@ -266,7 +266,25 @@ object TransformerQueries {
       | 'tensei' AS source_system
       |FROM customer""".stripMargin
 
+  // ------------------------------------------------------ t_json_extract
+  // Semi-structured field extraction: parse the events stream's JSON props
+  // column with Spark's native from_json (schema'd struct, codegen'd Jackson
+  // parse; malformed rows surface as null, never an error) and type the
+  // extracted field. The mirror of t_to_json — together they round-trip
+  // structured <-> JSON, the format-bridging the reference's DFASDL
+  // transformers do per-field. Oracle: DuckDB json_extract_string.
+  private def tJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"))
+
+  private val tJsonExtractSql =
+    """SELECT event_id, event_type,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_json_extract", tJsonExtract, Some(tJsonExtractSql)),
     QueryDef("t_recipe_pipeline", tRecipe, Some(tRecipeSql)),
     QueryDef("t_concat", tConcat, Some(tConcatSql)),
     QueryDef("t_replace", tReplace, Some(tReplaceSql)),

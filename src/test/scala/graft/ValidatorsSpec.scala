@@ -106,6 +106,16 @@ class ValidatorsSpec extends AnyFunSuite {
     ), rows.toString)
   }
 
+  test("upsert overwrites matched keys, inserts new ones, passes the rest through") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val source = Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+    val got = Scd2.upsert(target, source, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")), got.toString)
+  }
+
   test("snapshotDiff classifies added, removed, changed and same keys") {
     import spark.implicits._
     val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("k", "s", "v")
