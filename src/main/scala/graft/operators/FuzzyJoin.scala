@@ -37,13 +37,26 @@ object FuzzyJoin {
                      right: DataFrame, rightId: String, rightText: String,
                      blockKey: Column => Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // hash-distribute the probe side by block key: when the other side
+    // broadcasts, the join output inherits THIS side's partitioning, and a
+    // narrow source (one file / one kafka partition) would funnel every
+    // within-block pair-scoring loop into a single task. The exchange
+    // carries only (id, text, block). The partition count is EXPLICIT
+    // because the expensive work (|block|² scoring) happens after this
+    // exchange: AQE sizes coalescing by the exchange's bytes, would see a
+    // few hundred KB and merge the scoring back into one task.
+    val parallelism = left.sparkSession.sparkContext.defaultParallelism
     val l = left.select(col(leftId).as("left_id"),
       col(leftText).as("__lt"), blockKey(col(leftText)).as("__blk"))
+      .repartition(parallelism, col("__blk"))
     val r = right.select(col(rightId).as("right_id"),
       col(rightText).as("__rt"), blockKey(col(rightText)).as("__blk"))
+    // thresholded levenshtein: banded DP + early exit, O(maxDist·n) per
+    // pair instead of O(n·m) — returns -1 past the threshold, the exact
+    // distance otherwise, so kept pairs carry the same dist value
     l.join(r, "__blk")
       .select(col("left_id"), col("right_id"),
-        levenshtein(col("__lt"), col("__rt")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__lt"), col("__rt"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 }
