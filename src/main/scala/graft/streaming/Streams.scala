@@ -223,6 +223,59 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming CDC apply: maintain a CURRENT-state parquet table from a
+    * stream of change rows (upserts). Each micro-batch first collapses its
+    * own rows to one winner per key — max `seqCol` wins, so out-of-order
+    * changes WITHIN a batch resolve deterministically — then merges into
+    * the target with [[graft.operators.Scd2.upsert]] semantics and
+    * atomically replaces the table (write new → swap). This is the
+    * continuous form of the reference's repeated source→target sync runs:
+    * the target always holds exactly the latest version of every key.
+    *
+    * Scale notes: the per-batch winner is one keyed aggregate over the
+    * (small) batch; the merge's anti-join prunes the target scan to its key
+    * columns. The local swap is two directory renames; on object storage
+    * the same shape is a transactional table format's commit (the swap is
+    * the only storage-specific piece).
+    */
+  def toUpsertSink(streamed: DataFrame, outDir: String, checkpointDir: String,
+                   keys: Seq[String], seqCol: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val keyCols = keys.map(col)
+        // latest change per key within the batch; seqCol must totally
+        // order a key's changes (ties pick an arbitrary row)
+        val winner = batch
+          .groupBy(keyCols: _*)
+          .agg(max_by(struct(batch.columns.map(col): _*), col(seqCol)).as("__w"))
+          .select(col("__w.*"))
+        val dir = new java.io.File(outDir)
+        val merged =
+          if (dir.exists()) {
+            val target = spark.read.parquet(outDir)
+            graft.operators.Scd2.upsert(
+              target.select(winner.columns.map(col): _*), winner, keys)
+          } else winner
+        val tmp = outDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        // two renames make the swap atomic enough for a local target; a
+        // lakehouse table format's commit replaces this on object stores
+        val old = new java.io.File(outDir + ".old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        if (dir.exists() && !dir.renameTo(old))
+          throw new java.io.IOException(s"cannot stage $outDir aside")
+        if (!new java.io.File(tmp).renameTo(dir))
+          throw new java.io.IOException(s"cannot publish $tmp")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Continuous JDBC sink via foreachBatch — the streaming form of the
     * reference's DatabaseWriterActor: each micro-batch writes as one batched
     * JDBC transaction set, per partition.

@@ -196,6 +196,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == nFirst + nFresh)
   }
 
+  test("toUpsertSink maintains exactly the latest version of every key") {
+    val in = Files.createTempDirectory("ups_in").toString
+    val out = Files.createTempDirectory("ups_sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("ups_ckpt").toString
+    // batch 1: two changes for k1 in ONE batch (seq 2 must win) + k2
+    Seq((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L)).toDF("k", "v", "seq")
+      .write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toUpsertSink(stream, out, ckpt, keys = Seq("k"), seqCol = "seq")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a2", 2L), (2L, "b", 1L)))
+    // batch 2 (checkpoint resumes — only new files): update k2, insert k3
+    Seq((2L, "B", 2L), (3L, "c", 1L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(in)
+    val q2 = Streams.toUpsertSink(stream, out, ckpt, keys = Seq("k"), seqCol = "seq")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
