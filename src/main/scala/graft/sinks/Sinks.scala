@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 
 /** Sink connectors — the Spark form of the reference writer stack
   * (/root/reference/src/main/scala/com/wegtam/tensei/agent/writers/
@@ -145,6 +145,46 @@ object Sinks {
     df.repartitionByRange(nFiles, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode(mode).parquet(path)
+  }
+
+  /** Z-ordered parquet layout for MULTI-dimensional scan pruning (the
+    * lakehouse `OPTIMIZE ZORDER BY` shape): [[writeSorted]] makes one
+    * column's file ranges disjoint but leaves every other column spanning
+    * its full range per file; interleaving the bits of two columns' scaled
+    * positions (a Morton curve) makes EACH file cover a compact rectangle
+    * in (x, y) space, so parquet min/max statistics prune files for
+    * filters on EITHER column — the layout a 100 TB table wants when two
+    * independent predicates matter.
+    *
+    * Cost shape: one tiny min/max aggregate (2 rows to the driver), then
+    * the same repartitionByRange + sortWithinPartitions as writeSorted on
+    * the computed z-value — no extra shuffle versus single-key layout. The
+    * z-value is a pure expression tree (shifts/masks/ors), fully codegen'd.
+    * Numeric columns only; 16 bits of resolution per dimension.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int, saveMode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions._
+    val Row(xLo, xHi, yLo, yHi) = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double")))
+      .collect()(0)
+    def scaled(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(floor((col(c).cast("double") - lo) / span * 65536.0), lit(65535.0))
+        .cast("long")
+    }
+    val x = scaled(xCol, xLo.asInstanceOf[Double], xHi.asInstanceOf[Double])
+    val y = scaled(yCol, yLo.asInstanceOf[Double], yHi.asInstanceOf[Double])
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(saveMode).parquet(path)
   }
 
   /** Excel .xlsx sink (the write direction of the reference's Excel

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Profiling, SkewJoin}
+import graft.operators.{Profiling, SkewJoin, Validators}
 import graft.sinks.Sinks
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -174,6 +174,39 @@ class ScaleSpec extends AnyFunSuite {
     ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
       assert(hi1 < lo2, s"file key ranges overlap: hi=$hi1 vs next lo=$lo2")
     }
+  }
+
+  test("writeZOrdered bounds per-file ranges on BOTH interleaved columns") {
+    val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    def spans(dir: String): Seq[(Double, Double)] = {
+      val g = spark.read.parquet(dir).agg(
+        (max("l_partkey") - min("l_partkey")).cast("double").as("pg"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double").as("sg"))
+        .as[(Double, Double)].collect()(0)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("l_partkey") - min("l_partkey")).cast("double").as("p"),
+          (max("l_suppkey") - min("l_suppkey")).cast("double").as("s"))
+        .select(col("p") / g._1, col("s") / g._2)
+        .as[(Double, Double)].collect().toSeq
+    }
+    val zOut = java.nio.file.Files.createTempDirectory("z_out").toString + "/t"
+    Sinks.writeZOrdered(src, zOut, "l_partkey", "l_suppkey", nFiles = 16)
+    val zSpans = spans(zOut)
+    assert(zSpans.length >= 8, s"expected many files, got ${zSpans.length}")
+    // single-key layout leaves the OTHER column spanning ~its full range
+    val sOut = java.nio.file.Files.createTempDirectory("z_cmp").toString + "/t"
+    Sinks.writeSorted(src, sOut, Seq("l_partkey"), nFiles = 16)
+    val sSpans = spans(sOut)
+    def avg(xs: Seq[Double]) = xs.sum / xs.length
+    val (zP, zS) = (avg(zSpans.map(_._1)), avg(zSpans.map(_._2)))
+    val sS = avg(sSpans.map(_._2))
+    // z-curve: BOTH dimensions compact per file; sorted: secondary ~full
+    assert(zP <= 0.6 && zS <= 0.6, s"z-order spans not compact: p=$zP s=$zS")
+    assert(zS < sS * 0.75, s"z-order should beat single-key on the secondary: $zS vs $sS")
+    // layout change must not change content
+    assert(Validators.contentMatches(spark.read.parquet(zOut), src,
+      Seq("l_partkey", "l_suppkey")))
   }
 
   test("salted skew join broadcasts the replicated dimension side (q27)") {
