@@ -13,7 +13,8 @@ object SparkEntry {
   /** All verifiable capabilities, grouped per SURVEY.md §2. */
   def registry: Seq[QueryDef] =
     Relational.defs ++ TransformerQueries.defs ++ DocumentQueries.defs ++
-      MiscQueries.defs ++ SourceQueries.defs ++ AnalyticsQueries.defs
+      MiscQueries.defs ++ SourceQueries.defs ++ AnalyticsQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -101,6 +101,34 @@ private[graft] object ShingleHashCompute {
     new GenericArrayData(out)
   }
 
+  /** Word n-gram TEXTS (space-joined, duplicates kept in position order) —
+    * the string companion of [[wordShingleHashes]]'s `distinct = false`
+    * mode, for operators that must RENDER grams (heavy-hitter reports):
+    * `xx(gramTexts(t, n)(i)) == wordShingleHashes(t, n, false, false)(i)`
+    * by construction, so a hash-phase can recover its texts exactly.
+    */
+  def wordNgramTexts(input: UTF8String, n: Int): GenericArrayData = {
+    val t = toks(input)
+    val count = math.max(t.length - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      if (n == 1) out(i) = UTF8String.fromString(t(i))
+      else {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(t(j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sorted distinct hashes of character n-grams over the normalized
     * (lowercased, whitespace-squeezed) text — parity with
     * `array_sort(hashArray(ngramsFromNormalized(normalizeWs(text), n)))`,
@@ -153,6 +181,27 @@ case class WordShingleHashExpr(child: Expression, k: Int, distinct: Boolean,
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/** `array<string>` of word n-gram texts, duplicates kept in position order —
+  * one fused per-row pass (see [[ShingleHashCompute.wordNgramTexts]]).
+  */
+case class WordNgramTextExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashCompute.wordNgramTexts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = "graft.functions.ShingleHashCompute"
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = $obj$$.MODULE$$.wordNgramTexts($in, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_texts"
+}
+
 /** Sorted distinct `array<long>` of char n-gram hashes of normalized text. */
 case class NGramHashExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -186,6 +235,15 @@ object ShingleHash {
     ColumnBridge.column(WordShingleHashExpr(
       ColumnBridge.expression(text), 2, distinct = false, sorted = false))
 
+  /** xxhash64 per word k-shingle with duplicates kept in position order —
+    * exactly `max(tokens - k + 1, 0)` entries, one per span start. The input
+    * for span-coverage metrics (duplicated-substring detection), where every
+    * POSITION matters, unlike the distinct-set builders above.
+    */
+  def positionShingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingleHashExpr(
+      ColumnBridge.expression(text), k, distinct = false, sorted = false))
+
   /** xxhash64 per distinct word k-shingle — MinHash / contamination input;
     * parity with `hashArray(shinglesFromTokens(tokens(text), k))`.
     */
@@ -199,4 +257,10 @@ object ShingleHash {
     */
   def ngramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(NGramHashExpr(ColumnBridge.expression(text), n))
+
+  /** Word n-gram texts, duplicates kept in position order; element-wise
+    * `xxhash64` parity with [[positionShingleHashes]].
+    */
+  def ngramTexts(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramTextExpr(ColumnBridge.expression(text), n))
 }

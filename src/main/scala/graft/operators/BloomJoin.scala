@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.functions.BloomExpr
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Explicit Bloom-filter join pruning — the runtime-filter shape that makes
+  * selective fact-dim joins survive 100 TB: when the build side matches only
+  * a sliver of the probe side's keys, shuffling the whole probe side just to
+  * drop 99% of it in the join is the dominant cost. A Bloom filter over the
+  * build keys, broadcast to the probe scan, drops non-matching rows
+  * MAP-SIDE — before the exchange — so shuffle volume scales with the match
+  * rate, not the table size.
+  *
+  * Spark's own `InjectRuntimeFilter` does this opportunistically but
+  * conservatively (creation-side thresholds, one filter per query, no
+  * user control); this operator is the explicit form: the caller knows the
+  * build side is selective and sizes the filter.
+  *
+  * Sizing: the filter costs ~1.2 bytes/key at 1% fpp. It is merged on the
+  * driver and torrent-broadcast once — the same lifecycle as Spark's own
+  * runtime filters. False positives only cost wasted shuffle rows; the
+  * subsequent join keeps results EXACT.
+  */
+object BloomJoin {
+
+  /** Rows of `probe` whose `probeKey` might appear in `build`'s `buildKey`
+    * (exactly all matching rows, plus ~`fpp` of the rest). The filter build
+    * is one distributed aggregate over `build`; the probe filter is a
+    * codegen'd map-side predicate.
+    */
+  def prefilter(probe: DataFrame, probeKey: String,
+                build: DataFrame, buildKey: String,
+                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val handle = probe.sparkSession.sparkContext.broadcast(bf)
+    probe.filter(BloomExpr.mightContain(col(probeKey), handle))
+  }
+
+  /** Inner equi-join with the probe side Bloom-pruned first. Semantically
+    * identical to `probe.join(build, probeKey === buildKey)` — the join
+    * removes Bloom false positives — but the probe exchange only carries
+    * likely-matching rows.
+    */
+  def innerPrefiltered(probe: DataFrame, probeKey: String,
+                       build: DataFrame, buildKey: String,
+                       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val pruned = prefilter(probe, probeKey, build, buildKey, expectedKeys, fpp)
+    pruned.join(build, pruned(probeKey) === build(buildKey))
+  }
+}

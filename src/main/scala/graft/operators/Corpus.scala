@@ -87,6 +87,69 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Corpus-wide top-`k` most frequent word `n`-grams — the heavy-hitters
+    * report a curation pipeline runs to spot boilerplate and template text
+    * (and the exact companion to sketch-based heavy hitters). Tokens are
+    * lowercased whitespace words; ties break on the n-gram text so the
+    * cutoff is fully deterministic.
+    *
+    * 100 TB shape, two phases: (1) grams hash map-side in one fused codegen
+    * pass, so the counting exchange carries only partial-combined
+    * `(hash, count)` pairs — never gram text (at corpus scale most grams
+    * are unique, so a text-keyed count would shuffle the corpus); the
+    * boundary count of the k-th hash comes back as one scalar. (2) a second
+    * scan recovers the texts of just the ≥-boundary candidates
+    * (`xxhash64(gram) == fused hash` by construction), recounts that tiny
+    * set exactly, and applies the text tie-break. Two scans, both bounded
+    * exchanges — the right trade for a report whose output must be text.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    import graft.functions.ShingleHash
+    val hashes = df.select(
+      explode(ShingleHash.positionShingleHashes(col(textCol), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    // boundary: the count of the k-th most frequent hash (one scalar back
+    // to the driver; ties at the boundary are all admitted as candidates
+    // so the text tie-break below sees every contender)
+    val boundary = hashes.orderBy(col("cnt").desc).limit(k)
+      .agg(min(col("cnt"))).collect()(0)
+    if (boundary.isNullAt(0)) return df.sparkSession.emptyDataFrame
+      .select(lit("").as("ngram"), lit(0L).as("cnt")).limit(0)
+    val cutoff = boundary.getLong(0)
+    val candidates = hashes.filter(col("cnt") >= cutoff).select("h")
+    val grams = df.select(explode(ShingleHash.ngramTexts(col(textCol), n)).as("ngram"))
+    grams.join(broadcast(candidates), xxhash64(col("ngram")) === col("h"), "left_semi")
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Inverted index: token → document frequency + comma-joined sorted
+    * posting list. `minDf`/`maxDf` bound the emitted terms the way a real
+    * index drops hapaxes and stop-words — at corpus scale an uncapped
+    * posting list for "the" is a single monster row, so the cap is part of
+    * the operator, not a test convenience. Tokens are lowercased maximal
+    * `[a-z]+` runs of at least `minTokenLen` chars (same tokenizer as
+    * [[tfIdfTopK]]).
+    *
+    * 100 TB shape: per-document distinct tokens explode map-side; the group
+    * is one keyed aggregate whose per-term state is bounded by `maxDf`
+    * postings (the HAVING-style df filter applies after the count, but rows
+    * beyond maxDf only cost their partial lists, never a global structure).
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxDf: Long, minTokenLen: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(lower(col(textCol)), "[^a-z]+"))).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+    tok.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string")), ",").as("postings"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+  }
+
   /** Per-document top-`k` keyword extraction by tf/df weight — the
     * distinctive-term summary a curation pipeline attaches to each document
     * (topic tagging, mixture diagnostics, cluster labeling).

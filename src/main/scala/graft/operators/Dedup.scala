@@ -198,6 +198,41 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Cross-document duplicated-SPAN coverage: for every document, how many
+    * of its word `k`-shingle positions are covered by a span that also
+    * occurs in at least one OTHER document. This is the per-document signal
+    * behind substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): document-level near-dup misses
+    * the long quoted block two otherwise-different pages share, while span
+    * coverage surfaces exactly that.
+    *
+    * Shape: spans hash map-side in one fused codegen pass
+    * ([[graft.functions.ShingleHash.positionShingleHashes]] — duplicates
+    * kept, one hash per span START), so the first exchange carries
+    * `(id, hash)` 16-byte pairs, never text; the span document-frequency is
+    * a partial-combined aggregate on the 8-byte hash; and the coverage
+    * attach is an equi-join on that hash. Nothing in the plan ever holds a
+    * span string. A cross-document 64-bit collision can only nudge a
+    * coverage COUNT (never fabricate a pair), at ~2⁻⁶⁴ per span pair.
+    *
+    * Returns (`idCol`, n_spans, dup_spans, dup_pm) — documents shorter than
+    * `k` tokens have no spans and are absent, mirroring how the chunked
+    * rewrite step skips them.
+    */
+  def duplicatedSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+                             k: Int): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleHash.positionShingleHashes(col(textCol), k)).as("h"))
+    val docFreq = spans.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("__ndocs"))
+    spans.join(docFreq, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("id").as(idCol), col("n_spans"), col("dup_spans"),
+        expr("dup_spans * 1000 div n_spans").as("dup_pm"))
+  }
+
   /** Resolve near-duplicate PAIRS into connected components — the cluster
     * step every production dedup pipeline runs after candidate scoring
     * (pairs alone under-delete: A~B and B~C must collapse to one cluster

@@ -144,6 +144,20 @@ object Profiling {
     case other    => throw new IllegalArgumentException(s"unknown algo: $other")
   }
 
+  /** Most frequent value of a column with a fully deterministic tie-break
+    * (count desc, then value asc) — the mode statistic of a profiling
+    * report. One partial-combined aggregate then a 1-row
+    * `TakeOrderedAndProject`; no global sort. Output:
+    * (col_name, value, n) with the value rendered as string so modes of
+    * different columns union into one report.
+    */
+  def columnMode(df: DataFrame, colName: String): DataFrame =
+    df.groupBy(col(colName).cast(org.apache.spark.sql.types.StringType).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(1)
+      .select(lit(colName).as("col_name"), col("value"), col("n"))
+
   /** Null/completeness profile — the reference's SyntaxValidator-style
     * sanity pass over every column.
     */

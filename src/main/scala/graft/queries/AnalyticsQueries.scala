@@ -1,9 +1,11 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Corpus, FuzzyJoin}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Corpus, FuzzyJoin, Profiling}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Round-5 analytics surfaces: blocked fuzzy record linkage, per-document
   * keyword extraction, and sequential funnel analysis — each with an exact
@@ -119,9 +121,130 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p""".stripMargin
 
+  // ------------------------------------------------- q25_grouping_sets
+  // GROUPING SETS with grouping_id — the multi-granularity report shape
+  // between q13's rollup and q16's pivot. Decimal-exact sums per the §6
+  // discipline; gid disambiguates which set produced each row (Spark's
+  // grouping_id() and DuckDB's GROUPING() share the Postgres bit
+  // convention: leftmost column = most significant bit).
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def decToDouble(c: Column): Column =
+    c.cast(DecimalType(38, 4)).cast(DoubleType)
+
+  private def q25GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(decToDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast(LongType).as("gid"))
+
+  private val q25GroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  // ----------------------------------------------------- q33_lead_lag
+  // Offset window functions (the one window family q9/q17 left uncovered):
+  // per-user event inter-arrival gaps via lag over (time, event_id) — the
+  // unique event_id tie-break makes first-row NULLs and every gap
+  // deterministic on both engines.
+  private def q33LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("gap_us", col("us") - col("prev_us"))
+  }
+
+  private val q33LeadLagSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+      |SELECT user_id, event_id, us,
+      | LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us,
+      | us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------- p_mode
+  // Column mode with a deterministic tie-break (count desc, value asc) —
+  // one partial-combined aggregate + a 1-row TakeOrdered per column.
+  private def pMode(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    Profiling.columnMode(orders, "o_orderpriority")
+      .unionByName(Profiling.columnMode(orders, "o_orderstatus"))
+  }
+
+  private val pModeSql =
+    """SELECT * FROM (
+      | SELECT 'o_orderpriority' AS col_name, CAST(o_orderpriority AS VARCHAR) AS value, COUNT(*) AS n
+      | FROM orders GROUP BY 2 ORDER BY n DESC, value LIMIT 1)
+      |UNION ALL
+      |SELECT * FROM (
+      | SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS value, COUNT(*) AS n
+      | FROM orders GROUP BY 2 ORDER BY n DESC, value LIMIT 1)""".stripMargin
+
+  // ----------------------------------------------------- q34_bloom_join
+  // Explicit Bloom-pruned fact-dim join: the build side (top ~4% of orders
+  // by price) is selective, so the Bloom prefilter drops most lineitem rows
+  // MAP-SIDE, before the join exchange. The join removes Bloom false
+  // positives, so the oracle is simply the plain join — pinning exact
+  // equivalence, like q27 does for salting.
+  private def q34BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 480000.0)
+      .select("o_orderkey", "o_totalprice")
+    val probe = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    graft.operators.BloomJoin
+      .innerPrefiltered(probe, "l_orderkey", build, "o_orderkey",
+        expectedKeys = 20000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_totalprice"))
+  }
+
+  private val q34BloomJoinSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 480000.0""".stripMargin
+
+  // ------------------------------------------------------ q35_retention
+  // Cohort retention: users grouped by first-active date; day-0/1/7
+  // return rates. Three keyed aggregates + one equi-join on user — the
+  // standard product-analytics report, no windows anywhere.
+  private def q35Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("d0"))
+    val activity = ev.distinct()
+    activity.join(cohort, "user_id")
+      .select(col("d0"), datediff(col("d"), col("d0")).cast(LongType).as("day_n"),
+        col("user_id"))
+      .filter(col("day_n").isin(0L, 1L, 7L))
+      .groupBy("d0", "day_n")
+      .agg(count_distinct(col("user_id")).as("users"))
+  }
+
+  private val q35RetentionSql =
+    """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1)
+      |SELECT d0, CAST(date_diff('day', d0, d) AS BIGINT) AS day_n,
+      | CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+      |FROM e JOIN c USING (user_id)
+      |WHERE date_diff('day', d0, d) IN (0, 1, 7)
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),
     QueryDef("d_tfidf", dTfidf, Some(dTfidfSql)),
-    QueryDef("q30_funnel", q30Funnel, Some(q30FunnelSql))
+    QueryDef("q30_funnel", q30Funnel, Some(q30FunnelSql)),
+    QueryDef("q25_grouping_sets", q25GroupingSets, Some(q25GroupingSetsSql)),
+    QueryDef("q33_lead_lag", q33LeadLag, Some(q33LeadLagSql)),
+    QueryDef("p_mode", pMode, Some(pModeSql)),
+    QueryDef("q34_bloom_join", q34BloomJoin, Some(q34BloomJoinSql)),
+    QueryDef("q35_retention", q35Retention, Some(q35RetentionSql))
   )
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Corpus, Dedup, Embeddings}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surfaces added late in round 5: heavy-hitter n-grams,
+  * an inverted index, per-row-weight deterministic sampling, cross-document
+  * duplicated-span coverage, and fixed-point embedding centroids — each with
+  * an exact DuckDB oracle.
+  */
+object CurationQueries {
+
+  // ------------------------------------------------------- d_top_ngrams
+  // Corpus-wide top-20 word bigrams (boilerplate/template detection). Ties
+  // break on the n-gram text so the cutoff is deterministic; the tail is
+  // TakeOrderedAndProject, never a global sort.
+  private def dTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    Corpus.topNgrams(Tables.documents(spark, dir), "text", n = 2, k = 20)
+
+  private val dTopNgramsSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |g AS (
+      | SELECT u.bg FROM t,
+      |  UNNEST(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))) AS u(bg)
+      | WHERE len(toks) >= 2)
+      |SELECT bg AS ngram, COUNT(*) AS cnt FROM g
+      |GROUP BY bg ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+
+  // --------------------------------------------------- d_inverted_index
+  // token → document frequency + sorted posting list, hapaxes and
+  // stop-word-frequency terms dropped (df bounds are part of the operator:
+  // an uncapped posting list for "the" is a single monster row at scale).
+  private def dInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(Tables.documents(spark, dir), "doc_id", "text",
+      minDf = 50L, maxDf = 400L)
+
+  private val dInvertedIndexSql =
+    """WITH tok AS (
+      | SELECT DISTINCT doc_id, t AS token FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |  FROM documents)
+      | WHERE length(t) >= 3)
+      |SELECT token, COUNT(*) AS df,
+      | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM tok GROUP BY token
+      |HAVING COUNT(*) >= 50 AND COUNT(*) <= 400""".stripMargin
+
+  // -------------------------------------------------- d_weighted_sample
+  // Per-row-weight Bernoulli sampling, deterministically: longer documents
+  // keep with higher probability (the length-proportional thinning a
+  // token-budgeted mixture uses). Same Knuth multiplicative hash as
+  // d_stratified_sample, so the selected row set is engine-, run-, and
+  // partitioning-independent.
+  private def dWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val perMille = least(expr("n_chars div 2"), lit(900L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .filter(Corpus.hashModKeep(col("doc_id"), perMille))
+  }
+
+  private val dWeightedSampleSql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE (doc_id * 2654435761 % 1000003) % 1000 < least(n_chars // 2, 900)""".stripMargin
+
+  // ------------------------------------------------- d_substring_dedup
+  // Cross-document duplicated-span coverage (the substring-level dedup
+  // signal): per document, how many word 5-shingle positions are covered by
+  // a span occurring in ≥2 documents. Every 7th document gets a planted
+  // boilerplate sentence (identically in the oracle) so shared spans exist
+  // by construction; the operator hashes spans map-side and never shuffles
+  // text.
+  private val plantedFooter = " subscribe to our newsletter for updates today"
+
+  private def dSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(plantedFooter)))
+        .otherwise(col("text")).as("text"))
+    Dedup.duplicatedSpanCoverage(docs, "text", "doc_id", k = 5)
+  }
+
+  private val dSubstringDedupSql =
+    """WITH d AS (
+      | SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |  THEN text || ' subscribe to our newsletter for updates today'
+      |  ELSE text END AS text
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM d),
+      |sp AS (
+      | SELECT doc_id, u.g FROM t,
+      |  UNNEST(list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))) AS u(g)
+      | WHERE len(toks) >= 5),
+      |f AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM sp GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      | CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+      | CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS dup_pm
+      |FROM sp JOIN f USING (g) GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- d_embed_centroid
+  // Per-label embedding centroids in fixed point: each element contributes
+  // floor(v·2^20) as a 64-bit integer, so the sums are exact and
+  // order-independent — the one way a float centroid can hash-match across
+  // engines and partitionings.
+  private def dEmbedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.centroidsFixedPoint(
+      Tables.embeddings(spark, dir), "embedding", "label", scaleBits = 20)
+
+  private val dEmbedCentroidSql =
+    """WITH e AS (
+      | SELECT CAST(label AS BIGINT) AS label, CAST(u.i AS BIGINT) AS pos,
+      |  CAST(FLOOR(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE) * 1048576) AS BIGINT) AS fp
+      | FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+      |s AS (
+      | SELECT label, pos, COUNT(*) AS n, CAST(SUM(fp) AS BIGINT) AS sum_fp
+      | FROM e GROUP BY label, pos)
+      |SELECT label, pos, n, sum_fp,
+      | CAST(FLOOR(CAST(sum_fp AS DOUBLE) / n) AS BIGINT) AS mean_fp
+      |FROM s""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_top_ngrams", dTopNgrams, Some(dTopNgramsSql)),
+    QueryDef("d_inverted_index", dInvertedIndex, Some(dInvertedIndexSql)),
+    QueryDef("d_weighted_sample", dWeightedSample, Some(dWeightedSampleSql)),
+    QueryDef("d_substring_dedup", dSubstringDedup, Some(dSubstringDedupSql)),
+    QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql))
+  )
+}

@@ -132,6 +132,26 @@ object Sinks {
     nFiles
   }
 
+  /** Dynamic partition overwrite: replace ONLY the hive-style partitions
+    * present in `df`, leaving every other partition untouched — the
+    * idempotent daily-reprocess shape for a date-partitioned 100 TB table
+    * (re-running yesterday's batch must not truncate the other 3,650
+    * days, which is exactly what static overwrite mode does). Scoped
+    * conf: the session's partitionOverwriteMode is restored afterwards.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Range-partitioned, sorted parquet layout: rows land in `nFiles` files
     * with pairwise-disjoint key ranges (repartitionByRange) and sorted
     * row groups inside each (sortWithinPartitions), so parquet min/max

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Embeddings, Profiling}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Late-round-5 curation operators: heavy-hitter n-grams, inverted index,
+  * duplicated-span coverage, fixed-point centroids, column mode.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("topNgrams counts, orders, and tie-breaks deterministically") {
+    val df = Seq(
+      "a b a b c",   // bigrams: "a b", "b a", "a b", "b c"
+      "a b x",       // "a b", "b x"
+      "zz"           // too short for bigrams
+    ).toDF("text")
+    val top = Corpus.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)),
+      s"got $top") // ties (1,1,1) break on text: "b a" < "b c" < "b x"
+  }
+
+  test("invertedIndex: sorted postings, df bounds drop hapaxes and stop-terms") {
+    val df = Seq(
+      (3L, "apple banana stopper"),
+      (1L, "apple stopper"),
+      (2L, "apple cherry stopper")
+    ).toDF("id", "text")
+    val idx = Corpus.invertedIndex(df, "id", "text", minDf = 2L, maxDf = 2L)
+      .as[(String, Long, String)].collect()
+    // apple df=3 exceeds maxDf, banana/cherry df=1 below minDf, stopper df=3 out
+    assert(idx.isEmpty)
+    val idx2 = Corpus.invertedIndex(df, "id", "text", minDf = 2L, maxDf = 3L)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(idx2 == Map("apple" -> (3L, "1,2,3"), "stopper" -> (3L, "1,2,3")))
+  }
+
+  test("duplicatedSpanCoverage marks exactly the shared spans") {
+    val shared = "one two three four five" // a single 5-token span
+    val df = Seq(
+      (1L, s"alpha beta $shared"),         // 3 spans, 1 shared
+      (2L, s"$shared gamma delta"),        // 3 spans, 1 shared
+      (3L, "totally different words here entirely now"), // 6 tokens → 2 spans, 0 shared
+      (4L, "too short")                    // < 5 tokens: absent
+    ).toDF("doc_id", "text")
+    val cov = Dedup.duplicatedSpanCoverage(df, "text", "doc_id", k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(cov == Seq((1L, 3L, 1L, 333L), (2L, 3L, 1L, 333L), (3L, 2L, 0L, 0L)),
+      s"got $cov")
+  }
+
+  test("centroidsFixedPoint is exact and partitioning-independent") {
+    val df = Seq(
+      (0, Array(1.0f, -0.5f)),
+      (0, Array(2.0f, 0.25f)),
+      (1, Array(-1.0f, 0.0f))
+    ).toDF("label", "vec")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.centroidsFixedPoint(d, "vec", "label", scaleBits = 2)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val got = run(df)
+    // scale 4: floor(1.0*4)=4, floor(2.0*4)=8 → sum 12, mean 6
+    //          floor(-0.5*4)=-2, floor(0.25*4)=1 → sum -1, mean floor(-0.5)=-1
+    //          floor(-1.0*4)=-4 → mean -4
+    assert(got == Seq(
+      (0L, 0L, 2L, 12L, 6L), (0L, 1L, 2L, -1L, -1L),
+      (1L, 0L, 1L, -4L, -4L), (1L, 1L, 1L, 0L, 0L)), s"got $got")
+    assert(got == run(df.repartition(5)), "must not depend on partitioning")
+  }
+
+  test("columnMode tie-breaks on value ascending") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("v")
+    val m = Profiling.columnMode(df, "v").as[(String, String, Long)].collect().head
+    assert(m == ("v", "a", 2L)) // a and b tie at 2; a wins
+  }
+}

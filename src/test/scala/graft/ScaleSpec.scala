@@ -14,6 +14,55 @@ class ScaleSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = TestSpark.sf
 
+  test("bloom prefilter prunes map-side, keeps the join exact") {
+    import graft.operators.BloomJoin
+    val probe = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    val build = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 480000.0).select("o_orderkey")
+    val plain = probe.join(build, col("l_orderkey") === col("o_orderkey"))
+    val bloomed = BloomJoin.innerPrefiltered(
+      probe, "l_orderkey", build, "o_orderkey", expectedKeys = 20000L)
+    // exact: the join removes bloom false positives
+    assert(bloomed.count() == plain.count())
+    // the prefilter really prunes: far fewer probe rows survive than exist
+    val pruned = BloomJoin.prefilter(
+      probe, "l_orderkey", build, "o_orderkey", expectedKeys = 20000L).count()
+    val total = probe.count()
+    assert(pruned < total / 2, s"bloom kept $pruned of $total probe rows")
+    // and it prunes BELOW the exchange: the probe side's shuffle input must
+    // carry the bloom predicate (string-pinned — collect() cannot traverse
+    // an unfinalized AdaptiveSparkPlanExec)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = BloomJoin.innerPrefiltered(probe, "l_orderkey", build,
+        "o_orderkey", expectedKeys = 20000L).queryExecution.executedPlan.toString
+      val underExchange =
+        "Exchange hashpartitioning\\(l_orderkey[\\s\\S]*?bloom_might_contain".r
+          .findFirstIn(plan).isDefined
+      assert(underExchange, s"bloom filter not below the probe exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("overwritePartitions replaces only the partitions present in the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("dynpart").toString + "/t"
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .toDF("id", "day", "v")
+    Sinks.overwritePartitions(day1, dir, Seq("day"))
+    // reprocess day 2 only, with corrected values + an extra row
+    val day2fix = Seq((2L, "2024-01-02", 21.0), (3L, "2024-01-02", 22.0))
+      .toDF("id", "day", "v")
+    Sinks.overwritePartitions(day2fix, dir, Seq("day"))
+    val got = spark.read.parquet(dir).select("id", "day", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    // day 1 untouched; day 2 fully replaced by the new batch
+    assert(got == Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 21.0),
+      (3L, "2024-01-02", 22.0)), s"got $got")
+    // conf restored
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
   test("salted skew join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")

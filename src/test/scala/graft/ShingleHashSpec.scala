@@ -80,6 +80,18 @@ class ShingleHashSpec extends AnyFunSuite {
     assert(fused == hof)
   }
 
+  test("ngramTexts: xxhash64 of each text == positionShingleHashes, all edge cases") {
+    for (n <- Seq(1, 2, 5)) {
+      val rows = samples
+        .select(ShingleHash.ngramTexts(col("t"), n).as("texts"),
+          ShingleHash.positionShingleHashes(col("t"), n).as("hashes"))
+        .select(transform(col("texts"), g => xxhash64(g)).as("rehashed"),
+          col("hashes"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (re, h) => assert(re == h, s"n=$n") }
+    }
+  }
+
   test("null text yields null, not a crash") {
     val r = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
       .select(ShingleHash.wordShingleHashes(col("t"), 3).as("a"),
