@@ -36,7 +36,13 @@ object GraftFunctions {
     "sq8_cosine" -> (exprs => Sq8CosineExpr(exprs(0), exprs(1))),
     // round-4: unicode canonicalization (same names DuckDB/utf8proc use)
     "nfc_normalize" -> (exprs => UnicodeNormalizeExpr(exprs(0), "NFC")),
-    "nfkc_normalize" -> (exprs => UnicodeNormalizeExpr(exprs(0), "NFKC"))
+    "nfkc_normalize" -> (exprs => UnicodeNormalizeExpr(exprs(0), "NFKC")),
+    // round-5: heavy-hitter support — n-gram texts (hash parity with
+    // position_shingle_hashes via xxhash64) and position-kept shingle hashes
+    "ngram_texts" -> (exprs =>
+      WordNgramTextExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    "position_shingle_hashes" -> (exprs => WordShingleHashExpr(exprs(0),
+      exprs(1).eval().asInstanceOf[Int], distinct = false, sorted = false))
   )
 
   def register(spark: SparkSession): Unit = {

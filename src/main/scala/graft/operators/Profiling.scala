@@ -144,6 +144,36 @@ object Profiling {
     case other    => throw new IllegalArgumentException(s"unknown algo: $other")
   }
 
+  /** Per-group sigma-distance outliers with EXACT arithmetic: flags rows
+    * where `|x − mean| > (mNum/mDen)·σ` (population σ), computed entirely
+    * in decimals so the flag set is identical on every engine and
+    * partitioning — no sqrt, no division, no float accumulation. The
+    * predicate compares squares: `mDen²·(n·x − s)² > mNum²·(n·s2 − s²)`,
+    * where s/s2 are the exact decimal sum and sum-of-squares.
+    *
+    * `valueCol` must already be an exact DECIMAL(12,2) (money-style)
+    * column; the intermediate widths hold for |x| < 10¹⁰ and up to ~10⁶
+    * rows per group — beyond that, widen the casts. One partial-combined
+    * moment aggregate (3 values per group) broadcast back; the flag is a
+    * codegen'd per-row predicate, so the whole operator is one scan plus
+    * one broadcast join.
+    */
+  def outliersBySigma(df: DataFrame, valueCol: String, groupCol: String,
+                      mNum: Int, mDen: Int): DataFrame = {
+    val x = col(valueCol)
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(DecimalType(10, 0)).as("__n"),
+      sum(x).cast(DecimalType(18, 2)).as("__s"),
+      sum((x * x).cast(DecimalType(25, 4))).cast(DecimalType(26, 4)).as("__s2"))
+    val d1 = (col("__n") * x - col("__s")).cast(DecimalType(18, 2))
+    val dd = (col("__n") * col("__s2") - col("__s") * col("__s"))
+      .cast(DecimalType(34, 4))
+    df.join(broadcast(moments), groupCol)
+      .filter(d1 * d1 * lit(mDen * mDen).cast(DecimalType(4, 0)) >
+        dd * lit(mNum * mNum).cast(DecimalType(4, 0)))
+      .drop("__n", "__s", "__s2")
+  }
+
   /** Most frequent value of a column with a fully deterministic tie-break
     * (count desc, then value asc) — the mode statistic of a profiling
     * report. One partial-combined aggregate then a 1-row

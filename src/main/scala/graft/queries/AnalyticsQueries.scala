@@ -237,6 +237,64 @@ object AnalyticsQueries {
       |WHERE date_diff('day', d0, d) IN (0, 1, 7)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ q36_gap_fill
+  // Time-series resample: per-user daily totals densified to every day in
+  // the user's active span, gaps forward-filled with the last observed
+  // total. Daily totals sum in exact decimal (so the forward-filled copies
+  // are bit-identical on both engines); the spine generates from a per-key
+  // min/max agg, never the driver.
+  private def q36GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .groupBy("user_id", "d")
+      .agg(decToDouble(sum(dec(col("value")))).as("v"))
+    graft.operators.TimeSeries.gapFillDaily(daily, "user_id", "d", "v")
+  }
+
+  private val q36GapFillSql =
+    """WITH daily AS (
+      | SELECT user_id, CAST(ts AS DATE) AS d,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS v
+      | FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+      |spine AS (
+      | SELECT user_id, CAST(u.day AS DATE) AS d
+      | FROM span, UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(day)),
+      |j AS (SELECT spine.user_id, spine.d, daily.v
+      |      FROM spine LEFT JOIN daily ON spine.user_id = daily.user_id AND spine.d = daily.d)
+      |SELECT user_id, d,
+      | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_v,
+      | CAST(v IS NULL AS BIGINT) AS is_gap
+      |FROM j""".stripMargin
+
+  // ------------------------------------------------------- p_outliers
+  // Group-wise sigma-distance outliers (|x − mean| > 1.5σ) with the flag
+  // computed ENTIRELY in exact decimals — compare squares, no sqrt or
+  // division — so a row's outlier status is engine- and order-independent.
+  // DuckDB note: operands must be ≥ DECIMAL(19) where a product exceeds 18
+  // digits, or it multiplies in int64 and overflows.
+  private def pOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("x"))
+    Profiling.outliersBySigma(o, "x", "o_orderpriority", mNum = 3, mDen = 2)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("x").cast(DoubleType).as("o_totalprice"))
+  }
+
+  private val pOutliersSql =
+    """WITH o AS (SELECT o_orderkey, o_orderpriority,
+      |            CAST(o_totalprice AS DECIMAL(12,2)) AS x FROM orders),
+      |m AS (SELECT o_orderpriority, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+      |       CAST(SUM(x) AS DECIMAL(19,2)) AS s,
+      |       CAST(SUM(CAST(x*x AS DECIMAL(25,4))) AS DECIMAL(26,4)) AS s2
+      |      FROM o GROUP BY 1)
+      |SELECT o_orderkey, o_orderpriority, CAST(x AS DOUBLE) AS o_totalprice
+      |FROM o JOIN m USING (o_orderpriority)
+      |WHERE CAST(n*x - s AS DECIMAL(19,2)) * CAST(n*x - s AS DECIMAL(19,2)) * 4
+      |      > CAST(n*s2 - s*s AS DECIMAL(34,4)) * 9""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),
     QueryDef("d_tfidf", dTfidf, Some(dTfidfSql)),
@@ -245,6 +303,8 @@ object AnalyticsQueries {
     QueryDef("q33_lead_lag", q33LeadLag, Some(q33LeadLagSql)),
     QueryDef("p_mode", pMode, Some(pModeSql)),
     QueryDef("q34_bloom_join", q34BloomJoin, Some(q34BloomJoinSql)),
-    QueryDef("q35_retention", q35Retention, Some(q35RetentionSql))
+    QueryDef("q35_retention", q35Retention, Some(q35RetentionSql)),
+    QueryDef("q36_gap_fill", q36GapFill, Some(q36GapFillSql)),
+    QueryDef("p_outliers", pOutliers, Some(pOutliersSql))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Corpus, Dedup, Embeddings, Profiling}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Late-round-5 curation operators: heavy-hitter n-grams, inverted index,
@@ -69,6 +70,38 @@ class CurationSpec extends AnyFunSuite {
       (0L, 0L, 2L, 12L, 6L), (0L, 1L, 2L, -1L, -1L),
       (1L, 0L, 1L, -4L, -4L), (1L, 1L, 1L, 0L, 0L)), s"got $got")
     assert(got == run(df.repartition(5)), "must not depend on partitioning")
+  }
+
+  test("gapFillDaily densifies spans and forward-fills") {
+    val df = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0),
+      (2L, "2024-02-01", 5.0)
+    ).toDF("k", "d", "v").withColumn("d", to_date(col("d")))
+    val got = graft.operators.TimeSeries.gapFillDaily(df, "k", "d", "v")
+      .select(col("k"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("filled_v"), col("is_gap"))
+      .as[(Long, String, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01", 10.0, 0L), (1L, "2024-01-02", 10.0, 1L),
+      (1L, "2024-01-03", 10.0, 1L), (1L, "2024-01-04", 40.0, 0L),
+      (2L, "2024-02-01", 5.0, 0L)), s"got $got")
+  }
+
+  test("outliersBySigma flags exactly the >m-sigma rows, exact arithmetic") {
+    import org.apache.spark.sql.types.DecimalType
+    // group g: nine 10.00s and one 20.00 → mean 11, var = (9*1 + 81)/10 = 9,
+    // sigma 3; |20-11| = 9 = 3.0σ: NOT flagged at m=3σ... use m=2.9 (29/10)
+    val vals = Seq.fill(9)(BigDecimal("10.00")) :+ BigDecimal("20.00")
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "x")
+      .withColumn("x", col("x").cast(DecimalType(12, 2)))
+    val at29 = graft.operators.Profiling.outliersBySigma(df, "x", "g", 29, 10)
+      .select("id").as[Long].collect().toSet
+    assert(at29 == Set(9L), s"got $at29")
+    // exactly at the boundary (3σ) the strict inequality excludes it
+    val at30 = graft.operators.Profiling.outliersBySigma(df, "x", "g", 3, 1)
+      .select("id").as[Long].collect().toSet
+    assert(at30.isEmpty, s"got $at30")
   }
 
   test("columnMode tie-breaks on value ascending") {

@@ -63,6 +63,29 @@ class ScaleSpec extends AnyFunSuite {
       .forall(_ != "dynamic"))
   }
 
+  test("hive-partitioned layout: key filters prune to matching partitions only") {
+    val dir = java.nio.file.Files.createTempDirectory("hivepart").toString + "/t"
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    val df = days.zipWithIndex.flatMap { case (d, i) =>
+      (1 to 10).map(j => (i * 10L + j, d, j.toDouble))
+    }.toDF("id", "day", "v")
+    Sinks.overwritePartitions(df, dir, Seq("day"))
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    // the day predicate must be a PARTITION filter (pruned at planning,
+    // zero data read from the other days), not a post-scan data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("day")),
+      s"day filter did not reach partition pruning: ${scan.partitionFilters}")
+    val survivingFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).flatMap(_.files)
+    assert(survivingFiles.nonEmpty &&
+      survivingFiles.forall(_.getPath.toString.contains("day=2024-01-02")),
+      s"pruning left files from other partitions: $survivingFiles")
+    assert(q.count() == 10)
+  }
+
   test("salted skew join returns exactly the plain join result") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
