@@ -132,22 +132,26 @@ object Corpus {
     * `[a-z]+` runs of at least `minTokenLen` chars (same tokenizer as
     * [[tfIdfTopK]]).
     *
-    * 100 TB shape: per-document distinct tokens explode map-side; the group
-    * is one keyed aggregate whose per-term state is bounded by `maxDf`
-    * postings (the HAVING-style df filter applies after the count, but rows
-    * beyond maxDf only cost their partial lists, never a global structure).
+    * 100 TB shape: per-document distinct tokens explode map-side; the df
+    * count is one partial-combined aggregate (8-byte state per term); terms
+    * outside [minDf, maxDf] are dropped BY SEMI-JOIN BEFORE the posting
+    * lists build, so no aggregate ever holds a stop-word's corpus-wide
+    * posting list in memory — the collect_list state is bounded by maxDf
+    * entries per term by construction.
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     minDf: Long, maxDf: Long, minTokenLen: Int = 3): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(split(lower(col(textCol)), "[^a-z]+"))).as("token"))
       .filter(length(col("token")) >= minTokenLen)
-    tok.groupBy("token")
-      .agg(count(lit(1)).as("df"),
-        array_join(
-          transform(sort_array(collect_list(col("doc_id"))),
-            d => d.cast("string")), ",").as("postings"))
+    val inRange = tok.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+    tok.join(inRange, "token")
+      .groupBy("token", "df")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast("string")), ",").as("postings"))
+      .select(col("token"), col("df"), col("postings"))
   }
 
   /** Per-document top-`k` keyword extraction by tf/df weight — the

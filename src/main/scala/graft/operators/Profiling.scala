@@ -162,7 +162,9 @@ object Profiling {
                       mNum: Int, mDen: Int): DataFrame = {
     val x = col(valueCol)
     val moments = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).cast(DecimalType(10, 0)).as("__n"),
+      // count(x), not count(*): moments must cover exactly the non-null
+      // values the sums cover, or nullable columns skew the mean
+      count(x).cast(DecimalType(10, 0)).as("__n"),
       sum(x).cast(DecimalType(18, 2)).as("__s"),
       sum((x * x).cast(DecimalType(25, 4))).cast(DecimalType(26, 4)).as("__s2"))
     val d1 = (col("__n") * x - col("__s")).cast(DecimalType(18, 2))

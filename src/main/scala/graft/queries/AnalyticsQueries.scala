@@ -295,6 +295,29 @@ object AnalyticsQueries {
       |WHERE CAST(n*x - s AS DECIMAL(19,2)) * CAST(n*x - s AS DECIMAL(19,2)) * 4
       |      > CAST(n*s2 - s*s AS DECIMAL(34,4)) * 9""".stripMargin
 
+  // ---------------------------------------------------- p_group_median
+  // PER-GROUP exact quartiles (p_percentiles is global): one
+  // partial-combined percentile aggregate per group, no windows. Inputs
+  // are integral (l_quantity is whole-valued; cast long), where Spark's
+  // `percentile` and DuckDB's `quantile_cont` interpolate identically —
+  // the proven p_percentiles path, per group.
+  private def pGroupMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(q, 0.25)").as("p25"),
+        expr("percentile(q, 0.5)").as("median"),
+        expr("percentile(q, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+
+  private val pGroupMedianSql =
+    """SELECT l_returnflag,
+      | quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+      | quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median,
+      | quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),
     QueryDef("d_tfidf", dTfidf, Some(dTfidfSql)),
@@ -305,6 +328,7 @@ object AnalyticsQueries {
     QueryDef("q34_bloom_join", q34BloomJoin, Some(q34BloomJoinSql)),
     QueryDef("q35_retention", q35Retention, Some(q35RetentionSql)),
     QueryDef("q36_gap_fill", q36GapFill, Some(q36GapFillSql)),
-    QueryDef("p_outliers", pOutliers, Some(pOutliersSql))
+    QueryDef("p_outliers", pOutliers, Some(pOutliersSql)),
+    QueryDef("p_group_median", pGroupMedian, Some(pGroupMedianSql))
   )
 }

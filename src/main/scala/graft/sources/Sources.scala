@@ -71,6 +71,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet read that reconciles files written under EVOLVED schemas
+    * (columns added over a long-running ingest): footer schemas merge at
+    * planning time, older files surface the new columns as null. Spark's
+    * default read takes one file's schema and silently DROPS later columns
+    * — at 100 TB with years of files that is data loss, so the ingest-side
+    * reader opts in to the merge.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -171,4 +171,27 @@ class PropertySpec extends AnyFunSuite {
       assert(g == w, s"row $i: $g != $w")
     }
   }
+
+  test("property: fixed-width round-trip through the V2 source, arbitrary cells") {
+    // widths 10; values are interior-space-free, <= 8 chars (the format's
+    // contract: trim="both" means leading/trailing whitespace is not
+    // value-carrying), empties round-trip as null
+    val cell = Gen.oneOf(
+      Gen.const(""),
+      Gen.nonEmptyListOf(Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        1 -> Gen.oneOf('-', '_', '.', '#', '@'))).map(_.mkString.take(8)))
+    val rowGen = Gen.listOfN(3, cell)
+    val data = samples(rowGen, n = 50)
+    val df = data.map(r => (r(0), r(1), r(2))).toDF("a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("fw_prop").toString + "/out"
+    val fields = Seq(("a", 10), ("b", 10), ("c", 10))
+    graft.sinks.Sinks.writeFixedWidth(df, dir, fields)
+    val back = spark.read.format("fixedwidth")
+      .option("fields", "a:10,b:10,c:10").load(dir)
+      .as[(String, String, String)].collect()
+      .map(r => List(r._1, r._2, r._3).map(Option(_).getOrElse(""))).toSet
+    val want = data.map(_.toList).toSet
+    assert(back == want, s"missing=${want -- back} extra=${back -- want}")
+  }
 }

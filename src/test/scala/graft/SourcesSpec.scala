@@ -87,6 +87,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") && plan.contains("day"), plan)
   }
 
+  test("fixedwidth DataSource V2: short-name load, parity, column pruning") {
+    val dir = tmp("fwv2") + "/out"
+    val fields = Seq(("id", 6), ("name", 10), ("qty", 4))
+    val src = Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "", 30L))
+      .toDF("id", "name", "qty")
+      .select(col("id").cast("string"), col("name"), col("qty").cast("string"))
+    Sinks.writeFixedWidth(src, dir, fields)
+    val v2 = spark.read.format("fixedwidth")
+      .option("fields", "id:6,name:10,qty:4").load(dir)
+    // parity with the function-call reader
+    val fn = Sources.readFixedWidth(spark, dir, fields)
+    assert(v2.collect().map(_.toSeq).toSet == fn.collect().map(_.toSeq).toSet)
+    assert(v2.count() == 3)
+    // empty field surfaces as null under trim (DFASDL default)
+    assert(v2.filter(col("id") === "3").select("name").collect()(0).isNullAt(0))
+    // column pruning reaches the scan: a 1-column projection reads 1 field
+    val pruned = v2.select("qty")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScan in plan:\n" +
+      pruned.queryExecution.executedPlan))
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("qty"),
+      s"scan not pruned: ${scan.scan.readSchema()}")
+  }
+
+  test("schema-evolved parquet: merged read surfaces late columns as nulls") {
+    import spark.implicits._
+    val dir = tmp("evolve") + "/out"
+    // v1 files lack the `score` column a later ingest version added
+    Seq((1L, "a")).toDF("id", "name")
+      .write.parquet(dir + "/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.parquet(dir + "/batch=2")
+    val merged = Sources.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.select("id", "score")
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))), s"got $rows")
+  }
+
   test("schema extraction emits DDL like the reference SchemaExtractor") {
     val ddl = Sources.extractSchemaDdl(sample)
     assert(ddl.contains("id BIGINT") && ddl.contains("name STRING"))
