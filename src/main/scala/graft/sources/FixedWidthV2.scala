@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -89,16 +90,20 @@ private[sources] object FixedWidthV2 {
 }
 
 private[sources] class FixedWidthTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val fields = FixedWidthV2.parseFields(options)
 
   override def name(): String = s"fixedwidth(${options.get("path")})"
   override def schema(): StructType = FixedWidthV2.schemaFor(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(fields, o)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FixedWidthWriteBuilder(fields, info)
 }
 
 private[sources] class FixedWidthScanBuilder(
@@ -176,6 +181,104 @@ private[sources] class FixedWidthReaderFactory(
       }
 
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+private[sources] class FixedWidthWriteBuilder(
+    fields: Seq[(String, Int)], info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val path = Option(info.options.get("path")).getOrElse(
+        throw new IllegalArgumentException("fixedwidth write needs a path"))
+      new FixedWidthBatchWrite(fields, info.schema(), path, doTruncate,
+        new FixedWidthV2.SerializableConf(spark.sessionState.newHadoopConf()))
+    }
+  }
+}
+
+/** Batch write: each task streams its partition into a `.tmp` file and
+  * RENAMES it into place on task commit (rename is the atomic unit on
+  * HDFS-like stores), so a retried or speculatively-duplicated task never
+  * leaves a half-written visible file. Truncate (overwrite mode) clears
+  * prior part files up front, driver-side.
+  */
+private[sources] class FixedWidthBatchWrite(
+    fields: Seq[(String, Int)], schema: StructType, path: String,
+    truncate: Boolean, conf: FixedWidthV2.SerializableConf)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf.conf)
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    new FixedWidthWriterFactory(fields, schema, path, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    messages.collect { case FixedWidthCommitted(f) =>
+      fs.delete(new Path(f), false)
+    }
+  }
+}
+
+private[sources] case class FixedWidthCommitted(file: String)
+    extends WriterCommitMessage
+
+private[sources] class FixedWidthWriterFactory(
+    fields: Seq[(String, Int)], schema: StructType, path: String,
+    conf: FixedWidthV2.SerializableConf) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // render in FIELDS order (the record layout), wherever each column sits
+    // in the incoming schema: rpad + truncate, nulls as spaces — byte-parity
+    // with Sinks.writeFixedWidth
+    val picks = fields.map { case (n, w) =>
+      val i = schema.fieldIndex(n)
+      (i, w, schema(i).dataType)
+    }
+    val fin = new Path(path, f"part-$partitionId%05d-$taskId.txt")
+    val tmp = new Path(path, f".part-$partitionId%05d-$taskId.tmp")
+    new DataWriter[InternalRow] {
+      private val fs = tmp.getFileSystem(conf.conf)
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new java.lang.StringBuilder
+        picks.foreach { case (idx, w, dt) =>
+          val v = if (row.isNullAt(idx)) "" else String.valueOf(row.get(idx, dt))
+          if (v.length >= w) sb.append(v, 0, w)
+          else {
+            sb.append(v)
+            var p = v.length
+            while (p < w) { sb.append(' '); p += 1 }
+          }
+        }
+        out.write(sb.toString)
+        out.newLine()
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"rename $tmp -> $fin failed")
+        FixedWidthCommitted(fin.toString)
+      }
+
+      override def abort(): Unit = { out.close(); fs.delete(tmp, false) }
+      override def close(): Unit = ()
     }
   }
 }

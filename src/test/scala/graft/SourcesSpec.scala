@@ -112,6 +112,31 @@ class SourcesSpec extends AnyFunSuite {
       s"scan not pruned: ${scan.scan.readSchema()}")
   }
 
+  test("fixedwidth V2 write: append + overwrite round-trip, layout in fields order") {
+    val dir = tmp("fwv2w") + "/out"
+    val opts = Map("fields" -> "id:6,name:10,qty:4")
+    // columns deliberately NOT in record order — layout must follow fields
+    val batch1 = Seq(("alpha", "1", "10"), ("beta", "2", "20"))
+      .toDF("name", "id", "qty")
+    batch1.write.format("fixedwidth").options(opts).mode("append").save(dir)
+    val back1 = spark.read.format("fixedwidth").options(opts).load(dir)
+    assert(back1.count() == 2)
+    assert(back1.filter(col("id") === "1").select("name")
+      .as[String].collect().toSeq == Seq("alpha"))
+    // append adds; overwrite (truncate) replaces
+    Seq(("gamma", "3", "30")).toDF("name", "id", "qty")
+      .write.format("fixedwidth").options(opts).mode("append").save(dir)
+    assert(spark.read.format("fixedwidth").options(opts).load(dir).count() == 3)
+    Seq(("delta", "4", "40")).toDF("name", "id", "qty")
+      .write.format("fixedwidth").options(opts).mode("overwrite").save(dir)
+    val after = spark.read.format("fixedwidth").options(opts).load(dir)
+      .as[(String, String, String)].collect().toSeq
+    assert(after == Seq(("4", "delta", "40")), s"got $after")
+    // no tmp droppings left behind
+    val stray = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tmp"))
+    assert(stray.isEmpty, s"leftover tmp files: ${stray.mkString(",")}")
+  }
+
   test("schema-evolved parquet: merged read surfaces late columns as nulls") {
     import spark.implicits._
     val dir = tmp("evolve") + "/out"
