@@ -124,6 +124,35 @@ object Corpus {
       .limit(k)
   }
 
+  /** Sliding-window token chunking — the long-document → training-sequence
+    * step of an LLM data pipeline. Documents split into lowercased
+    * whitespace tokens; chunk `i` covers token positions
+    * [i·stride, i·stride + chunkSize). `stride < chunkSize` overlaps
+    * consecutive chunks (context continuity across boundaries); a start is
+    * emitted for every offset < nTokens, so trailing chunks may be short
+    * but no token is ever dropped. Emits (id, chunk_id, n_tokens, chunk).
+    *
+    * 100 TB shape: pure per-row work — tokenize, generate ≤ ⌈n/stride⌉
+    * start offsets, slice and re-join; one generator (posexplode), ZERO
+    * shuffles. Output rows inherit the input partitioning, so a downstream
+    * tokenizer/packer sees the same locality the scan produced.
+    */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > lit(0))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        slice(col("__toks"), col("col") + 1, lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast(LongType).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk"))
+  }
+
   /** Inverted index: token → document frequency + comma-joined sorted
     * posting list. `minDf`/`maxDf` bound the emitted terms the way a real
     * index drops hapaxes and stop-words — at corpus scale an uncapped

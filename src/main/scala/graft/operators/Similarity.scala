@@ -89,6 +89,93 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Trained product-quantization codebooks: `m` subspace codebooks ×
+    * `ksub` centroids × (dim/m) sub-dimensions, plus the per-centroid
+    * squared norms the ADC cosine needs (index-level constants). Like
+    * [[IvfIndex]], this is the offline artifact of the index lifecycle —
+    * train once, encode/probe many times.
+    */
+  final case class PqCodebooks(books: Seq[Seq[Seq[Double]]]) {
+    val m: Int = books.length
+    val ksub: Int = books.map(_.length).max
+    /** flat m×ksub table: slot mi·ksub + c = ‖books(mi)(c)‖² */
+    val normSq: Seq[Double] = {
+      val out = new Array[Double](m * ksub)
+      for (mi <- 0 until m; c <- books(mi).indices)
+        out(mi * ksub + c) = books(mi)(c).map(x => x * x).sum
+      out.toSeq
+    }
+  }
+
+  /** Train PQ codebooks on a bounded driver-side sample (same sampling
+    * discipline as [[ivfBuild]]): split each sampled vector into `m`
+    * contiguous subvectors and run seeded k-means per subspace. A subspace
+    * codebook needs ~100 points per centroid, so the sample is bounded by
+    * construction regardless of corpus size.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+              trainTarget: Int = 1600): PqCodebooks = {
+    val n = math.max(corpus.count(), 1L)
+    val frac = math.min(1.0, trainTarget.toDouble * 1.2 / n)
+    val train = corpus.select(col(vecCol))
+      .sample(withReplacement = false, frac, seed = 42L).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = train.headOption.map(_.length).getOrElse(m)
+    val sub = math.max(1, dim / m)
+    val books = (0 until m).map { mi =>
+      val pts = train.map { v =>
+        Array.tabulate(sub) { j =>
+          val p = mi * sub + j
+          if (p < v.length) v(p) else 0.0
+        }
+      }
+      kmeansFit(pts, ksub, iters = 5, seed = 42L + mi)
+    }
+    PqCodebooks(books)
+  }
+
+  /** PQ-compressed top-k with exact re-rank: candidates score through the
+    * asymmetric-distance cosine — the corpus side is `m` BYTES per vector
+    * (32× smaller than float32 at m=8 over 64 dims, the compression level
+    * where a 100 TB embedding corpus' scan set fits in cluster RAM), each
+    * query computes its lookup table once, and every candidate pair costs
+    * `m` lookups instead of `dim` multiply-adds. The top `k × oversample`
+    * survivors per query come back through TopKPerGroup (bounded exchange)
+    * and only they are re-ranked by exact float cosine. Recall@k vs the
+    * float brute force is bounded in DedupSpec (pqTopK test).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int, books: PqCodebooks,
+             oversample: Int = 8): DataFrame = {
+    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      toCol(PqEncodeExpr(toExpr(col(vecCol)), books.books)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      toCol(PqLutExpr(toExpr(col(vecCol)), books.books, books.ksub)).as("lut"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
+        toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
+          books.normSq, books.ksub)).as("qcos"))
+    val candidates = TopK.perGroup(scored, Seq("query_id"),
+      Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
+    val exact = candidates
+      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    exact.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+  }
+
+  /** One-shot convenience: train + search. Prefer [[pqTrain]] once offline
+    * + [[pqTopK]] per probe when the corpus is searched repeatedly.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int): DataFrame =
+    pqTopK(corpus, queries, vecCol, idCol, k, pqTrain(corpus, vecCol))
+
   // ------------------------------------------------------------------ IVF
 
   /** A built inverted-file index: k-means centroids (driver-side literals)

@@ -318,7 +318,62 @@ object AnalyticsQueries {
       | COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- q37_moving_sum
+  // RANGE-frame rolling aggregate (the VALUE-based window frame q9/q33's
+  // row frames leave uncovered): per-customer 30-day rolling order value.
+  // RANGE frames are peer-inclusive — two orders on the same day share one
+  // frame — so the result is deterministic without a tie-break column.
+  // Decimal sums per the §6 discipline (o_totalprice is a double column).
+  private def q37MovingSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+        lit("1970-01-01").cast(org.apache.spark.sql.types.DateType))
+        .cast(LongType).as("d"),
+      dec(col("o_totalprice")).as("p"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-29, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_custkey"), col("d"),
+      decToDouble(sum(col("p")).over(w)).as("roll_amt"),
+      count(lit(1)).over(w).cast(LongType).as("n_win"))
+  }
+
+  private val q37MovingSumSql =
+    """WITH o AS (
+      | SELECT o_orderkey, o_custkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |  CAST(o_totalprice AS DECIMAL(18,4)) AS p
+      | FROM orders)
+      |SELECT o_orderkey, o_custkey, d,
+      | CAST(CAST(SUM(p) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS roll_amt,
+      | CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+      |FROM o WINDOW w AS
+      | (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // -------------------------------------------------------- q38_ntile
+  // Distribution-rank window family (ntile / percent_rank / cume_dist) —
+  // the quantile-bucketing report shape. The (c_acctbal, c_custkey)
+  // ordering is unique, so rank == row_number and every fraction is one
+  // deterministic IEEE division of small integers on both engines.
+  private def q38Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"),
+      ntile(4).over(w).cast(LongType).as("tile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  private val q38NtileSql =
+    """SELECT c_custkey, c_mktsegment,
+      | CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+      | PERCENT_RANK() OVER w AS pr,
+      | CUME_DIST() OVER w AS cd
+      |FROM customer WINDOW w AS
+      | (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_moving_sum", q37MovingSum, Some(q37MovingSumSql)),
+    QueryDef("q38_ntile", q38Ntile, Some(q38NtileSql)),
     QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),
     QueryDef("d_tfidf", dTfidf, Some(dTfidfSql)),
     QueryDef("q30_funnel", q30Funnel, Some(q30FunnelSql)),

@@ -122,11 +122,33 @@ object CurationQueries {
       | CAST(FLOOR(CAST(sum_fp AS DOUBLE) / n) AS BIGINT) AS mean_fp
       |FROM s""".stripMargin
 
+  // ----------------------------------------------------- d_doc_chunk
+  // Sliding-window token chunking (64-token chunks, stride 48 → 16-token
+  // overlap): the long-document → training-sequence step. Pure per-row
+  // work, zero shuffles; trailing chunks may be short but no token drops.
+  private def dDocChunk(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunkSliding(Tables.documents(spark, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+
+  private val dDocChunkSql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, toks, CAST(u.s AS INT) AS start
+      | FROM t, UNNEST(range(0, len(toks), 48)) AS u(s)
+      | WHERE len(toks) > 0)
+      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+      | CAST(len(toks[start+1:start+64]) AS BIGINT) AS n_tokens,
+      | array_to_string(toks[start+1:start+64], ' ') AS chunk
+      |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d_top_ngrams", dTopNgrams, Some(dTopNgramsSql)),
     QueryDef("d_inverted_index", dInvertedIndex, Some(dInvertedIndexSql)),
     QueryDef("d_weighted_sample", dWeightedSample, Some(dWeightedSampleSql)),
     QueryDef("d_substring_dedup", dSubstringDedup, Some(dSubstringDedupSql)),
-    QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql))
+    QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql)),
+    QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql))
   )
 }

@@ -296,6 +296,17 @@ object DocumentQueries {
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
+  // d_ann_pq: product-quantized ANN + exact re-rank — the memory-capacity
+  // ANN path (m=8 one-byte codes per 64-dim vector = 32× smaller than
+  // float32; queries score candidates via per-query lookup tables, m adds
+  // per pair). Quantization keeps this rows-only like d_ann_sq8; DedupSpec
+  // bounds recall@k against the float brute force.
+  private def dAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
   // The IVF index is built ONCE per (session, data dir) — an offline step;
   // at cluster scale it would be a parquet table partitioned by cell — and
   // the registered query measures what production ANN serving measures: the
@@ -783,6 +794,7 @@ object DocumentQueries {
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
     QueryDef("d_ann_sq8", dAnnSq8, None),
+    QueryDef("d_ann_pq", dAnnPq, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),
     QueryDef("d_fingerprint", dFingerprint, None),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),

@@ -23,6 +23,26 @@ class CurationSpec extends AnyFunSuite {
       s"got $top") // ties (1,1,1) break on text: "b a" < "b c" < "b x"
   }
 
+  test("chunkSliding: overlap, short tail, no dropped tokens, empty docs skipped") {
+    val df = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   "),                                       // whitespace-only → no chunks
+      (4L, "")                                           // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkSliding(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: starts 0,3,6,9 → [w0..w3] [w3..w6] [w6..w9] [w9] — overlap of 1,
+    // trailing chunk short, every token present
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    assert(doc1.map(_._3) == Seq(4L, 4L, 4L, 1L))
+    assert(doc1.head._4 == "w0 w1 w2 w3" && doc1.last._4 == "w9")
+    assert(doc1(1)._4.startsWith("w3")) // stride 3 < size 4 → overlap
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "only three tokens")))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("invertedIndex: sorted postings, df bounds drop hapaxes and stop-terms") {
     val df = Seq(
       (3L, "apple banana stopper"),

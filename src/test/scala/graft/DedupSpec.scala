@@ -159,6 +159,23 @@ class DedupSpec extends AnyFunSuite {
     self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
 
+  test("pqTopK: product-quantized ADC + exact re-rank recalls the float top-k") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    assert(books.books.length == 8 && books.books.forall(_.nonEmpty))
+    val pq = Similarity.pqTopK(e, q, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == brute.size)
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    // 8 bytes per 64-dim vector is a 32× compression; with 4× oversampling
+    // and exact re-rank the coarse ADC ranking still recovers most of the
+    // true top-10
+    assert(recall >= 0.6, s"pq recall $recall below expectation")
+  }
+
   test("ivfTopK recall beats random cell assignment and rises with probes") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)

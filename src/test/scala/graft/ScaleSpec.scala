@@ -157,6 +157,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("l_discount"), plan)
   }
 
+  test("chunking is shuffle-free: d_doc_chunk's plan has no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("d_doc_chunk")(spark, sf)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"chunking should be pure per-row work:\n$plan")
+  }
+
   test("DenseId numbers rows like a global window without one") {
     val df = Tables.customer(spark, sf).select(col("c_custkey"))
     val dense = graft.operators.DenseId.withDenseId(df, "c_custkey", "id", startAt = 10L)
