@@ -148,6 +148,29 @@ object TextFunctions {
   def contentHash(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Strip HTML/XML markup from crawled text: tags become spaces, the five
+    * predefined character entities unescape, whitespace collapses. The tag
+    * pattern is deliberately RE2-compatible (no backtracking constructs) so
+    * the same regex runs identically in every engine; `&amp;` unescapes
+    * LAST so `&amp;lt;` correctly yields the literal `&lt;`.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Heuristic sentence splitter: terminal punctuation runs followed by
+    * whitespace end a sentence (the delimiter is consumed; a trailing
+    * terminator with no following whitespace stays attached). RE2-portable
+    * pattern — sentence-level dedup/quality passes need the same split on
+    * every engine that touches the corpus.
+    */
+  def splitSentences(text: Column): Column =
+    split(text, "[.!?]+\\s+")
+
   // ------------------------------------------------------------- scrubbing
 
   /** Email redaction (PII scrub pass for training corpora). The pattern is

@@ -31,6 +31,22 @@ object Dedup {
     df.join(keep, df(idCol) === col("keep_id"), "left_semi")
   }
 
+  /** Incremental-ingestion dedup: drop rows of `incoming` whose normalized
+    * content already exists in `reference` — the daily-crawl-vs-historical-
+    * index step that runs BEFORE within-batch dedup in a continuously fed
+    * pipeline. Both sides reduce to 8-byte content hashes before the join
+    * (the exchange never carries text), and the reference side collapses to
+    * distinct hashes first, so the anti-join's build input is bounded by
+    * the reference's distinct-content count, not its row count.
+    */
+  def crossDedup(incoming: DataFrame, reference: DataFrame,
+                 textCol: String): DataFrame = {
+    val refHashes = reference.select(contentHash(col(textCol)).as("__h")).distinct()
+    incoming.withColumn("__h", contentHash(col(textCol)))
+      .join(refHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Shingle hashes per row: id column + xxhash64 of each word k-shingle,
     * computed map-side in ONE fused codegen pass
     * (graft.functions.WordShingleHashExpr) — the text itself never crosses

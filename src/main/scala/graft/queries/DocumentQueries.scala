@@ -50,6 +50,73 @@ object DocumentQueries {
        |SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
        |FROM u GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')""".stripMargin
 
+  // ------------------------------------------------------- d_cross_dedup
+  // Incremental-ingestion dedup: a "new batch" (docs ≥ 200 plus planted
+  // copies of reference docs) anti-joins against the "historical index"
+  // (docs < 250) on normalized-content hash. Docs 200–249 and every
+  // planted copy vanish; the oracle anti-joins on the normalized text
+  // itself (same survivors unless xxhash64 collides — the d_dedup_exact
+  // precedent).
+  private def dCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val reference = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 200).unionByName(
+      docs.filter(col("doc_id") < 30).withColumn("doc_id", col("doc_id") + SHIFT))
+    Dedup.crossDedup(incoming, reference, "text").select(col("doc_id"))
+  }
+
+  private val dCrossDedupSql =
+    s"""WITH ref AS (
+       | SELECT DISTINCT regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+       | FROM documents WHERE doc_id < 250),
+       |inc AS (
+       | SELECT doc_id, text FROM documents WHERE doc_id >= 200
+       | UNION ALL SELECT doc_id + $SHIFT, text FROM documents WHERE doc_id < 30)
+       |SELECT doc_id FROM inc
+       |WHERE regexp_replace(lower(text), '\\s+', ' ', 'g') NOT IN (SELECT nt FROM ref)""".stripMargin
+
+  // ------------------------------------------------------ d_markup_strip
+  // Crawled-corpus cleaning: planted tags + entities around each document
+  // strip back out (tags → spaces, entities unescape, whitespace
+  // collapses). Both engines run the identical RE2-safe regexes.
+  private def dMarkupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = concat(lit("<p class=\"lead\">"), col("text"),
+      lit("</p> <br/> &amp; &lt;fin&gt;"))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      stripMarkup(wrapped).as("clean"))
+  }
+
+  private val dMarkupStripSql =
+    """SELECT doc_id,
+      | trim(regexp_replace(
+      |   replace(replace(replace(replace(replace(replace(
+      |     regexp_replace('<p class="lead">' || text || '</p> <br/> &amp; &lt;fin&gt;',
+      |       '<[^>]*>', ' ', 'g'),
+      |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |     '&apos;', ''''), '&#39;', ''''), '&amp;', '&'),
+      |   '\s+', ' ', 'g')) AS clean
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------- d_sentence_split
+  // Heuristic sentence segmentation (terminal punctuation + whitespace) —
+  // the unit feeding sentence-level dedup/quality. Numbering precedes the
+  // empty-sentence filter on both engines, so sent_ids align.
+  private def dSentenceSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(splitSentences(col("text"))))
+      .filter(length(trim(col("col"))) > 0)
+      .select(col("doc_id"), col("pos").cast(LongType).as("sent_id"),
+        col("col").as("sentence"))
+
+  private val dSentenceSplitSql =
+    """WITH t AS (
+      | SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS sents
+      | FROM documents)
+      |SELECT doc_id, CAST(u.i AS BIGINT) AS sent_id,
+      | sents[CAST(u.i + 1 AS INT)] AS sentence
+      |FROM t, UNNEST(range(0, len(sents))) AS u(i)
+      |WHERE len(trim(sents[CAST(u.i + 1 AS INT)])) > 0""".stripMargin
+
   // ------------------------------------------------------- d_token_count
   private def dTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -303,9 +370,23 @@ object DocumentQueries {
   // bounds recall@k against the float brute force.
   private def dAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id",
+      k = 10, pqBooks(spark, dir))
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
+
+  // PQ codebooks are trained ONCE per data dir (seeded sampling + seeded
+  // k-means make training deterministic, and the books are plain data with
+  // no session resources — unlike the IVF index there is nothing to evict).
+  // The offline-train / online-probe split of a production PQ deployment.
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebooks]()
+
+  /** Train (or fetch the cached) PQ codebooks for `dir`'s embeddings. */
+  def pqBooks(spark: SparkSession, dir: String): Similarity.PqCodebooks =
+    pqCache.computeIfAbsent(dir, _ =>
+      Similarity.pqTrain(Tables.embeddings(spark, dir), "embedding",
+        m = 8, ksub = 32))
 
   // The IVF index is built ONCE per (session, data dir) — an offline step;
   // at cluster scale it would be a parquet table partitioned by cell — and
@@ -777,6 +858,9 @@ object DocumentQueries {
     QueryDef("d_contamination", dContamination, Some(dContaminationSql)),
     QueryDef("d_corpus_stats", dCorpusStats, Some(dCorpusStatsSql)),
     QueryDef("d_dedup_exact", dDedupExact, Some(dDedupExactSql)),
+    QueryDef("d_cross_dedup", dCrossDedup, Some(dCrossDedupSql)),
+    QueryDef("d_markup_strip", dMarkupStrip, Some(dMarkupStripSql)),
+    QueryDef("d_sentence_split", dSentenceSplit, Some(dSentenceSplitSql)),
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),

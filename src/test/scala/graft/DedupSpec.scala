@@ -33,6 +33,18 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactRows(doubled, "text", "doc_id").count() == n)
   }
 
+  test("crossDedup drops incoming rows whose content exists in the reference") {
+    val ref = Seq((1L, "the cat sat"), (2L, "on the   mat")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "THE CAT SAT"),      // case-insensitive match → dropped
+      (11L, "on the mat"),       // whitespace-normalized match → dropped
+      (12L, "a brand new doc")   // survives
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.crossDedup(inc, ref, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(12L), s"got $out")
+  }
+
   test("minhash LSH finds all planted near-duplicates") {
     val pairs = Dedup.minhashPairs(docsWithNearDups, "text", "doc_id",
       shingleK = 3, nHashes = 64, bands = 16, threshold = 0.5).collect()

@@ -18,6 +18,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clean == "nothing to redact here 42")
   }
 
+  test("stripMarkup removes tags, unescapes entities, collapses whitespace") {
+    val out = Seq(
+      "<p class=\"x\">Hello <b>world</b></p>\n\n<br/>",
+      "a &lt; b &amp;&amp; c &gt; d",
+      "&amp;lt; stays escaped once",   // &amp; unescapes LAST
+      "no markup at all"
+    ).toDF("t").select(stripMarkup(col("t"))).as[String].collect().toSeq
+    assert(out == Seq(
+      "Hello world",
+      "a < b && c > d",
+      "&lt; stays escaped once",
+      "no markup at all"), s"got $out")
+  }
+
+  test("splitSentences consumes delimiters, keeps trailing terminator attached") {
+    val out = Seq("One two. Three four! Five? Six.")
+      .toDF("t").select(splitSentences(col("t"))).as[Seq[String]].collect()(0)
+    assert(out == Seq("One two", "Three four", "Five", "Six."), s"got $out")
+  }
+
   test("repetition metric flags a degenerate document") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),
