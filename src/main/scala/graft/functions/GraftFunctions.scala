@@ -42,8 +42,23 @@ object GraftFunctions {
     "ngram_texts" -> (exprs =>
       WordNgramTextExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     "position_shingle_hashes" -> (exprs => WordShingleHashExpr(exprs(0),
-      exprs(1).eval().asInstanceOf[Int], distinct = false, sorted = false))
+      exprs(1).eval().asInstanceOf[Int], distinct = false, sorted = false)),
+    // round-5: curation text ops — composed builtin expressions, exposed
+    // under one SQL name so SQL-first pipelines call the same semantics
+    "strip_markup" -> (exprs => bridged(TextFunctions.stripMarkup, exprs(0))),
+    "split_sentences" -> (exprs => bridged(TextFunctions.splitSentences, exprs(0))),
+    "content_hash" -> (exprs => bridged(TextFunctions.contentHash, exprs(0)))
   )
+
+  /** Lift a Column→Column composition into an Expression builder (eager
+    * conversion — the analyzer needs a concrete tree back, see
+    * ColumnBridge.eagerExpression).
+    */
+  private def bridged(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                      child: Expression): Expression = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.eagerExpression(f(ColumnBridge.column(child)))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

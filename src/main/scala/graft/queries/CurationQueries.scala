@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextFunctions.{stripMarkup, tokenCount}
 import graft.operators.{Corpus, Dedup, Embeddings}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,12 +144,66 @@ object CurationQueries {
       | array_to_string(toks[start+1:start+64], ' ') AS chunk
       |FROM s""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  // lazy: references dCurationPipelineSql declared below (a strict val
+  // here would read it as null during object init — the Verify NPE trap)
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("d_top_ngrams", dTopNgrams, Some(dTopNgramsSql)),
     QueryDef("d_inverted_index", dInvertedIndex, Some(dInvertedIndexSql)),
     QueryDef("d_weighted_sample", dWeightedSample, Some(dWeightedSampleSql)),
     QueryDef("d_substring_dedup", dSubstringDedup, Some(dSubstringDedupSql)),
     QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql)),
-    QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql))
+    QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql)),
+    QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql))
   )
+
+  // ----------------------------------------------- d_curation_pipeline
+  // The end-to-end curation composition a reference user actually runs:
+  // markup strip → token-count quality gate → within-batch exact dedup →
+  // sliding-window chunking. Markup and exact duplicates are planted so
+  // every stage demonstrably fires; the oracle replays all four stages in
+  // one CTE. Stage shapes are the proven ones: per-row strip/count (no
+  // shuffle), hash-grouped dedup (8-byte keys), zero-shuffle chunking —
+  // the whole pipeline costs ONE content-hash exchange end to end.
+  private def dCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wrapped = docs.select(col("doc_id"),
+      concat(lit("<div>"), col("text"), lit("</div>")).as("text"))
+    val withDups = wrapped.unionByName(
+      wrapped.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val clean = withDups.select(col("doc_id"), stripMarkup(col("text")).as("clean"))
+    val kept = clean.filter(tokenCount(col("clean")) >= 30L)
+    val unique = Dedup.exactRows(kept, "clean", "doc_id")
+    Corpus.chunkSliding(unique, "doc_id", "clean", chunkSize = 64, stride = 48)
+  }
+
+  private val dCurationPipelineSql =
+    """WITH w AS (
+      | SELECT doc_id, '<div>' || text || '</div>' AS text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000, '<div>' || text || '</div>' FROM documents WHERE doc_id < 40),
+      |c AS (
+      | SELECT doc_id, trim(regexp_replace(
+      |   replace(replace(replace(replace(replace(replace(
+      |     regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |     '&apos;', ''''), '&#39;', ''''), '&amp;', '&'),
+      |   '\s+', ' ', 'g')) AS clean
+      | FROM w),
+      |k AS (
+      | SELECT doc_id, clean FROM c
+      | WHERE len(list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0)) >= 30),
+      |u AS (
+      | SELECT MIN(doc_id) AS keep_id FROM k
+      | GROUP BY regexp_replace(lower(clean), '\s+', ' ', 'g')),
+      |s AS (SELECT k.doc_id, k.clean FROM k JOIN u ON k.doc_id = u.keep_id),
+      |t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(clean), '\s+'), x -> len(x) > 0) AS toks
+      | FROM s)
+      |SELECT doc_id, CAST(st.s // 48 AS BIGINT) AS chunk_id,
+      | CAST(len(toks[CAST(st.s + 1 AS INT):CAST(st.s + 64 AS INT)]) AS BIGINT) AS n_tokens,
+      | array_to_string(toks[CAST(st.s + 1 AS INT):CAST(st.s + 64 AS INT)], ' ') AS chunk
+      |FROM t, UNNEST(range(0, len(toks), 48)) AS st(s)
+      |WHERE len(toks) > 0""".stripMargin
+
 }

@@ -106,6 +106,25 @@ object Streams {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Streaming incremental-ingestion dedup: drop arriving documents whose
+    * normalized content already exists in the static historical index — the
+    * streaming form of Dedup.crossDedup, as a STREAM-STATIC left-anti join
+    * on 8-byte content hashes (the reference side collapses to distinct
+    * hashes; no text crosses any exchange). Stateless like
+    * [[contaminationStream]]: each micro-batch screens independently
+    * against the index, so no watermark is required. Within-stream
+    * duplicates are a different operator ([[nearDupDedupStream]] /
+    * `dropDuplicates`) — run it downstream if both gates are needed.
+    */
+  def crossDedupStream(docs: DataFrame, reference: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.contentHash
+    val refHashes = reference.select(contentHash(col(textCol)).as("__h")).distinct()
+    docs.withColumn("__h", contentHash(col(textCol)))
+      .join(refHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** STREAM-STREAM interval join with watermark-bounded state: attribute
     * each purchase to the clicks of the same user in the preceding
     * `attributionWindow`. Both sides carry a watermark and the join

@@ -84,6 +84,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunkSliding covers every token; stride==size concatenates back") {
+    val doc = Gen.zip(Gen.chooseNum(1L, 1000000L),
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString("  ")))
+    val data = samples(doc).distinctBy(_._1)
+    val df = data.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 4), (4, 3), (5, 2))) {
+      val chunks = graft.operators.Corpus
+        .chunkSliding(df, "doc_id", "text", size, stride)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      data.foreach { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val got = chunks.getOrElse(id, Array.empty[(Long, Long, Long, String)])
+        if (toks.isEmpty) assert(got.isEmpty, s"doc $id: chunks from empty doc")
+        else {
+          // chunk i == tokens[i*stride, i*stride+size) rendered with single spaces
+          val expect = Range(0, toks.length, stride).map(s =>
+            toks.slice(s, s + size))
+          assert(got.map(_._4).toSeq == expect.map(_.mkString(" ")), s"doc $id")
+          assert(got.map(_._3).toSeq == expect.map(_.length.toLong), s"doc $id n_tokens")
+          // no overlap case: chunks concatenate back to the tokenized doc
+          if (size == stride)
+            assert(got.flatMap(_._4.split(" ")).toSeq == toks, s"doc $id reassembly")
+        }
+      }
+    }
+  }
+
   test("property: jaccardSorted equals set-based Jaccard") {
     val setGen = Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
     val data = samples(Gen.zip(setGen, setGen)).filter { case (a, b) => a.nonEmpty || b.nonEmpty }

@@ -211,7 +211,8 @@ class ScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
     Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
-        "d_contamination", "d_repetition", "d_fingerprint").foreach { q =>
+        "d_contamination", "d_repetition", "d_fingerprint",
+        "d_cross_dedup").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
         e.child.output.foreach { attr =>

@@ -59,6 +59,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(b == bApi)
   }
 
+  test("curation text ops are callable from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    Seq("<p>Hi &amp; bye</p>. Second one! Done.").toDF("t")
+      .createOrReplaceTempView("cur_docs")
+    val r = spark.sql(
+      """SELECT strip_markup(t) AS clean, split_sentences(t) AS sents,
+        |  content_hash(t) = content_hash(upper(t)) AS case_insensitive_hash
+        |FROM cur_docs""".stripMargin)
+      .as[(String, Seq[String], Boolean)].collect()(0)
+    assert(r._1 == "Hi & bye . Second one! Done.")
+    assert(r._2 == Seq("<p>Hi &amp; bye</p>", "Second one", "Done."))
+    assert(r._3) // contentHash lowercases before hashing
+  }
+
   test("unicode normalize functions are callable from SQL") {
     // decomposed e+U+0301 composes to U+00E9; NFKC folds the fi ligature
     Seq(("cafe\u0301", "\ufb01sh")).toDF("a", "b").createOrReplaceTempView("norm_sql")

@@ -118,6 +118,25 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch contamination disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("stream-static cross-corpus dedup matches the batch operator") {
+    val docsDir = Files.createTempDirectory("docs_xdedup").toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.mode("overwrite").parquet(docsDir)
+    val reference = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 250)
+    val streamed = Streams.runToMemory(spark,
+      Streams.crossDedupStream(Streams.documentStream(spark, docsDir), reference)
+        .select(col("doc_id")),
+      "xdedup_stream", OutputMode.Append())
+      .as[Long].collect().toSet
+    val batch = graft.operators.Dedup.crossDedup(
+        Tables.documents(spark, TestSpark.sf), reference, "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch cross-dedup disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+    assert(streamed.nonEmpty && !streamed.exists(_ < 250))
+  }
+
   test("stream-stream interval join matches the batch range join") {
     // inner stream-stream joins emit matches as they arrive (the watermark
     // only bounds buffered state), so a one-drop finite input yields the
