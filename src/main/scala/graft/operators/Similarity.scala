@@ -80,7 +80,15 @@ object Similarity {
         sq8Cosine(col("qcodes"), col("ccodes")).as("qcos"))
     val candidates = TopK.perGroup(scored, Seq("query_id"),
       Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
-    // exact re-rank of the bounded survivor set (k×oversample per query)
+    exactRerank(candidates, k)
+  }
+
+  /** Exact-cosine re-rank of a bounded candidate set carrying (query_id,
+    * corpus_id, qv, cv): the shared tail of every quantized ANN path —
+    * candidates are ≤ k×oversample per query by construction, so the
+    * window sorts a bounded survivor set, never the corpus.
+    */
+  private def exactRerank(candidates: DataFrame, k: Int): DataFrame = {
     val exact = candidates
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
@@ -161,12 +169,7 @@ object Similarity {
           books.normSq, books.ksub)).as("qcos"))
     val candidates = TopK.perGroup(scored, Seq("query_id"),
       Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
-    val exact = candidates
-      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    exact.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
+    exactRerank(candidates, k)
   }
 
   /** One-shot convenience: train + search. Prefer [[pqTrain]] once offline
@@ -292,6 +295,40 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     rankTail(scored, k)
+  }
+
+  /** IVF-PQ probe: the production large-corpus ANN layout (FAISS IVFPQ) —
+    * the IVF coarse quantizer restricts each query to its `nProbe` nearest
+    * cells (touching nProbe/nCells of the corpus), and WITHIN those cells
+    * candidates score by the PQ asymmetric-distance cosine over `m`-byte
+    * codes (m lookups per pair), with an exact float re-rank of the
+    * k×oversample survivors. At cluster scale the encoded index is a
+    * parquet table partitioned by cell whose payload is m bytes per vector
+    * — partition pruning AND 32× compression compound, which is what makes
+    * a 100 TB embedding corpus servable. Codes are computed here from the
+    * persisted cell assignment (one codegen pass); a deployment would
+    * store them in the index table via [[ivfWrite]]'s layout.
+    */
+  def ivfPqQuery(index: IvfIndex, books: PqCodebooks, queries: DataFrame,
+                 vecCol: String, idCol: String, k: Int, nProbe: Int = 2,
+                 oversample: Int = 8): DataFrame = {
+    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      toCol(PqLutExpr(toExpr(col(vecCol)), books.books, books.ksub)).as("lut"))
+    val probed = q.withColumn("probe",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("lut"), col("probe").as("cell"))
+    val encoded = index.indexed.withColumn("codes",
+      toCol(PqEncodeExpr(toExpr(col("cv")), books.books)))
+    val scored = encoded.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
+        toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
+          books.normSq, books.ksub)).as("qcos"))
+    val candidates = TopK.perGroup(scored, Seq("query_id"),
+      Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
+    exactRerank(candidates, k)
   }
 
   /** Persist a built index as the cluster-scale layout the ivfBuild

@@ -388,6 +388,17 @@ object DocumentQueries {
       Similarity.pqTrain(Tables.embeddings(spark, dir), "embedding",
         m = 8, ksub = 32))
 
+  // d_ann_ivfpq: the production large-corpus layout — IVF cell pruning
+  // compounds with PQ byte codes (touch nProbe/nCells of the corpus at m
+  // bytes per vector). Both index artifacts come from their caches, so the
+  // query times what a serving system times: the probe.
+  private def dAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfPqQuery(ivfIndex(spark, dir), pqBooks(spark, dir),
+      e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
   // The IVF index is built ONCE per (session, data dir) — an offline step;
   // at cluster scale it would be a parquet table partitioned by cell — and
   // the registered query measures what production ANN serving measures: the
@@ -879,6 +890,7 @@ object DocumentQueries {
     QueryDef("d_ann_lsh", dAnnLsh, None),
     QueryDef("d_ann_sq8", dAnnSq8, None),
     QueryDef("d_ann_pq", dAnnPq, None),
+    QueryDef("d_ann_ivfpq", dAnnIvfPq, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),
     QueryDef("d_fingerprint", dFingerprint, None),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),

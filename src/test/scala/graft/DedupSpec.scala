@@ -205,6 +205,28 @@ class DedupSpec extends AnyFunSuite {
     assert(r8 > 0.99, s"probing every cell must be exact, got $r8")
   }
 
+  test("ivfPqQuery: probing every cell recovers what plain PQ recovers") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val index = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      persist = false)
+    val pq = Similarity.pqTopK(e, q, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // nProbe = all cells → the cell restriction is a no-op, so IVF-PQ must
+    // equal plain PQ exactly (same codes, same ADC, same re-rank)
+    val all = Similarity.ivfPqQuery(index, books, q, "embedding", "vec_id",
+      10, nProbe = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(all == pq, s"full-probe IVF-PQ diverges from PQ: ${(all diff pq).take(3)}")
+    // nProbe = 2 → recall degrades gracefully, not catastrophically
+    val r2 = Similarity.ivfPqQuery(index, books, q, "embedding", "vec_id",
+      10, nProbe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (pq intersect r2).size.toDouble / pq.size
+    assert(recall > 0.1, s"ivfpq recall@2probes=$recall")
+  }
+
   test("IVF index round-trips through the cell-partitioned parquet layout") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)

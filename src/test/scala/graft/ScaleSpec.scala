@@ -157,12 +157,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("l_discount"), plan)
   }
 
-  test("chunking is shuffle-free: d_doc_chunk's plan has no exchange") {
+  test("per-row curation ops are shuffle-free: no exchange in their plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val plan = SparkEntry.queries("d_doc_chunk")(spark, sf)
-      .queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      s"chunking should be pure per-row work:\n$plan")
+    Seq("d_doc_chunk", "d_markup_strip", "d_sentence_split").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"$q should be pure per-row work:\n$plan")
+    }
   }
 
   test("DenseId numbers rows like a global window without one") {
