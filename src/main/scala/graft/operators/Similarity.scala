@@ -144,6 +144,29 @@ object Similarity {
     PqCodebooks(books)
   }
 
+  /** Persist trained codebooks as a JSON sidecar — the PQ half of the
+    * on-disk index layout ([[ivfWrite]] is the cell half; together they
+    * are the durable form [[ivfPqQuery]] serves from).
+    */
+  def pqWrite(spark: org.apache.spark.sql.SparkSession, books: PqCodebooks,
+              path: String): Unit = {
+    import spark.implicits._
+    books.books.zipWithIndex.flatMap { case (book, mi) =>
+      book.zipWithIndex.map { case (cent, c) => (mi, c, cent) }
+    }.toDF("m", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  /** Load codebooks written by [[pqWrite]]. */
+  def pqRead(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.json(path)
+      .select(col("m").cast(IntegerType), col("c").cast(IntegerType), col("centroid"))
+      .collect()
+    PqCodebooks(rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+    })
+  }
+
   /** PQ-compressed top-k with exact re-rank: candidates score through the
     * asymmetric-distance cosine — the corpus side is `m` BYTES per vector
     * (32× smaller than float32 at m=8 over 64 dims, the compression level

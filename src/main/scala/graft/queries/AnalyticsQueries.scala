@@ -371,7 +371,60 @@ object AnalyticsQueries {
       |FROM customer WINDOW w AS
       | (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin
 
+  // ------------------------------------------------------------ p_mad
+  // Robust dispersion profiling: per-group median absolute deviation.
+  // Integral inputs put both medians on integers or exact .5 halves,
+  // where Spark's percentile and DuckDB's quantile_cont interpolate
+  // bit-identically (the p_percentiles / p_group_median precedent). The
+  // per-group medians broadcast back; no windows anywhere.
+  private def pMad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+    val med = base.groupBy("l_returnflag")
+      .agg(expr("percentile(q, 0.5)").as("med"))
+    base.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), abs(col("q") - col("med")).as("dev"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(dev, 0.5)").as("mad"), count(lit(1)).as("n"))
+  }
+
+  private val pMadSql =
+    """WITH m AS (
+      | SELECT l_returnflag, quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      | quantile_cont(abs(CAST(l_quantity AS BIGINT) - med), 0.5) AS mad,
+      | COUNT(*) AS n
+      |FROM lineitem JOIN m USING (l_returnflag) GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- q39_growth
+  // Daily active-base growth: first-seen date per user → new users per
+  // day → running cumulative total. The running window is global BUT its
+  // input is the per-day aggregate (≤ #days rows) — exactly the
+  // aggregated-input shape the registry-wide window pin admits.
+  private def q39Growth(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("d0"))
+    val daily = firstSeen.groupBy("d0").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("d0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("d0"), col("new_users"),
+      sum(col("new_users")).over(w).as("cum_users"))
+  }
+
+  private val q39GrowthSql =
+    """WITH f AS (
+      | SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+      |d AS (SELECT d0, COUNT(*) AS new_users FROM f GROUP BY 1)
+      |SELECT d0, new_users,
+      | CAST(SUM(new_users) OVER (ORDER BY d0
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("p_mad", pMad, Some(pMadSql)),
+    QueryDef("q39_growth", q39Growth, Some(q39GrowthSql)),
     QueryDef("q37_moving_sum", q37MovingSum, Some(q37MovingSumSql)),
     QueryDef("q38_ntile", q38Ntile, Some(q38NtileSql)),
     QueryDef("q29_fuzzy_link", q29FuzzyLink, Some(q29FuzzyLinkSql)),

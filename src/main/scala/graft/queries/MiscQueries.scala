@@ -60,6 +60,48 @@ object MiscQueries {
       | sha256(text) AS content_sha256
       |FROM documents""".stripMargin
 
+  // m_multimodal_dedup: exact payload-level dedup — group on the binary
+  // content hash (the media-file dedup step of a multimodal pipeline; the
+  // bytes themselves never shuffle, only 32-byte digests). Planted binary
+  // copies prove collapse; survivors keep the smallest id.
+  private def mDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    val doubled = docs.unionByName(
+      docs.filter(col("doc_id") < 60).withColumn("doc_id", col("doc_id") + 300000L))
+    doubled.groupBy(sha2(col("payload"), 256).as("content_sha256"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val mDedupSql =
+    """WITH u AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id < 60)
+      |SELECT sha256(text) AS content_sha256,
+      | CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      |FROM u GROUP BY 1""".stripMargin
+
+  // t_transcode: binary↔text codecs (base64 / hex) — the payload staging
+  // transformers an ETL uses to move binary through text-only channels.
+  // base64 runs on a 48-byte slice (64 output chars) so neither engine's
+  // MIME line-wrapping threshold (76 chars) can fire; the round-trip
+  // equality is asserted as a column both engines must agree is TRUE.
+  private def tTranscode(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    val head = substring(payload, 1, 48)
+    Tables.documents(spark, dir).select(col("doc_id"),
+      base64(head).as("b64"),
+      hex(substring(payload, 1, 16)).as("hx"),
+      (unbase64(base64(head)) === head).as("rt_ok"))
+  }
+
+  private val tTranscodeSql =
+    """SELECT doc_id,
+      | to_base64(encode(substring(text, 1, 48))) AS b64,
+      | hex(encode(substring(text, 1, 16))) AS hx,
+      | from_base64(to_base64(encode(substring(text, 1, 48)))) = encode(substring(text, 1, 48)) AS rt_ok
+      |FROM documents""".stripMargin
+
   // Full multimodal plumbing: metadata struct + batched per-partition
   // feature extraction + chunk sampling. The 16-bucket byte histogram is
   // rendered per-million in INTEGER arithmetic (count*1e6 div n — the
@@ -223,6 +265,8 @@ object MiscQueries {
     QueryDef("q24_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     QueryDef("s_sessionize", sSessionize, Some(sSessionizeSql)),
     QueryDef("m_multimodal_meta", mMeta, Some(mMetaSql)),
+    QueryDef("m_multimodal_dedup", mDedup, Some(mDedupSql)),
+    QueryDef("t_transcode", tTranscode, Some(tTranscodeSql)),
     QueryDef("m_multimodal_feat", mFeatures, Some(mFeaturesSql)),
     QueryDef("m_multimodal_sample", mSample, Some(mSampleSql))
   )

@@ -227,6 +227,16 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.1, s"ivfpq recall@2probes=$recall")
   }
 
+  test("PQ codebooks round-trip through the JSON sidecar") {
+    val e = Tables.embeddings(spark, sf)
+    val books = Similarity.pqTrain(e, "embedding", m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.pqWrite(spark, books, dir)
+    val loaded = Similarity.pqRead(spark, dir)
+    assert(loaded.books == books.books)
+    assert(loaded.normSq == books.normSq && loaded.ksub == books.ksub)
+  }
+
   test("IVF index round-trips through the cell-partitioned parquet layout") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
