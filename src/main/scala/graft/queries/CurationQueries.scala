@@ -163,7 +163,9 @@ object CurationQueries {
   // every stage demonstrably fires; the oracle replays all four stages in
   // one CTE. Stage shapes are the proven ones: per-row strip/count (no
   // shuffle), hash-grouped dedup (8-byte keys), zero-shuffle chunking —
-  // the whole pipeline costs ONE content-hash exchange end to end.
+  // the pipeline's exchanges are the content-hash groupBy plus the
+  // survivor semi-join (broadcast here; id-keyed hash join once the
+  // survivor set outgrows the broadcast threshold at corpus scale).
   private def dCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val wrapped = docs.select(col("doc_id"),

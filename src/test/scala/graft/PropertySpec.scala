@@ -123,6 +123,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: PQ encode/LUT/ADC pipeline equals plain-Scala asymmetric cosine") {
+    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 1000.0f))
+    val data = samples(Gen.zip(vecGen, vecGen), 40).map { case (q, c) =>
+      (q.toArray, c.toArray)
+    }
+    val df = data.toDF("q", "c")
+    val books = Similarity.pqTrain(df.select(col("c").as("embedding")),
+      "embedding", m = 4, ksub = 8)
+    val got = df.select(toCol(PqAdcExpr(
+      toExpr(toCol(PqLutExpr(toExpr(col("q")), books.books, books.ksub))),
+      toExpr(toCol(PqEncodeExpr(toExpr(col("c")), books.books))),
+      books.normSq, books.ksub)).as("adc")).as[Double].collect()
+    // independent plain-Scala reference over the same codebooks
+    data.zip(got).foreach { case ((q, c), adc) =>
+      val sub = 4
+      val codes = books.books.zipWithIndex.map { case (book, mi) =>
+        book.indices.minBy { ci =>
+          (0 until sub).map { j =>
+            val x = if (mi * sub + j < c.length) c(mi * sub + j).toDouble else 0.0
+            val d = x - book(ci)(j); d * d
+          }.sum
+        }
+      }
+      val dot = codes.zipWithIndex.map { case (ci, mi) =>
+        (0 until sub).map { j =>
+          val x = if (mi * sub + j < q.length) q(mi * sub + j).toDouble else 0.0
+          x * books.books(mi)(ci)(j)
+        }.sum
+      }.sum
+      val cn = codes.zipWithIndex.map { case (ci, mi) =>
+        books.books(mi)(ci).map(x => x * x).sum
+      }.sum
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val expect = if (qn * math.sqrt(cn) == 0.0) 0.0 else dot / (qn * math.sqrt(cn))
+      assert(math.abs(adc - expect) < 1e-9, s"adc=$adc expect=$expect")
+    }
+  }
+
   test("property: cosineSim is 1 on self, symmetric, in [-1, 1]") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
       .suchThat(v => v.exists(_ != 0.0f))
