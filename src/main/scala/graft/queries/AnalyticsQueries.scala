@@ -422,7 +422,32 @@ object AnalyticsQueries {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
       |FROM d""".stripMargin
 
+  // ---------------------------------------------- q40_scalar_subquery
+  // Uncorrelated scalar subquery (the Catalyst subquery→broadcast plan
+  // shape none of the DataFrame-built queries exercise), entered through
+  // spark.sql — the SQL-first user's path. Above-average is computed
+  // WITHOUT division: bal·n > sum in exact decimals, so no quotient
+  // rounding (Spark HALF_UP vs DuckDB HALF_EVEN) can flip a boundary row.
+  private def q40ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM customer_v) >
+        |      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer_v)
+        |""".stripMargin)
+  }
+
+  private val q40ScalarSubquerySql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM customer) >
+      |      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_scalar_subquery", q40ScalarSubquery, Some(q40ScalarSubquerySql)),
     QueryDef("p_mad", pMad, Some(pMadSql)),
     QueryDef("q39_growth", q39Growth, Some(q39GrowthSql)),
     QueryDef("q37_moving_sum", q37MovingSum, Some(q37MovingSumSql)),
