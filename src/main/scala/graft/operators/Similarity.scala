@@ -399,16 +399,30 @@ object Similarity {
 
   /** LSH-bucketed ANN: both sides hash to `nBits` hyperplane-sign buckets;
     * candidates are bucket-mates; exact cosine ranks within bucket. One
-    * shuffle on the bucket id for both sides.
+    * shuffle on the bucket id for both sides. `probeRadius` is the
+    * multi-probe recall knob (Lv et al., VLDB'07): each QUERY also probes
+    * every bucket within that Hamming distance of its own — a vector that
+    * straddles a hyperplane still meets its neighbors — while the corpus
+    * side stays single-bucket, so the corpus is never replicated; only the
+    * (small) query side multiplies by the probe count.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              vecCol: String, idCol: String, k: Int, nBits: Int = 6): DataFrame = {
+              vecCol: String, idCol: String, k: Int, nBits: Int = 6,
+              probeRadius: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nBits).as("bucket"))
+    val masks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
+        lshBucket(col(vecCol), nBits).as("b0"))
+      .select(col("query_id"), col("qv"),
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = c.join(q, Seq("bucket")).filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    rankTail(scored, k)
+    // a (query, candidate) pair can meet in several probed buckets — dedup
+    // only when probing, so the radius-0 path keeps its exchange-free tail
+    val unique = if (probeRadius > 0)
+      scored.dropDuplicates("query_id", "corpus_id") else scored
+    rankTail(unique, k)
   }
 }

@@ -354,6 +354,13 @@ object AnalyticsQueries {
   // the quantile-bucketing report shape. The (c_acctbal, c_custkey)
   // ordering is unique, so rank == row_number and every fraction is one
   // deterministic IEEE division of small integers on both engines.
+  // SCALE NOTE: exact distribution ranks demand a total order per
+  // partition key, and mktsegment has only 5 values — Spark runs one task
+  // per segment here. For billion-row segments the scale-correct form is
+  // the DenseId pattern per segment (repartitionByRange + per-partition
+  // offsets, operators/DenseId.scala): same numbering, every stage
+  // parallel. The window form is kept as the registered query because it
+  // is the reference semantics at reference cardinalities.
   private def q38Ntile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal"), col("c_custkey"))

@@ -429,9 +429,13 @@ object DocumentQueries {
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
+  // probeRadius=1: each query also probes its nBits Hamming-1 neighbor
+  // buckets (multi-probe LSH), so hyperplane-straddling neighbors are
+  // found without replicating the corpus side
   private def dAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nBits = 4)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id",
+      k = 10, nBits = 4, probeRadius = 1)
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 

@@ -148,6 +148,17 @@ class DedupSpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"LSH recall $recall suspiciously low")
     assert(lsh.nonEmpty)
+    // multi-probe: probing Hamming-1 neighbor buckets must not lose
+    // candidates, and probing ALL buckets (radius = nBits) is exact
+    val probe1 = Similarity.lshTopK(e, q, "embedding", "vec_id", 10,
+      nBits = 2, probeRadius = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val r1 = (brute intersect probe1).size.toDouble / brute.size
+    assert(r1 >= recall, s"multi-probe lowered recall: $r1 < $recall")
+    val all = Similarity.lshTopK(e, q, "embedding", "vec_id", 10,
+      nBits = 2, probeRadius = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(all == brute, "probing every bucket must equal brute force")
   }
 
   test("sq8TopK: int8 quantization + exact re-rank nearly matches float brute force") {
