@@ -238,6 +238,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.1, s"ivfpq recall@2probes=$recall")
   }
 
+  test("IVF-PQ serves identically from the on-disk artifacts") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val index = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      persist = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.ivfWrite(index, s"$dir/ivf")
+    Similarity.pqWrite(spark, books, s"$dir/pq")
+    val live = Similarity.ivfPqQuery(index, books, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val served = Similarity.ivfPqQuery(Similarity.ivfRead(spark, s"$dir/ivf"),
+        Similarity.pqRead(spark, s"$dir/pq"), q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(served == live, "on-disk index must serve the in-memory answer")
+  }
+
   test("PQ codebooks round-trip through the JSON sidecar") {
     val e = Tables.embeddings(spark, sf)
     val books = Similarity.pqTrain(e, "embedding", m = 4, ksub = 8)
