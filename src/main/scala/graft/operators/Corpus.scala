@@ -55,6 +55,19 @@ object Corpus {
   def hashModKeep(id: Column, perMille: Column): Column =
     (id.cast(LongType) * lit(2654435761L) % lit(1000003L)) % lit(1000L) < perMille
 
+  /** Deterministic train/val/test assignment by hash range — the split
+    * must be a pure function of the row id (not of partitioning, run, or
+    * engine) or retraining sees different data every time. Boundaries are
+    * per-mille: e.g. (800, 900) → 80% train / 10% val / 10% test. Same
+    * Knuth multiplicative hash as [[hashModKeep]], so any engine can
+    * reproduce the assignment.
+    */
+  def splitAssign(id: Column, trainPm: Int = 800, valPm: Int = 900): Column = {
+    require(0 <= trainPm && trainPm <= valPm && valPm <= 1000)
+    val bucket = (id.cast(LongType) * lit(2654435761L) % lit(1000003L)) % lit(1000L)
+    when(bucket < trainPm, "train").when(bucket < valPm, "val").otherwise("test")
+  }
+
   /** Stratified mixture sample: keep each row with its group's per-mille
     * rate, deterministically (see [[hashModKeep]]). `rates` maps group
     * value → per-mille; missing groups get `defaultPerMille`.

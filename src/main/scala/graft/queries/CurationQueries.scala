@@ -153,8 +153,27 @@ object CurationQueries {
     QueryDef("d_substring_dedup", dSubstringDedup, Some(dSubstringDedupSql)),
     QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql)),
     QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql)),
-    QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql))
+    QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql)),
+    QueryDef("d_split", dSplit, Some(dSplitSql))
   )
+
+  // ------------------------------------------------------- d_split
+  // Deterministic train/val/test assignment (80/10/10 by hash range) with
+  // per-split counts — pure per-row function of the id, so the split
+  // reproduces across runs, partitionings, and engines.
+  private def dSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Corpus.splitAssign(col("doc_id")).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private val dSplitSql =
+    """SELECT CASE WHEN (doc_id * 2654435761 % 1000003) % 1000 < 800 THEN 'train'
+      |            WHEN (doc_id * 2654435761 % 1000003) % 1000 < 900 THEN 'val'
+      |            ELSE 'test' END AS split,
+      | COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      | CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY 1""".stripMargin
 
   // ----------------------------------------------- d_curation_pipeline
   // The end-to-end curation composition a reference user actually runs:
