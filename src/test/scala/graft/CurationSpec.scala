@@ -43,6 +43,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
+  test("splitAssign: disjoint-exhaustive, deterministic, boundary-correct") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = ids.select(col("id"), Corpus.splitAssign(col("id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    // ~80/10/10 within tolerance on 2000 ids
+    assert(counts("train") > 1500 && counts("train") < 1700, s"$counts")
+    // deterministic: same ids → same assignment, independent of partitioning
+    val again = ids.repartition(7).select(col("id"), Corpus.splitAssign(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val first = split.as[(Long, String)].collect().toMap
+    assert(again == first)
+    // degenerate boundaries
+    val allTrain = ids.select(Corpus.splitAssign(col("id"), 1000, 1000).as("s"))
+      .distinct().as[String].collect().toSeq
+    assert(allTrain == Seq("train"))
+  }
+
   test("invertedIndex: sorted postings, df bounds drop hapaxes and stop-terms") {
     val df = Seq(
       (3L, "apple banana stopper"),
