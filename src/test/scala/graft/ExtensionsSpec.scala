@@ -29,6 +29,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(cos - 1.0) < 1e-9)
       val nfc = s2.sql("SELECT nfc_normalize('cafe\\u0301')").collect()(0).getString(0)
       assert(nfc == "caf\u00e9")
+      // a composed-builtin builder (eagerExpression path) also injects
+      val clean = s2.sql("SELECT strip_markup('<b>hi</b> &amp; bye')")
+        .collect()(0).getString(0)
+      assert(clean == "hi & bye", s"got '$clean'")
 
       // TopK rewrite fires with no TopKRewriteRule.register call
       val w = Window.partitionBy(col("o_custkey"))
