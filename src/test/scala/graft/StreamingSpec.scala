@@ -118,6 +118,24 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch contamination disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("chunkSliding applies unchanged to a document stream (stateless per-row op)") {
+    val docsDir = Files.createTempDirectory("docs_chunk").toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.mode("overwrite").parquet(docsDir)
+    // the BATCH operator runs on the streaming frame as-is — chunking is a
+    // pure plan transformation, so streaming reuses it without a twin
+    val streamed = Streams.runToMemory(spark,
+      graft.operators.Corpus.chunkSliding(
+        Streams.documentStream(spark, docsDir), "doc_id", "text", 64, 48),
+      "chunk_stream", OutputMode.Append())
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = graft.operators.Corpus.chunkSliding(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text", 64, 48)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch chunking disagree: ${(streamed diff batch).take(2)}")
+  }
+
   test("stream-static cross-corpus dedup matches the batch operator") {
     val docsDir = Files.createTempDirectory("docs_xdedup").toString
     spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
