@@ -64,10 +64,25 @@ object Bench {
       reclaimBlocks()
       name -> sec
     }.toMap + ("d_ann_ivf_build" -> buildSec) + ("d_ann_pq_build" -> pqBuildSec)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the tail of stdout, and a single line carrying
+    // all ~120 per-query timings truncates mid-line (BENCH parsed=null for 5
+    // rounds). So: write the FULL per-query map to bench_full.json on disk,
+    // and keep the final stdout line compact — summary stats plus the slowest
+    // few queries — so it always parses.
+    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sorted = results.values.toSeq.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fullPath = java.nio.file.Paths.get("bench_full.json")
+    java.nio.file.Files.write(fullPath,
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

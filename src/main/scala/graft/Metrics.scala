@@ -28,10 +28,17 @@ object Metrics {
 
   final class Reporter(capacity: Int = 1000) extends QueryExecutionListener {
     private val buf = new ConcurrentLinkedQueue[QueryReport]()
+    // ConcurrentLinkedQueue.size() is O(n); track it alongside so eviction
+    // on the listener bus stays O(1) per completed query.
+    private val bufSize = new java.util.concurrent.atomic.AtomicInteger(0)
 
     private def record(r: QueryReport): Unit = {
       buf.add(r)
-      while (buf.size > capacity) buf.poll()
+      bufSize.incrementAndGet()
+      while (bufSize.get > capacity) {
+        if (buf.poll() != null) bufSize.decrementAndGet()
+        else return // racing evictor emptied it; counter resyncs on next add
+      }
     }
 
     /** True leaves of an adaptively-executed plan: AQE's plan wrapper and

@@ -148,6 +148,15 @@ object TextFunctions {
   def contentHash(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** 256-bit content digest of the same normalization — for anti-join keys
+    * where a 64-bit collision would silently DROP a non-duplicate document
+    * (crossDedup at billions of reference docs). Grouping keys can live
+    * with 64 bits (a collision only merges two count buckets); deletion
+    * keys cannot.
+    */
+  def contentDigest(text: Column): Column =
+    sha2(regexp_replace(lower(text), "\\s+", " "), 256)
+
   /** Strip HTML/XML markup from crawled text: tags become spaces, the five
     * predefined character entities unescape, whitespace collapses. The tag
     * pattern is deliberately RE2-compatible (no backtracking constructs) so

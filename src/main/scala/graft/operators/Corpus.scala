@@ -130,8 +130,15 @@ object Corpus {
       .select(lit("").as("ngram"), lit(0L).as("cnt")).limit(0)
     val cutoff = boundary.getLong(0)
     val candidates = hashes.filter(col("cnt") >= cutoff).select("h")
+    // cutoff == 1 (mostly-unique corpus, or k exceeding the repeated-gram
+    // set) makes `candidates` EVERY distinct gram hash — broadcasting that
+    // ships an unbounded set to all executors. Only force the broadcast
+    // when the cutoff actually bounds the candidates; at cutoff 1 let the
+    // planner pick (it will shuffle-join, which is the right plan for an
+    // unbounded build side).
+    val candSide = if (cutoff > 1) broadcast(candidates) else candidates
     val grams = df.select(explode(ShingleHash.ngramTexts(col(textCol), n)).as("ngram"))
-    grams.join(broadcast(candidates), xxhash64(col("ngram")) === col("h"), "left_semi")
+    grams.join(candSide, xxhash64(col("ngram")) === col("h"), "left_semi")
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)

@@ -41,8 +41,12 @@ object Dedup {
     */
   def crossDedup(incoming: DataFrame, reference: DataFrame,
                  textCol: String): DataFrame = {
-    val refHashes = reference.select(contentHash(col(textCol)).as("__h")).distinct()
-    incoming.withColumn("__h", contentHash(col(textCol)))
+    // 256-bit digest, not contentHash's 64-bit xxhash: this key DELETES
+    // rows, and at billions of reference docs a 64-bit collision with
+    // unrelated content silently drops a non-duplicate. 32-byte keys still
+    // shuffle fine — the text itself never crosses the wire.
+    val refHashes = reference.select(contentDigest(col(textCol)).as("__h")).distinct()
+    incoming.withColumn("__h", contentDigest(col(textCol)))
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
   }

@@ -411,8 +411,12 @@ object Similarity {
               probeRadius: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nBits).as("bucket"))
-    val masks = (0L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    // Enumerate the C(nBits, ≤radius) bit-combinations directly rather than
+    // filtering all 2^nBits longs by bitcount — the latter is an O(2^nBits)
+    // driver loop that would hang at nBits=32 even though the mask set
+    // itself is tiny (radius ≤ 2 → ≤ 529 masks).
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until nBits).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         lshBucket(col(vecCol), nBits).as("b0"))
       .select(col("query_id"), col("qv"),

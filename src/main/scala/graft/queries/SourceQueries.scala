@@ -317,8 +317,36 @@ object SourceQueries {
       |UNION ALL SELECT 'satisfies:key_positive',
       | CAST(SUM(CASE WHEN NOT (o_orderkey > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM d""".stripMargin
 
+  // ----------------------------------------------------------- q41_jdbc
+  // Database round-trip (DatabaseParser.scala / DatabaseWriterActor.scala —
+  // the reference is a database-integration agent at heart): supplier is
+  // written into embedded Derby via the JDBC sink, read back through the
+  // PARTITIONED JDBC source (4 range-partitioned parallel reads on
+  // s_suppkey), and projected; the oracle reads the original parquet. Any
+  // type-mapping loss (BIGINT/INT/DOUBLE/VARCHAR) in either direction
+  // breaks the hash.
+  private def q41Jdbc(spark: SparkSession, dir: String): DataFrame = {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val db = cachedArtifact("derby", dir) { out =>
+      Sinks.writeJdbc(
+        Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        s"jdbc:derby:$out/db;create=true", "supplier_rt", props,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    Sources.readJdbc(spark, s"jdbc:derby:$db/db", "supplier_rt", props,
+        partitionColumn = Some("s_suppkey"), lowerBound = 1L,
+        upperBound = 10000L, numPartitions = 4)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+  }
+
+  private val q41JdbcSql =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
+    QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),
     QueryDef("q23_excel", q23Excel, Some(q23ExcelSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),

@@ -1,0 +1,371 @@
+package graft.sources
+
+import graft.functions.Transformers
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Element => XmlElement, Node}
+
+/** DFASDL cookbook front-end — the reference's entire configuration surface
+  * is a DFASDL schema document plus a recipe cookbook
+  * (helpers/SchemaExtractor.scala, helpers/DFASDLValidator.scala,
+  * processor/RecipesWorker.scala, processor/RecipeWorker.scala). A user
+  * migrating off the reference holds those documents, not Scala, so this
+  * object ingests the read-only subset directly:
+  *
+  *  - a DFASDL schema document → a Spark [[StructType]] (the SURVEY §3 type
+  *    mapping: str→string, num→long, formatnum→double, date→date,
+  *    formattime/datetime→timestamp, time→string, bin→binary), plus a
+  *    delimited-file reader that honors `stop-sign` separators, a leading
+  *    header element, and per-field `format` patterns;
+  *  - a cookbook document (recipes of one-to-one / all-to-all mappings with
+  *    transformer chains, referencing the reference's public transformer
+  *    class names — e.g. `com.wegtam.tensei.agent.transformers.LowerOrUpper`
+  *    with `perform=upper`) → a runnable [[Pipeline.Recipe]], so the whole
+  *    cookbook compiles to ONE whole-stage-codegen'd projection exactly like
+  *    a hand-built pipeline.
+  *
+  * Parsing is driver-side DOM over a config-sized document (a schema is
+  * KBs); nothing here touches the data path, so the compiled plan is
+  * indistinguishable from one written directly against [[Pipeline]].
+  */
+object Dfasdl {
+
+  /** One leaf element of a DFASDL record: its id, DFASDL element kind and
+    * raw attributes.
+    */
+  final case class Field(id: String, kind: String, attrs: Map[String, String]) {
+    def attr(name: String): Option[String] = attrs.get(name)
+
+    /** SURVEY §3 type mapping. */
+    def sparkType: DataType = kind match {
+      case "num"                      => LongType
+      case "formatnum"                => DoubleType
+      case "date"                     => DateType
+      case "datetime" | "formattime"  => TimestampType
+      case "bin" | "bin64" | "binHex" => BinaryType
+      case _                          => StringType // str, format, time, ...
+    }
+  }
+
+  /** A parsed DFASDL document: record fields (children of the first
+    * `seq`/`elem`) and any preamble elements before the sequence (the
+    * reference models a CSV header line as a leading `<str id="header"/>` —
+    * see e.g. the structure of the reference's simple CSV schemas).
+    */
+  final case class Doc(id: String, preamble: Seq[Field], fields: Seq[Field]) {
+    def schema: StructType =
+      StructType(fields.map(f => StructField(f.id, f.sparkType)))
+  }
+
+  private val leafKinds = Set("str", "num", "formatnum", "date", "datetime",
+    "formattime", "time", "format", "bin", "bin64", "binHex")
+
+  private def childElems(n: Node): Seq[XmlElement] = {
+    val kids = n.getChildNodes
+    (0 until kids.getLength).map(kids.item).collect { case e: XmlElement => e }
+  }
+
+  private def attrsOf(e: XmlElement): Map[String, String] = {
+    val m = e.getAttributes
+    (0 until m.getLength).map(m.item).map(a => a.getNodeName -> a.getNodeValue).toMap
+  }
+
+  private def nameOf(e: XmlElement): String =
+    Option(e.getLocalName).getOrElse(e.getTagName)
+
+  private def parseXml(xml: String): XmlElement = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true) // DFASDL documents carry the dfasdl.org xmlns
+    // config documents, not data: no DTD/external-entity resolution
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+      .getDocumentElement
+  }
+
+  private def fieldOf(e: XmlElement): Field =
+    Field(Option(e.getAttribute("id")).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          s"DFASDL element <${nameOf(e)}> has no id")),
+      nameOf(e), attrsOf(e))
+
+  /** Parse a DFASDL schema document. The record layout is the set of leaf
+    * elements under the first `seq`; anything before it is preamble
+    * (header). Nested `elem` wrappers are descended through — the reference
+    * wraps each row in `<elem id="row">`.
+    */
+  def parseSchema(xml: String): Doc = {
+    val root = parseXml(xml)
+    require(nameOf(root) == "dfasdl",
+      s"not a DFASDL document: root <${root.getTagName}>")
+    val top = childElems(root)
+    val (pre, rest) = top.span(e => nameOf(e) != "seq")
+    val preamble = pre.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+    val fields = rest.headOption match {
+      case Some(seq) => leavesUnder(seq)
+      case None      => top.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+    }
+    require(fields.nonEmpty, "DFASDL document defines no record fields")
+    Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),
+      preamble, fields)
+  }
+
+  private def leavesUnder(e: XmlElement): Seq[Field] =
+    childElems(e).flatMap { c =>
+      if (leafKinds(nameOf(c))) Seq(fieldOf(c))
+      else leavesUnder(c) // elem / seq wrappers
+    }
+
+  /** DFASDLValidator analog: structural checks that fail fast driver-side
+    * instead of mid-job — duplicate ids, unknown element kinds, empty
+    * records, and formattime fields missing their `format`.
+    */
+  def validate(xml: String): Seq[String] = {
+    val errs = scala.collection.mutable.ListBuffer.empty[String]
+    val doc = try parseSchema(xml) catch {
+      case e: Exception => return Seq(e.getMessage)
+    }
+    val all = doc.preamble ++ doc.fields
+    all.groupBy(_.id).filter(_._2.size > 1).keys.foreach(id =>
+      errs += s"duplicate element id: $id")
+    doc.fields.filter(f => f.kind == "formattime" && f.attr("format").isEmpty)
+      .foreach(f => errs += s"formattime ${f.id} has no format attribute")
+    errs.toList
+  }
+
+  /** Read a delimited text file as described by a DFASDL schema: the field
+    * separator is the record's `stop-sign` (default `,`), a preamble element
+    * means the file starts with a header line, and `format`-patterned
+    * date/time/number fields parse through their pattern. This is the
+    * FileParser → DataTreeDocument path collapsed into one distributed scan:
+    * the format conversions are plain Catalyst expressions layered over the
+    * csv read, so pruning and pushdown still apply.
+    */
+  def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
+    val sep = doc.fields.flatMap(_.attr("stop-sign")).headOption.getOrElse(",")
+    // fields whose parse needs their format pattern load as strings first
+    val rawSchema = StructType(doc.fields.map { f =>
+      val needsPattern = f.kind match {
+        case "formattime" | "formatnum" => true
+        case "date" | "datetime"        => f.attr("format").isDefined
+        case _                          => false
+      }
+      StructField(f.id, if (needsPattern) StringType else f.sparkType)
+    })
+    val raw = spark.read
+      .option("header", doc.preamble.nonEmpty.toString)
+      .option("sep", sep)
+      .schema(rawSchema)
+      .csv(path)
+    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
+  }
+
+  private def convert(f: Field, c: Column): Column = f.kind match {
+    case "formattime" =>
+      to_timestamp(trim(c), f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))
+    case "date" if f.attr("format").isDefined =>
+      to_date(trim(c), f.attr("format").get)
+    case "datetime" if f.attr("format").isDefined =>
+      to_timestamp(trim(c), f.attr("format").get)
+    case "formatnum" =>
+      // extract via the declared pattern (first group if the pattern has
+      // one), normalize the declared decimal separator, cast
+      val pattern = f.attr("format").getOrElse("(-?[\\d.,]+)")
+      val grouped = if (pattern.contains("(")) pattern else s"($pattern)"
+      val raw = regexp_extract(trim(c), grouped, 1)
+      val normalized = f.attr("decimal-separator") match {
+        case Some(",") => regexp_replace(regexp_replace(raw, "\\.", ""), ",", ".")
+        case _         => regexp_replace(raw, ",", "")
+      }
+      normalized.cast(DoubleType)
+    case _ => c
+  }
+
+  // ------------------------------------------------------------- cookbook
+
+  final case class Transformation(className: String, options: Map[String, String])
+  final case class Mapping(sources: Seq[String], targets: Seq[String],
+                           transformations: Seq[Transformation])
+
+  /** A cookbook recipe: `mode` is `one-to-one` (source i feeds target i,
+    * MappingOneToOneWorker.scala) or `all-to-all` (every target sees all
+    * sources, MappingAllToAllWorker.scala).
+    */
+  final case class Recipe(id: String, mode: String, mappings: Seq[Mapping])
+  final case class Cookbook(id: String, source: Doc, target: Option[Doc],
+                            recipes: Seq[Recipe])
+
+  /** Parse a cookbook document:
+    * {{{
+    * <cookbook id="...">
+    *   <source><dfasdl ...>...</dfasdl></source>
+    *   <target><dfasdl ...>...</dfasdl></target>   <!-- optional -->
+    *   <recipe id="..." mode="one-to-one">
+    *     <mapping>
+    *       <sources>firstname lastname</sources>
+    *       <targets>vorname nachname</targets>
+    *       <transformation class="com.wegtam.tensei.agent.transformers.LowerOrUpper">
+    *         <option name="perform" value="upper"/>
+    *       </transformation>
+    *     </mapping>
+    *   </recipe>
+    * </cookbook>
+    * }}}
+    * The embedded `<dfasdl>` bodies use the reference's own schema layout;
+    * the wrapper mirrors its Cookbook/Recipe/MappingTransformation ADT.
+    */
+  def parseCookbook(xml: String): Cookbook = {
+    val root = parseXml(xml)
+    require(nameOf(root) == "cookbook", s"not a cookbook: <${root.getTagName}>")
+    def embeddedDfasdl(wrapper: XmlElement): Doc = {
+      val inner = childElems(wrapper).find(e => nameOf(e) == "dfasdl")
+        .getOrElse(throw new IllegalArgumentException(
+          s"<${wrapper.getTagName}> holds no <dfasdl> document"))
+      parseSchema(nodeToString(inner))
+    }
+    val source = childElems(root).find(e => nameOf(e) == "source")
+      .map(embeddedDfasdl)
+      .getOrElse(throw new IllegalArgumentException("cookbook has no <source>"))
+    val target = childElems(root).find(e => nameOf(e) == "target").map(embeddedDfasdl)
+    val recipes = childElems(root).filter(e => nameOf(e) == "recipe").map { r =>
+      val mappings = childElems(r).filter(e => nameOf(e) == "mapping").map { m =>
+        def ids(tag: String): Seq[String] = childElems(m)
+          .filter(e => nameOf(e) == tag)
+          .flatMap(_.getTextContent.trim.split("\\s+")).filter(_.nonEmpty)
+        val ts = childElems(m).filter(e => nameOf(e) == "transformation").map { t =>
+          Transformation(t.getAttribute("class"),
+            childElems(t).filter(e => nameOf(e) == "option")
+              .map(o => o.getAttribute("name") -> o.getAttribute("value")).toMap)
+        }
+        Mapping(ids("sources"), ids("targets"), ts)
+      }
+      Recipe(Option(r.getAttribute("id")).filter(_.nonEmpty).getOrElse("recipe"),
+        Option(r.getAttribute("mode")).filter(_.nonEmpty).getOrElse("one-to-one"),
+        mappings)
+    }
+    require(recipes.nonEmpty, "cookbook defines no recipes")
+    Cookbook(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("cookbook"),
+      source, target, recipes)
+  }
+
+  private def nodeToString(n: Node): String = {
+    val t = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+    t.setOutputProperty(javax.xml.transform.OutputKeys.OMIT_XML_DECLARATION, "yes")
+    val w = new java.io.StringWriter()
+    t.transform(new javax.xml.transform.dom.DOMSource(n),
+      new javax.xml.transform.stream.StreamResult(w))
+    w.toString
+  }
+
+  /** Compile one cookbook recipe to a [[Pipeline.Recipe]] — each mapping
+    * becomes a [[Pipeline.FieldMapping]], the transformer chain a fold of
+    * [[Transformers]] Column functions, so the executed plan is identical to
+    * a hand-written pipeline.
+    */
+  def compileRecipe(recipe: Recipe): Pipeline.Recipe = {
+    val fms = recipe.mappings.flatMap { m =>
+      recipe.mode match {
+        case "one-to-one" if m.sources.size == m.targets.size && m.sources.nonEmpty =>
+          m.sources.zip(m.targets).map { case (s, t) =>
+            Pipeline.oneToOne(t, s, c => applyChain(m.transformations, Seq(c)))
+          }
+        case _ => // all-to-all, or a one-to-one collapsing n sources into fewer targets
+          m.targets.map { t =>
+            if (m.sources.isEmpty)
+              Pipeline.generated(t, applyChain(m.transformations, Nil))
+            else
+              Pipeline.allToAll(t, m.sources, cols => applyChain(m.transformations, cols))
+          }
+      }
+    }
+    Pipeline.Recipe(fms)
+  }
+
+  /** Run a whole cookbook against a DataFrame (recipes apply in order to
+    * the SAME source, their outputs column-concatenated — the reference
+    * processes each recipe against the parsed source tree and writes all
+    * recipe outputs to the target).
+    */
+  def applyCookbook(df: DataFrame, cb: Cookbook): DataFrame = {
+    val cols = cb.recipes.flatMap(r => compileRecipe(r).columns)
+    df.select(cols: _*)
+  }
+
+  /** One transformer-chain step set applied to the current columns; a
+    * multi-input transformer (Concat, MergeToJson, ExtractBiggestValue,
+    * MergeAndExtractByRegEx) collapses the sequence to one column, a
+    * single-input transformer maps over each. The fold ends by merging any
+    * leftover multiplicity with a plain concat, mirroring the reference's
+    * default pass-through when no merging transformer was configured.
+    */
+  private def applyChain(ts: Seq[Transformation], cols0: Seq[Column]): Column = {
+    val out = ts.foldLeft(cols0) { (cols, t) => applyTransformer(t, cols) }
+    out match {
+      case Seq(single) => single
+      case Nil         => lit(null).cast(StringType)
+      case many        => concat_ws("", many: _*)
+    }
+  }
+
+  private def applyTransformer(t: Transformation, cols: Seq[Column]): Seq[Column] = {
+    val name = t.className.substring(t.className.lastIndexOf('.') + 1)
+    def opt(k: String, d: String = ""): String = t.options.getOrElse(k, d)
+    name match {
+      // ---- multi-input: collapse to one column
+      case "Concat" =>
+        Seq(Transformers.concatAll(opt("separator"), opt("prefix"), opt("suffix"), cols: _*))
+      case "MergeToJson" =>
+        val labels = opt("labels").split("\\s+").toSeq.filter(_.nonEmpty)
+        Seq(Transformers.mergeToJson(labels.zip(cols): _*))
+      case "ExtractBiggestValue" =>
+        Seq(Transformers.extractBiggestString(cols: _*))
+      case "MergeAndExtractByRegEx" =>
+        val groups = opt("groups").split("\\s+").toSeq.filter(_.nonEmpty).map(_.toInt)
+        Seq(Transformers.mergeExtract(concat_ws("", cols: _*), opt("regexp"),
+          opt("filler"), if (groups.isEmpty) Seq(1) else groups))
+      // ---- generators (no input)
+      case "Overwrite"   => Seq(Transformers.overwrite(opt("value"), opt("type", "string")))
+      case "EmptyString" => Seq(Transformers.emptyString)
+      case "Nullify"     => Seq(Transformers.nullify())
+      // ---- single-input: apply to each current column
+      case "LowerOrUpper" =>
+        cols.map(Transformers.lowerOrUpper(_, opt("perform", "lower")))
+      case "Replace" =>
+        val searches = opt("search").split(",").toSeq.filter(_.nonEmpty)
+        if (opt("count") == "first")
+          cols.map(c => Transformers.replaceFirst(c, searches.head, opt("replace")))
+        else cols.map(c => Transformers.replaceAllOf(c, searches, opt("replace")))
+      case "Split" =>
+        cols.map(c => Transformers.splitSelect(c, opt("pattern", ","),
+          opt("selected", "0").toInt))
+      case "CastStringToLong" => cols.map(Transformers.castStringToLong)
+      case "DateConverter"    => cols.map(Transformers.epochMillisToTimestamp)
+      case "DateTypeConverter" =>
+        cols.map(c => Transformers.dateTypeConvert(c, opt("target", "date")))
+      case "DateValueToString" =>
+        cols.map(c => Transformers.dateValueToString(c, opt("format")))
+      case "TimestampCalibrate" =>
+        cols.map(c => Transformers.timestampCalibrate(c, opt("perform", "reduce")))
+      case "TimestampOffsetTransformer" =>
+        cols.map(c => Transformers.timestampOffset(c, opt("offset", "0")))
+      case "IfThenElseNumeric" =>
+        cols.map(c => Transformers.ifThenElseNumeric(c, opt("if"), opt("then"),
+          opt("else"), opt("format") == "dec"))
+      case "ToJson" => cols.map(c => Transformers.toJsonLabelled(opt("label", "value"), c))
+      case "IDTransformer" =>
+        // the reference assigns a fresh surrogate id per written row; the
+        // distributed equivalent is the partition-local monotonic id
+        Seq(monotonically_increasing_id())
+      case other => throw new UnsupportedOperationException(
+        s"transformer $other not supported by the cookbook front-end " +
+          "(DrupalVanCode/FetchForeignKeyValue need a second input - use " +
+          "graft.operators.VanCode / ForeignKey directly)")
+    }
+  }
+}

@@ -116,10 +116,13 @@ private[sources] class FixedWidthScanBuilder(
 
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // 'paths' arrives as a JSON array (DataFrameReader.load(paths*)
+    // serializes it with Jackson) — parse it as JSON, not by bracket/quote
+    // stripping, so a path containing a comma or escaped quote survives.
     val paths: Seq[String] =
       Option(options.get("paths"))
-        .map(_.stripPrefix("[").stripSuffix("]")
-          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .map(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(_, classOf[Array[String]]).toSeq)
         .getOrElse(Option(options.get("path")).toSeq)
     val files = FixedWidthV2.listFiles(paths,
       spark.sessionState.newHadoopConf())
@@ -206,24 +209,34 @@ private[sources] class FixedWidthWriteBuilder(
 /** Batch write: each task streams its partition into a `.tmp` file and
   * RENAMES it into place on task commit (rename is the atomic unit on
   * HDFS-like stores), so a retried or speculatively-duplicated task never
-  * leaves a half-written visible file. Truncate (overwrite mode) clears
-  * prior part files up front, driver-side.
+  * leaves a half-written visible file. Overwrite (truncate) keeps the prior
+  * part files on disk until the job-level commit — a failed overwrite
+  * leaves the old data intact. New files carry a job-unique token so they
+  * can never rename over a prior job's part files mid-job.
   */
 private[sources] class FixedWidthBatchWrite(
     fields: Seq[(String, Int)], schema: StructType, path: String,
     truncate: Boolean, conf: FixedWidthV2.SerializableConf)
     extends BatchWrite {
 
+  private val jobToken = java.util.UUID.randomUUID.toString.take(8)
+  private var prior: Array[String] = Array.empty
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.conf)
-    if (truncate && fs.exists(dir))
-      fs.listStatus(dir).filter(_.isFile).foreach(s => fs.delete(s.getPath, false))
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    new FixedWidthWriterFactory(fields, schema, path, conf)
+    else if (truncate)
+      prior = fs.listStatus(dir).filter(_.isFile).map(_.getPath.toString)
+    new FixedWidthWriterFactory(fields, schema, path, jobToken, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (truncate && prior.nonEmpty) {
+      val fs = new Path(path).getFileSystem(conf.conf)
+      val fresh = messages.collect { case FixedWidthCommitted(f) => f }.toSet
+      prior.filterNot(fresh).foreach(f => fs.delete(new Path(f), false))
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.conf)
@@ -238,6 +251,7 @@ private[sources] case class FixedWidthCommitted(file: String)
 
 private[sources] class FixedWidthWriterFactory(
     fields: Seq[(String, Int)], schema: StructType, path: String,
+    jobToken: String,
     conf: FixedWidthV2.SerializableConf) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -248,8 +262,8 @@ private[sources] class FixedWidthWriterFactory(
       val i = schema.fieldIndex(n)
       (i, w, schema(i).dataType)
     }
-    val fin = new Path(path, f"part-$partitionId%05d-$taskId.txt")
-    val tmp = new Path(path, f".part-$partitionId%05d-$taskId.tmp")
+    val fin = new Path(path, f"part-$partitionId%05d-$taskId-$jobToken.txt")
+    val tmp = new Path(path, f".part-$partitionId%05d-$taskId-$jobToken.tmp")
     new DataWriter[InternalRow] {
       private val fs = tmp.getFileSystem(conf.conf)
       private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(

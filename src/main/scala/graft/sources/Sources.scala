@@ -129,11 +129,43 @@ object Sources {
     */
   def readNetworkCsv(spark: SparkSession, uri: String,
                      header: Boolean = true, delimiter: String = ","): DataFrame = {
-    val scheme = java.net.URI.create(uri).getScheme
-    require(scheme == "ftp" || scheme == "sftp",
-      s"scheme $scheme not streamable; stage http(s) downloads to a file first " +
-        "(reference: NetworkFileParser.scala downloads before parsing)")
-    readCsv(spark, uri, header, delimiter)
+    java.net.URI.create(uri).getScheme match {
+      case "ftp" | "sftp"     => readCsv(spark, uri, header, delimiter)
+      case "http" | "https"   => readCsv(spark, stageHttp(uri), header, delimiter)
+      case other => throw new IllegalArgumentException(
+        s"scheme $other not supported (ftp/sftp stream; http(s) stage via stageHttp)")
+    }
+  }
+
+  /** Stage an http(s) resource to a local temp file and return its path —
+    * the reference's download-then-parse step (NetworkFileParser.scala,
+    * helpers/NetworkFileHelpers.scala). Plain HTTP has no Hadoop FileSystem
+    * so, unlike ftp://, it cannot stream into a scan; the body streams
+    * straight to disk (never buffered in memory), so a multi-GB staged file
+    * is fine. At cluster scale staging runs once driver-side and the staged
+    * file should be copied to shared storage before a distributed read.
+    */
+  def stageHttp(uri: String,
+                timeout: java.time.Duration = java.time.Duration.ofMinutes(5)): String = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val u = java.net.URI.create(uri)
+    require(u.getScheme == "http" || u.getScheme == "https",
+      s"stageHttp expects http(s), got ${u.getScheme}")
+    // keep the remote extension so extension-dispatched readers still work
+    val ext = Option(u.getPath).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.contains('.')).map(n => n.substring(n.lastIndexOf('.')))
+      .getOrElse(".dat")
+    val tmp = java.nio.file.Files.createTempFile("graft-staged-", ext)
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(timeout).build()
+    val req = HttpRequest.newBuilder(u).timeout(timeout).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+    if (resp.statusCode() / 100 != 2) {
+      java.nio.file.Files.deleteIfExists(tmp)
+      throw new java.io.IOException(s"GET $uri returned HTTP ${resp.statusCode()}")
+    }
+    tmp.toString
   }
 
   /** Schema extraction report (SchemaExtractor.scala): inferred schema as a
@@ -142,4 +174,32 @@ object Sources {
   def extractSchemaDdl(df: DataFrame): String = df.schema.toDDL
 
   def extractSchemaJson(df: DataFrame): String = df.schema.json
+
+  /** Whole-catalog schema extraction
+    * (helpers/DatabaseSchemaExtractor.scala): crawl the JDBC catalog via
+    * DatabaseMetaData and emit `(table, ddl)` for every user table — the
+    * reference emits one DFASDL for the whole source database; the
+    * Spark-native analog is one DDL string per table. Schema derivation is
+    * a zero-row JDBC metadata query per table (Spark resolves the schema
+    * without scanning data), so the report costs one round-trip per table.
+    */
+  def extractJdbcCatalog(spark: SparkSession, url: String,
+                         props: Map[String, String] = Map.empty,
+                         schemaPattern: String = null): Seq[(String, String)] = {
+    props.get("driver").foreach(Class.forName)
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    val tables = try {
+      val rs = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (rs.next()) {
+        val name = rs.getString("TABLE_NAME")
+        buf += Option(rs.getString("TABLE_SCHEM")).filter(_.nonEmpty)
+          .map(s => s"$s.$name").getOrElse(name)
+      }
+      buf.toList
+    } finally conn.close()
+    tables.sorted.map(t => t -> readJdbc(spark, url, t, props).schema.toDDL)
+  }
 }

@@ -118,9 +118,11 @@ object Streams {
     */
   def crossDedupStream(docs: DataFrame, reference: DataFrame,
                        textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFunctions.contentHash
-    val refHashes = reference.select(contentHash(col(textCol)).as("__h")).distinct()
-    docs.withColumn("__h", contentHash(col(textCol)))
+    // 256-bit digest for the same reason as Dedup.crossDedup: a deletion
+    // key must not collide at reference-corpus scale.
+    import graft.functions.TextFunctions.contentDigest
+    val refHashes = reference.select(contentDigest(col(textCol)).as("__h")).distinct()
+    docs.withColumn("__h", contentDigest(col(textCol)))
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
   }

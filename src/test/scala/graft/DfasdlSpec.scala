@@ -1,0 +1,145 @@
+package graft
+
+import graft.pipeline.Pipeline
+import graft.sources.Dfasdl
+import graft.functions.Transformers
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The cookbook front-end: a migrating reference user feeds their DFASDL +
+  * cookbook documents in and gets the same pipelines they would hand-write.
+  * Each fixture cookbook's compiled output is compared against a hand-built
+  * Pipeline twin — equality of results, not just of shapes.
+  */
+class DfasdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture(name: String): String =
+    scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/dfasdl/$name"), "UTF-8").mkString
+
+  private def tmpCsv(name: String, content: String): String = {
+    val f = Files.createTempFile(name, ".csv")
+    Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("parseSchema maps DFASDL element types per SURVEY §3") {
+    val doc = Dfasdl.parseSchema(fixture("cookbook-sales.xml")
+      .split("<source>")(1).split("</source>")(0))
+    assert(doc.schema == StructType(Seq(
+      StructField("quantity", LongType),
+      StructField("amount", DoubleType),
+      StructField("soldat", TimestampType),
+      StructField("channel", StringType))))
+    assert(doc.preamble.isEmpty)
+  }
+
+  test("parseSchema: preamble header + elem descent (people fixture)") {
+    val cb = Dfasdl.parseCookbook(fixture("cookbook-people.xml"))
+    assert(cb.source.preamble.map(_.id) == Seq("header"))
+    assert(cb.source.schema.fieldNames.toSeq ==
+      Seq("firstname", "lastname", "email", "birthday"))
+    assert(cb.source.schema("birthday").dataType == DateType)
+  }
+
+  test("validate flags duplicate ids and missing formattime format") {
+    val bad =
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL">
+        |<seq id="s"><elem id="e">
+        |  <str id="a"/><str id="a"/><formattime id="t"/>
+        |</elem></seq></dfasdl>""".stripMargin
+    val errs = Dfasdl.validate(bad)
+    assert(errs.exists(_.contains("duplicate element id: a")), errs)
+    assert(errs.exists(_.contains("formattime t has no format")), errs)
+    assert(Dfasdl.validate(fixture("cookbook-people.xml")
+      .split("<source>")(1).split("</source>")(0)).isEmpty)
+  }
+
+  test("readDelimited honors header, stop-sign, formatnum and formattime") {
+    val doc = Dfasdl.parseSchema(fixture("cookbook-sales.xml")
+      .split("<source>")(1).split("</source>")(0))
+    val path = tmpCsv("sales",
+      "3;1.500.000,83;15/01/2024 09:30;Web\n12;99,50;16/01/2024 10:00;Store\n")
+    val rows = Dfasdl.readDelimited(spark, path, doc)
+      .orderBy("quantity").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getLong(0) == 3L)
+    assert(math.abs(r0.getDouble(1) - 1500000.83) < 1e-9, r0.getDouble(1))
+    assert(r0.getTimestamp(2).toString.startsWith("2024-01-15 09:30"), r0)
+    assert(r0.getString(3) == "Web")
+    assert(rows(1).getDouble(1) == 99.50)
+  }
+
+  test("people cookbook compiles to the hand-built pipeline twin") {
+    val cb = Dfasdl.parseCookbook(fixture("cookbook-people.xml"))
+    val path = tmpCsv("people",
+      "firstname,lastname,email,birthday\n" +
+        "Ada,Lovelace,ada@example.com,1815-12-10\n" +
+        "Alan,Turing,alan@other.net,1912-06-23\n")
+    val src = Dfasdl.readDelimited(spark, path, cb.source)
+    val got = Dfasdl.applyCookbook(src, cb)
+
+    // the twin a user would write directly against Pipeline
+    val twin = src.select(Pipeline.Recipe(Seq(
+      Pipeline.oneToOne("vorname", "firstname", upper),
+      Pipeline.oneToOne("nachname", "lastname", upper),
+      Pipeline.oneToOne("email", "email",
+        c => Transformers.replaceAllOf(c, Seq("@example\\.com"), "@example.org")),
+      Pipeline.oneToOne("birthday", "birthday"),
+      Pipeline.allToAll("fullname", Seq("firstname", "lastname"),
+        cols => Transformers.concatAll(" ", "", "", cols: _*))
+    )).columns: _*)
+
+    assert(got.columns.toSeq ==
+      Seq("vorname", "nachname", "email", "birthday", "fullname"))
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    val byName = got.orderBy("vorname").collect()
+    assert(byName(0) == Row("ADA", "LOVELACE", "ada@example.org",
+      java.sql.Date.valueOf("1815-12-10"), "Ada Lovelace"))
+  }
+
+  test("sales cookbook compiles to the hand-built pipeline twin") {
+    val cb = Dfasdl.parseCookbook(fixture("cookbook-sales.xml"))
+    val path = tmpCsv("sales2",
+      "3;100,00;15/01/2024 09:30;Web\n12;99,50;16/01/2024 10:00;STORE\n")
+    val src = Dfasdl.readDelimited(spark, path, cb.source)
+    val got = Dfasdl.applyCookbook(src, cb)
+
+    val twin = src.select(Pipeline.Recipe(Seq(
+      Pipeline.oneToOne("quantity_banded", "quantity",
+        c => Transformers.ifThenElseNumeric(c, "x>10", "x=10", "x")),
+      Pipeline.oneToOne("channel", "channel", lower),
+      Pipeline.generated("source_system", Transformers.overwrite("legacy-pos"))
+    )).columns: _*)
+
+    assert(got.collect().toSeq == twin.collect().toSeq)
+    val rows = got.orderBy("quantity_banded").collect()
+    assert(rows(0) == Row(3L, "web", "legacy-pos"))
+    assert(rows(1) == Row(10L, "store", "legacy-pos")) // 12 banded to 10
+  }
+
+  test("whole compiled cookbook is one projection over the scan (plan shape)") {
+    val cb = Dfasdl.parseCookbook(fixture("cookbook-people.xml"))
+    val path = tmpCsv("people2", "firstname,lastname,email,birthday\nA,B,c@d.e,2000-01-01\n")
+    val plan = Dfasdl.applyCookbook(Dfasdl.readDelimited(spark, path, cb.source), cb)
+      .queryExecution.executedPlan.toString
+    // no exchange anywhere: the cookbook fused into the scan's projection
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("unsupported transformer names fail fast with guidance") {
+    val e = intercept[UnsupportedOperationException] {
+      Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
+        Dfasdl.Mapping(Seq("a"), Seq("b"), Seq(
+          Dfasdl.Transformation(
+            "com.wegtam.tensei.agent.transformers.DrupalVanCodeTransformer",
+            Map.empty)))))).columns // chains build lazily - force them
+    }
+    assert(e.getMessage.contains("VanCode"))
+  }
+}

@@ -167,4 +167,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 3)
     assert(back.filter(col("name") === "beta").count() == 1)
   }
+
+  test("stageHttp downloads then the CSV reader parses (NetworkFileParser path)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8")
+    server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/missing.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val staged = Sources.stageHttp(s"$base/data.csv")
+      assert(staged.endsWith(".csv"), staged) // remote extension kept
+      val df = Sources.readNetworkCsv(spark, s"$base/data.csv")
+      assert(df.count() == 2)
+      assert(df.filter(col("name") === "beta").count() == 1)
+      // a failed download must not leave a half-staged file behind
+      intercept[java.io.IOException] { Sources.stageHttp(s"$base/missing.csv") }
+    } finally server.stop(0)
+  }
+
+  test("extractJdbcCatalog lists every user table with its DDL") {
+    val db = tmp("derbycat") + "/catdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.writeJdbc(sample.select("id", "name"), url, "t_people", props)
+    Sinks.writeJdbc(sample.select("id", "amount"), url, "t_balances", props)
+    val cat = Sources.extractJdbcCatalog(spark, url, props).toMap
+    val names = cat.keySet.map(_.toLowerCase)
+    assert(names.exists(_.endsWith("t_people")) &&
+      names.exists(_.endsWith("t_balances")), s"got $names")
+    val people = cat.collectFirst {
+      case (t, ddl) if t.toLowerCase.endsWith("t_people") => ddl }.get
+    assert(people.toUpperCase.contains("ID BIGINT"), people)
+    assert(people.toUpperCase.contains("NAME"), people)
+    val bal = cat.collectFirst {
+      case (t, ddl) if t.toLowerCase.endsWith("t_balances") => ddl }.get
+    assert(bal.toUpperCase.contains("AMOUNT DOUBLE"), bal)
+    // system tables (SYS.*) are excluded — user tables only
+    assert(names.forall(!_.startsWith("sys.")), s"got $names")
+  }
 }
