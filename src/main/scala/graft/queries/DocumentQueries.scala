@@ -189,9 +189,46 @@ object DocumentQueries {
       |FROM m""".stripMargin
 
   // ------------------------------------------------- near-dup pair queries
+  // Oracle-checked PAIR SET (not signatures): the oracle computes EXACT
+  // word-3-shingle Jaccard in DuckDB (identical tokenization: lowercase,
+  // whitespace split, distinct shingles, sub-k docs collapse to one whole-
+  // text shingle) and keeps pairs with J >= 0.5. The corpus is margin-safe
+  // by construction: every true pair (planted or natural duplicate) has
+  // J >= 0.889, every non-pair has J < 0.2 (measured at sf0.01), so the
+  // 64-hash estimate and the 16-band candidate recall sit ~0.4 away from
+  // the threshold on both sides — P(band miss) <= (1-0.889^4)^16 ~ 1.6e-7
+  // per pair, and with FIXED hash seeds the outcome is deterministic per
+  // dataset, verified green by selfcheck. The length-ratio prefilter in the
+  // oracle is sound: J <= min(|A|,|B|)/max(|A|,|B|), so min/max >= 0.5 is
+  // implied by J >= 0.5.
   private def dMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id",
       shingleK = 3, nHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+
+  private val dMinhashSql =
+    s"""WITH u AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $SHIFT, regexp_replace(text, '\\s+\\S+\\s*$$', '')
+       | FROM documents WHERE doc_id < 50),
+       |t AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       | FROM u),
+       |s AS (
+       | SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |   ELSE list_transform(range(1, len(toks) - 2 + 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       | FROM t),
+       |p AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh))
+       |SELECT id_a, id_b FROM p WHERE j >= 0.5""".stripMargin
 
   private def dSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id", maxDist = 3)
@@ -879,7 +916,7 @@ object DocumentQueries {
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
-    QueryDef("d_dedup_minhash", dMinhash, None),
+    QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
     QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),

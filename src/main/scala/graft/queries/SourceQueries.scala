@@ -344,9 +344,65 @@ object SourceQueries {
   private val q41JdbcSql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  // --------------------------------------------------------- q42_dfasdl
+  // The cookbook front-end end-to-end, oracle-checked: customer is staged
+  // as a headered CSV, its DFASDL schema document is EMITTED by
+  // Dfasdl.emit (SchemaExtractor's output format), embedded in a cookbook
+  // whose recipe upper/lower-cases and renames through reference
+  // transformer class names, and the compiled pipeline runs over
+  // Dfasdl.readDelimited. The oracle reproduces the transforms over the
+  // original parquet — any drift in schema emission, document parsing, CSV
+  // typing (num→long, formatnum→double), or transformer compilation breaks
+  // the hash.
+  private def q42Dfasdl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val cols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val tmp = cachedArtifact("dfasdlcsv", dir) { out =>
+      Sinks.writeCsv(Tables.customer(spark, dir).select(cols.map(col): _*), out)
+    }
+    val schemaDoc = Dfasdl
+      .emit(StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))), id = "CUSTOMER", header = true)
+      .replaceFirst("^<\\?xml[^>]*\\?>\\s*", "")
+    val cookbook = Dfasdl.parseCookbook(
+      s"""<cookbook id="CUSTOMER-MIGRATION">
+         |  <source>$schemaDoc</source>
+         |  <recipe id="CURATE" mode="one-to-one">
+         |    <mapping>
+         |      <sources>c_custkey c_acctbal</sources>
+         |      <targets>custkey acctbal</targets>
+         |    </mapping>
+         |    <mapping>
+         |      <sources>c_name</sources>
+         |      <targets>name_upper</targets>
+         |      <transformation class="com.wegtam.tensei.agent.transformers.LowerOrUpper">
+         |        <option name="perform" value="upper"/>
+         |      </transformation>
+         |    </mapping>
+         |    <mapping>
+         |      <sources>c_mktsegment</sources>
+         |      <targets>segment</targets>
+         |      <transformation class="com.wegtam.tensei.agent.transformers.LowerOrUpper">
+         |        <option name="perform" value="lower"/>
+         |      </transformation>
+         |    </mapping>
+         |  </recipe>
+         |</cookbook>""".stripMargin)
+    Dfasdl.applyCookbook(
+      Dfasdl.readDelimited(spark, tmp, cookbook.source), cookbook)
+  }
+
+  private val q42DfasdlSql =
+    """SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+      | upper(c_name) AS name_upper, lower(c_mktsegment) AS segment
+      |FROM customer""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
     QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
+    QueryDef("q42_dfasdl", q42Dfasdl, Some(q42DfasdlSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),
     QueryDef("q23_excel", q23Excel, Some(q23ExcelSql)),
     QueryDef("t_fk_fetch", tFkFetch, Some(tFkFetchSql)),

@@ -187,6 +187,47 @@ object Dfasdl {
     case _ => c
   }
 
+  /** Emit a DFASDL schema document for a Spark schema — the write side of
+    * SchemaExtractor.scala (the reference emits a DFASDL for every source it
+    * inspects; `extractSchemaDdl`/`extractSchemaJson` are the Spark-native
+    * reports, this is the reference-native one). Inverse of [[parseSchema]]:
+    * `parseSchema(emit(df.schema)).schema` round-trips every §3-mappable
+    * type; non-mappable types (arrays, structs, maps) are rejected rather
+    * than silently stringified.
+    */
+  def emit(schema: StructType, id: String = "extracted",
+           header: Boolean = false): String = {
+    def kindOf(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType => "num"
+      case DoubleType | FloatType | _: DecimalType       => "formatnum"
+      case DateType                                      => "date"
+      case TimestampType                                 => "datetime"
+      case BinaryType                                    => "bin"
+      case StringType | BooleanType                      => "str"
+      case other => throw new IllegalArgumentException(
+        s"no DFASDL element for ${other.simpleString}")
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val fields = schema.fields.map { f =>
+      val extra = f.dataType match {
+        case DoubleType | FloatType | _: DecimalType => " decimal-separator=\".\""
+        case _ => ""
+      }
+      s"""      <${kindOf(f.dataType)} id="${esc(f.name)}"$extra/>"""
+    }.mkString("\n")
+    val pre = if (header) "  <str id=\"header\"/>\n" else ""
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="${esc(id)}"
+       |        default-encoding="utf-8" semantic="niem">
+       |$pre  <seq id="rows">
+       |    <elem id="row">
+       |$fields
+       |    </elem>
+       |  </seq>
+       |</dfasdl>""".stripMargin
+  }
+
   // ------------------------------------------------------------- cookbook
 
   final case class Transformation(className: String, options: Map[String, String])

@@ -113,12 +113,21 @@ object Sources {
   /** Excel .xlsx (helpers/ExcelToCSVConverter.scala:50). Pure-JDK OOXML
     * reader (ZIP + StAX — see [[Excel]]); one task per workbook via the
     * binaryFile source, so a directory of exports parallelizes by file.
-    * All columns are strings, like csv without inferSchema. Legacy binary
-    * .xls is not supported (pre-OOXML BIFF needs POI; convert upstream).
+    * All columns are strings, like csv without inferSchema. For legacy
+    * binary .xls see [[readXls]].
     */
   def readExcel(spark: SparkSession, path: String,
                 header: Boolean = true, sheet: Option[String] = None): DataFrame =
     Excel.read(spark, path, header, sheet)
+
+  /** Legacy binary Excel .xls, BIFF8 (the reference's converter accepts
+    * both forms — helpers/ExcelToCSVConverter.scala:50). Pure-JDK CFB +
+    * BIFF byte-walker (see [[Xls]]); same surface and string-typed output
+    * as [[readExcel]].
+    */
+  def readXls(spark: SparkSession, path: String,
+              header: Boolean = true, sheet: Option[String] = None): DataFrame =
+    Xls.read(spark, path, header, sheet)
 
   /** Network file sources (NetworkFileParser.scala +
     * helpers/NetworkFileHelpers.scala): the reference pulls files over

@@ -27,11 +27,14 @@ class AggregatesSpec extends AnyFunSuite {
     assert(p50 >= p40 && p50 <= p60, s"p50=$p50 not in [$p40, $p60]")
   }
 
-  test("network source accepts ftp/sftp schemes and rejects http with guidance") {
+  test("network source routes schemes: ftp streams, http stages, others reject") {
+    // http(s) goes through stageHttp since r6 (download-then-parse; the
+    // working end-to-end test lives in SourcesSpec against a local server);
+    // an unknown scheme still fails fast with guidance
     val e = intercept[IllegalArgumentException] {
-      Sources.readNetworkCsv(spark, "http://example.com/data.csv")
+      Sources.readNetworkCsv(spark, "gopher://example.com/data.csv")
     }
-    assert(e.getMessage.contains("stage http"))
+    assert(e.getMessage.contains("stageHttp"))
     // ftp scheme resolves to a Hadoop filesystem implementation
     val fs = new org.apache.hadoop.fs.Path("ftp://example.com/x.csv")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

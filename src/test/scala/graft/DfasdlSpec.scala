@@ -132,6 +132,25 @@ class DfasdlSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("emit produces a DFASDL document that parses back to the same schema") {
+    val s = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType), StructField("born", DateType),
+      StructField("seen", TimestampType), StructField("blob", BinaryType)))
+    val doc = Dfasdl.parseSchema(Dfasdl.emit(s, id = "RT", header = true))
+    assert(doc.id == "RT")
+    assert(doc.preamble.map(_.id) == Seq("header"))
+    assert(doc.schema == s)
+    // non-mappable types are rejected, not silently stringified
+    intercept[IllegalArgumentException] {
+      Dfasdl.emit(StructType(Seq(StructField("a", ArrayType(LongType)))))
+    }
+    // integer widths widen to num/long (DFASDL has one integer kind)
+    val widened = Dfasdl.parseSchema(Dfasdl.emit(
+      StructType(Seq(StructField("n", IntegerType)))))
+    assert(widened.schema("n").dataType == LongType)
+  }
+
   test("unsupported transformer names fail fast with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
