@@ -148,9 +148,65 @@ object Dfasdl {
     * csv read, so pruning and pushdown still apply.
     */
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
-    val sep = doc.fields.flatMap(_.attr("stop-sign")).headOption.getOrElse(",")
-    // fields whose parse needs their format pattern load as strings first
-    val rawSchema = StructType(doc.fields.map { f =>
+    val raw = spark.read
+      .option("header", doc.preamble.nonEmpty.toString)
+      .option("sep", sepOf(doc))
+      .schema(rawSchema(doc))
+      .csv(path)
+    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
+  }
+
+  /** Streaming twin of [[readDelimited]]: the same schema and format
+    * conversions over `readStream.csv`, so a compiled cookbook recipe
+    * applies unchanged to a live drop-directory of delimited exports. The
+    * reference agent's polling trigger loop
+    * (TenseiAgent parse→process cycles) IS Structured Streaming's file
+    * source, distributed and checkpointable.
+    */
+  def readDelimitedStream(spark: SparkSession, dirPath: String,
+                          doc: Doc): DataFrame = {
+    val raw = spark.readStream
+      .option("header", doc.preamble.nonEmpty.toString)
+      .option("sep", sepOf(doc))
+      .schema(rawSchema(doc))
+      .csv(dirPath)
+    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
+  }
+
+  /** Fixed-width flat file described by a DFASDL document whose every field
+    * carries a `length` attribute (the reference's fixed-length flat-file
+    * path — FileParserFunctions.scala's element-length consumption; the
+    * repo's q21 fixed-width source does the byte-walking): widths come from
+    * the schema, then the same §3 type coercions apply on top of the
+    * string columns.
+    */
+  def readFixedWidth(spark: SparkSession, path: String, doc: Doc): DataFrame = {
+    val widths = doc.fields.map { f =>
+      f.id -> f.attr("length").map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
+    }
+    val raw = Sources.readFixedWidth(spark, path, widths)
+    raw.select(doc.fields.map(f => coerce(f, col(f.id)).as(f.id)): _*)
+  }
+
+  /** Type coercion from an all-strings read (fixed-width) to the §3 types:
+    * pattern-carrying kinds go through [[convert]], the rest cast.
+    */
+  private def coerce(f: Field, c: Column): Column = f.kind match {
+    case "num"                              => c.cast(LongType)
+    case "date" if f.attr("format").isEmpty => c.cast(DateType)
+    case "datetime" if f.attr("format").isEmpty => c.cast(TimestampType)
+    case "bin" | "bin64"                    => unbase64(c)
+    case _                                  => convert(f, c)
+  }
+
+  private def sepOf(doc: Doc): String =
+    doc.fields.flatMap(_.attr("stop-sign")).headOption.getOrElse(",")
+
+  /** Fields whose parse needs their format pattern load as strings first. */
+  private def rawSchema(doc: Doc): StructType =
+    StructType(doc.fields.map { f =>
       val needsPattern = f.kind match {
         case "formattime" | "formatnum" => true
         case "date" | "datetime"        => f.attr("format").isDefined
@@ -158,13 +214,6 @@ object Dfasdl {
       }
       StructField(f.id, if (needsPattern) StringType else f.sparkType)
     })
-    val raw = spark.read
-      .option("header", doc.preamble.nonEmpty.toString)
-      .option("sep", sep)
-      .schema(rawSchema)
-      .csv(path)
-    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
-  }
 
   private def convert(f: Field, c: Column): Column = f.kind match {
     case "formattime" =>

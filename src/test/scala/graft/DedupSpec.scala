@@ -161,6 +161,26 @@ class DedupSpec extends AnyFunSuite {
     assert(all == brute, "probing every bucket must equal brute force")
   }
 
+  test("lshTopK at nBits=32: mask generation is combinational, not 2^nBits") {
+    // pre-r6 the probe masks were generated by bitcount-filtering all
+    // 2^nBits longs — a 4-billion-iteration driver loop at nBits=32 that
+    // would hang before the job even launched. The combinational
+    // enumeration makes a 32-bit radius-2 configuration (1+32+496 = 529
+    // masks) plan instantly; this must COMPLETE fast, and radius-1 results
+    // must contain radius-0's.
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val q = e.filter(col("vec_id") < 3)
+    val r0 = Similarity.lshTopK(e, q, "embedding", "vec_id", 5,
+      nBits = 32, probeRadius = 0)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val r1 = Similarity.lshTopK(e, q, "embedding", "vec_id", 5,
+      nBits = 32, probeRadius = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // at 32 bits nearly every vector is alone in its bucket; radius-1
+    // probing can only ADD candidates
+    assert(r0.subsetOf(r1), s"radius-1 lost pairs: ${r0 diff r1}")
+  }
+
   test("sq8TopK: int8 quantization + exact re-rank nearly matches float brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)

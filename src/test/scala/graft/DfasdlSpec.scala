@@ -7,7 +7,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** The cookbook front-end: a migrating reference user feeds their DFASDL +
   * cookbook documents in and gets the same pipelines they would hand-write.
@@ -130,6 +130,58 @@ class DfasdlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // no exchange anywhere: the cookbook fused into the scan's projection
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("cookbook applies unchanged to a delimited drop-directory stream") {
+    val cb = Dfasdl.parseCookbook(fixture("cookbook-people.xml"))
+    val dir = Files.createTempDirectory("dfasdl_stream").toString
+    Files.write(Paths.get(dir, "batch1.csv"),
+      ("firstname,lastname,email,birthday\n" +
+        "Ada,Lovelace,ada@example.com,1815-12-10\n" +
+        "Alan,Turing,alan@other.net,1912-06-23\n").getBytes("UTF-8"))
+    val streamed = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.applyCookbook(
+        Dfasdl.readDelimitedStream(spark, dir, cb.source), cb),
+      "dfasdl_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().toSet
+    val batch = Dfasdl.applyCookbook(
+      Dfasdl.readDelimited(spark, dir, cb.source), cb).collect().toSet
+    assert(streamed == batch && streamed.size == 2)
+  }
+
+  test("fixed-width DFASDL (length attributes) reads through the fixed-width source") {
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="FW">
+        |  <seq id="rows"><elem id="row">
+        |    <num id="id" length="6"/>
+        |    <str id="name" length="10"/>
+        |    <formatnum id="amount" length="9"/>
+        |    <date id="day" length="10"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    val f = Files.createTempFile("fw", ".txt")
+    def line(vs: (String, Int)*): String = vs.map { case (v, w) => v.padTo(w, ' ') }.mkString
+    Files.write(f, (
+      line("1" -> 6, "alpha" -> 10, "10.25" -> 9, "2024-01-01" -> 10) + "\n" +
+      line("2" -> 6, "beta" -> 10, "-99.5" -> 9, "2024-01-02" -> 10) + "\n")
+      .getBytes("UTF-8"))
+    val rows = Dfasdl.readFixedWidth(spark, f.toString, doc)
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha")
+    assert(rows(0).getDouble(2) == 10.25)
+    assert(rows(0).getDate(3) == java.sql.Date.valueOf("2024-01-01"))
+    assert(rows(1).getDouble(2) == -99.5)
+    // a field without length fails fast with the field named
+    val noLen = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL">
+        |  <seq id="s"><elem id="e"><str id="a" length="3"/><str id="b"/></elem></seq>
+        |</dfasdl>""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      Dfasdl.readFixedWidth(spark, f.toString, noLen)
+    }
+    assert(err.getMessage.contains("b has none"))
   }
 
   test("emit produces a DFASDL document that parses back to the same schema") {

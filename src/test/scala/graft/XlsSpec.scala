@@ -36,9 +36,13 @@ class XlsSpec extends AnyFunSuite {
     le16(0x0DBB) ++ le16(0x07CC) ++ le32(0) ++ le32(0))
   private def eof = rec(0x000A, Array.empty[Byte])
 
-  /** One XLUnicodeRichExtendedString, compressed, no runs. */
+  /** One XLUnicodeRichExtendedString, no runs: compressed when every char
+    * fits 8 bits, UTF-16 otherwise (grbit 0x01) — the same choice a real
+    * writer makes per string.
+    */
   private def sstEntry(s: String): Array[Byte] =
-    le16(s.length) ++ Array(0x00.toByte) ++ compressed(s)
+    if (s.forall(_ < 256)) le16(s.length) ++ Array(0x00.toByte) ++ compressed(s)
+    else le16(s.length) ++ Array(0x01.toByte) ++ utf16(s)
 
   private def labelSst(row: Int, c: Int, isst: Int): Array[Byte] =
     rec(0x00FD, le16(row) ++ le16(c) ++ le16(0) ++ le32(isst))
@@ -268,6 +272,59 @@ class XlsSpec extends AnyFunSuite {
     assert(df.count() == 2)
     assert(df.collect().map(_.getString(0)).toSet ==
       Set("latin-héllo€", "pad-string-2-" + "x" * 60))
+  }
+
+  test("property: arbitrary cell matrices round-trip through the BIFF writer") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // cells: unicode strings (BMP, no surrogates), doubles, 30-bit RK ints,
+    // booleans, or absent
+    val str = Gen.listOfN(6, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', 'ü', '€', '試', 'λ')))
+      .map(_.mkString)
+    sealed trait Cell
+    case class S(v: String) extends Cell
+    case class D(v: Double) extends Cell
+    case class I(v: Int) extends Cell
+    case class B(v: Boolean) extends Cell
+    val cell: Gen[Option[Cell]] = Gen.frequency(
+      4 -> str.map(s => Some(S(s))),
+      2 -> Gen.chooseNum(-1e6, 1e6).map(d => Some(D(d))),
+      2 -> Gen.chooseNum(-(1 << 29), (1 << 29) - 1).map(i => Some(I(i))), // 30-bit signed RK range
+      1 -> Gen.oneOf(true, false).map(b => Some(B(b))),
+      1 -> Gen.const(None))
+    val matrix = Gen.listOfN(8, Gen.listOfN(5, cell))
+    (0 until 12).foreach { trial =>
+      val m = matrix(Gen.Parameters.default, Seed(4242L + trial)).get
+      val strings = m.flatten.flatten.collect { case S(v) => v }.distinct
+      val sidx = strings.zipWithIndex.toMap
+      val sst = rec(0x00FC, le32(strings.length) ++ le32(strings.length) ++
+        strings.flatMap(sstEntry).toArray)
+      val cells = m.zipWithIndex.flatMap { case (row, r) =>
+        row.zipWithIndex.flatMap {
+          case (Some(S(v)), c) => labelSst(r, c, sidx(v)).toSeq
+          case (Some(D(v)), c) => number(r, c, v).toSeq
+          case (Some(I(v)), c) => rkCell(r, c, rkInt(v)).toSeq
+          case (Some(B(v)), c) => boolErr(r, c, v).toSeq
+          case (None, _)       => Seq.empty[Byte]
+        }
+      }.toArray
+      val stream = workbookStream(sst, cells)
+      val bytes = if (stream.length < 4096) cfbMini(stream) else cfbRegular(stream)
+      val got = Xls.parseWorkbook(bytes)
+      // expected: rows that have at least one present cell, trailing-null
+      // trimmed, numbers rendered like the xlsx reader renders <v>
+      def render(c: Cell): String = c match {
+        case S(v) => v
+        case D(v) => if (v == math.rint(v)) v.toLong.toString else v.toString
+        case I(v) => v.toString
+        case B(v) => if (v) "true" else "false"
+      }
+      val expect = m.map(_.map(_.map(render).orNull)).zipWithIndex
+        .filter(_._1.exists(_ != null))
+        .map { case (row, _) => row.reverse.dropWhile(_ == null).reverse }
+      assert(got.map(_.toSeq) == expect.map(_.toSeq), s"trial $trial")
+    }
   }
 
   test("non-OLE2 bytes fail fast with a clear message") {
