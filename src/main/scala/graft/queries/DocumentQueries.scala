@@ -230,6 +230,12 @@ object DocumentQueries {
        |  AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh))
        |SELECT id_a, id_b FROM p WHERE j >= 0.5""".stripMargin
 
+  // Measured (r6) and left rows-only ON PURPOSE: unlike minhash, simhash's
+  // pair set is not margin-separable from content — true pairs span
+  // hamming 0..7 while the BACKGROUND minimum is hamming 0 (similar-length
+  // unrelated docs can share identical token-weighted signatures), so no
+  // maxDist reproduces an exact-similarity oracle. SimHash is a candidate
+  // generator; its guarantees live in DedupSpec.
   private def dSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id", maxDist = 3)
 

@@ -428,7 +428,8 @@ object Dfasdl {
         cols.map(Transformers.lowerOrUpper(_, opt("perform", "lower")))
       case "Replace" =>
         val searches = opt("search").split(",").toSeq.filter(_.nonEmpty)
-        if (opt("count") == "first")
+        if (searches.isEmpty) cols // nothing to replace — reference no-ops too
+        else if (opt("count") == "first")
           cols.map(c => Transformers.replaceFirst(c, searches.head, opt("replace")))
         else cols.map(c => Transformers.replaceAllOf(c, searches, opt("replace")))
       case "Split" =>
