@@ -78,18 +78,26 @@ class XlsSpec extends AnyFunSuite {
     rec(0x0085, le32(pos) ++ le16(0) ++
       Array(name.length.toByte, 0x00.toByte) ++ compressed(name))
 
-  /** Assemble a single-sheet workbook stream; the BOUNDSHEET position is
-    * fixed up after layout.
+  /** Assemble a workbook stream from (sheet name, cell records) substreams;
+    * every BOUNDSHEET position is fixed up after globals layout.
     */
-  private def workbookStream(sstRecords: Array[Byte],
-                             sheetCells: Array[Byte]): Array[Byte] = {
-    val bsName = "Sheet1"
-    val bsLen = 4 + 4 + 2 + 2 + bsName.length
-    val globalsLen = bofGlobals.length + bsLen + sstRecords.length + eof.length
-    val globals = bofGlobals ++ boundsheet(globalsLen, bsName) ++ sstRecords ++ eof
+  private def workbookStreamMulti(sstRecords: Array[Byte],
+                                  sheets: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bsLens = sheets.map { case (n, _) => 4 + 4 + 2 + 2 + n.length }
+    val globalsLen = bofGlobals.length + bsLens.sum + sstRecords.length + eof.length
+    val bodies = sheets.map { case (_, cells) => bofSheet ++ cells ++ eof }
+    val offsets = bodies.scanLeft(globalsLen)(_ + _.length).init
+    val globals = bofGlobals ++
+      sheets.zip(offsets).map { case ((n, _), off) => boundsheet(off, n) }
+        .foldLeft(Array.empty[Byte])(_ ++ _) ++
+      sstRecords ++ eof
     assert(globals.length == globalsLen)
-    globals ++ bofSheet ++ sheetCells ++ eof
+    globals ++ bodies.foldLeft(Array.empty[Byte])(_ ++ _)
   }
+
+  private def workbookStream(sstRecords: Array[Byte],
+                             sheetCells: Array[Byte]): Array[Byte] =
+    workbookStreamMulti(sstRecords, Seq("Sheet1" -> sheetCells))
 
   // -------------------------------------------------------- CFB helpers
 
@@ -325,6 +333,22 @@ class XlsSpec extends AnyFunSuite {
         .map { case (row, _) => row.reverse.dropWhile(_ == null).reverse }
       assert(got.map(_.toSeq) == expect.map(_.toSeq), s"trial $trial")
     }
+  }
+
+  test("multi-sheet workbook: first sheet by default, others by name") {
+    val strings = Seq("front", "back")
+    val sst = rec(0x00FC, le32(2) ++ le32(2) ++ strings.flatMap(sstEntry).toArray)
+    val bytes = cfbMini(workbookStreamMulti(sst, Seq(
+      "Data"    -> (labelSst(0, 0, 0) ++ number(0, 1, 1.5)),
+      "Archive" -> (labelSst(0, 0, 1) ++ number(0, 1, 2.5)))))
+    assert(Xls.parseWorkbook(bytes).map(_.toSeq) ==
+      Vector(Seq("front", "1.5")))
+    assert(Xls.parseWorkbook(bytes, Some("Archive")).map(_.toSeq) ==
+      Vector(Seq("back", "2.5")))
+    val e = intercept[IllegalArgumentException] {
+      Xls.parseWorkbook(bytes, Some("Nope"))
+    }
+    assert(e.getMessage.contains("Data") && e.getMessage.contains("Archive"))
   }
 
   test("non-OLE2 bytes fail fast with a clear message") {
