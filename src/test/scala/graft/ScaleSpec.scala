@@ -298,6 +298,19 @@ class ScaleSpec extends AnyFunSuite {
       s"salt replication should broadcast, not shuffle, the dim side:\n$plan")
   }
 
+  test("q41's JDBC scan is range-partitioned for parallel pull (4 tasks)") {
+    val df = SparkEntry.queries("q41_jdbc")(spark, sf)
+    assert(df.rdd.getNumPartitions == 4,
+      s"partitioned JDBC read should fan out, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q42's compiled cookbook fuses into the scan: no exchange") {
+    val plan = SparkEntry.queries("q42_dfasdl")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cookbook recipe must be a pure projection over the csv scan:\n$plan")
+  }
+
   test("no cartesian products anywhere in the registry") {
     SparkEntry.registry.foreach { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
