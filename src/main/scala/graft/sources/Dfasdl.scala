@@ -106,10 +106,19 @@ object Dfasdl {
       s"not a DFASDL document: root <${root.getTagName}>")
     val top = childElems(root)
     val (pre, rest) = top.span(e => nameOf(e) != "seq")
-    val preamble = pre.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+    // preamble = elements BEFORE the record sequence (header line); a
+    // document without a sequence has no preamble
+    val preamble =
+      if (rest.nonEmpty) pre.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+      else Nil
     val fields = rest.headOption match {
       case Some(seq) => leavesUnder(seq)
-      case None      => top.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+      case None =>
+        // no sequence: a single-record document — either flat leaves at the
+        // top, or the reference's JSON-shaped elem-rooted nesting (descend;
+        // inner repeated groups flatten into the field list)
+        val flat = top.filter(e => leafKinds(nameOf(e))).map(fieldOf)
+        if (flat.nonEmpty) flat else top.flatMap(leavesUnder)
     }
     require(fields.nonEmpty, "DFASDL document defines no record fields")
     Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),

@@ -203,6 +203,42 @@ class DfasdlSpec extends AnyFunSuite {
     assert(widened.schema("n").dataType == LongType)
   }
 
+  test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
+    // Runs only where the reference checkout is present (test-time read;
+    // nothing is copied into this repo). parseSchema must either produce a
+    // schema or reject with a clean, typed error — never crash — and the
+    // large majority of the ~350 real documents must parse.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("/root/reference/src")
+    assume(java.nio.file.Files.isDirectory(root), "reference checkout not present")
+    val walk = java.nio.file.Files.walk(root)
+    val xmlFiles = try walk.iterator().asScala
+        .filter(_.toString.endsWith(".xml")).toList
+      finally walk.close()
+    val dfasdls = xmlFiles.flatMap { p =>
+      val txt = try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        catch { case _: Exception => "" }
+      if (txt.contains("www.dfasdl.org")) Some((p.getFileName.toString, txt)) else None
+    }
+    assert(dfasdls.size >= 300, s"expected the reference corpus, found ${dfasdls.size}")
+    var ok = 0
+    val rejected = scala.collection.mutable.ListBuffer.empty[String]
+    dfasdls.foreach { case (name, xml) =>
+      try {
+        val d = Dfasdl.parseSchema(xml)
+        assert(d.fields.nonEmpty)
+        ok += 1
+      } catch {
+        case e @ (_: IllegalArgumentException | _: org.xml.sax.SAXException) =>
+          rejected += s"$name: ${e.getMessage}" // clean, typed rejection
+        case e: Throwable =>
+          fail(s"parseSchema crashed on $name with ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(ok >= (dfasdls.size * 0.8).toInt,
+      s"only $ok/${dfasdls.size} parsed; rejections:\n${rejected.take(15).mkString("\n")}")
+  }
+
   test("unsupported transformer names fail fast with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
