@@ -233,4 +233,96 @@ object Corpus {
       .filter(col("rk") <= k)
       .select("doc_id", "token", "tf", "df", "rk")
   }
+
+  /** Distributed BPE tokenizer training (Sennrich, Haddow & Birch,
+    * ACL'16): learn `numMerges` merge rules from a document corpus.
+    *
+    * 100 TB shape: classic BPE trains on the WORD-FREQUENCY table, not the
+    * running text — so the corpus collapses in ONE distributed
+    * tokenize+count aggregate (partial-combined `(word, count)` exchange,
+    * the same fused per-row tokenizer the dedup family uses). The merge
+    * loop then runs on the `maxWords` most frequent words
+    * (TakeOrdered — count desc, word asc, a deterministic boundary), a
+    * BOUNDED driver table: capping the candidate vocabulary is standard
+    * tokenizer-training practice (frequency mass concentrates; the tail of
+    * hapax words cannot win a merge against `numMerges` rules learned from
+    * the head) and is what keeps the driver loop independent of corpus
+    * size. Everything after the single shuffle is O(maxWords · numMerges)
+    * driver compute — no per-iteration Spark jobs, no lineage growth.
+    *
+    * Deterministic: tie-breaks are (pair count desc, then (left, right)
+    * lexicographic asc), so the same corpus always yields the same rules on
+    * any partitioning/engine.
+    *
+    * Reference lineage: the reference has no tokenizer, but its per-field
+    * transformer pipelines (`transformers/`) are the same
+    * "learn-once, apply-per-record" shape; this is that pattern for the
+    * LLM-pipeline tokenization step (SURVEY.md §2e).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1 << 16): graft.functions.BpeModel = {
+    import graft.functions.{BpeCompute, BpeModel, ShingleHash}
+    val top: Array[(String, Long)] =
+      df.select(explode(ShingleHash.ngramTexts(col(textCol), 1)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(maxWords)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+
+    // driver merge loop over the bounded word table
+    var words: Array[(Array[String], Long)] =
+      top.map { case (w, c) => (BpeCompute.wordSymbols(w), c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), cnt, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestCnt = 0L
+        counts.forEach { (pair, cnt) =>
+          if (cnt > bestCnt || (cnt == bestCnt &&
+              (best == null ||
+               pair._1 < best._1 ||
+               (pair._1 == best._1 && pair._2 < best._2)))) {
+            best = pair; bestCnt = cnt
+          }
+        }
+        merges += best
+        val (bl, br) = best
+        words = words.map { case (syms, cnt) =>
+          var i = 0
+          var hits = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == bl && syms(i + 1) == br) { hits += 1; i += 2 }
+            else i += 1
+          }
+          if (hits == 0) (syms, cnt)
+          else {
+            val next = new Array[String](syms.length - hits)
+            var r = 0
+            var w = 0
+            while (r < syms.length) {
+              if (r < syms.length - 1 && syms(r) == bl && syms(r + 1) == br) {
+                next(w) = bl + br; r += 2
+              } else { next(w) = syms(r); r += 1 }
+              w += 1
+            }
+            (next, cnt)
+          }
+        }
+        m += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
 }

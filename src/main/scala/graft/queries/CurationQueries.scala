@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ShingleHash
 import graft.functions.TextFunctions.{stripMarkup, tokenCount}
 import graft.operators.{Corpus, Dedup, Embeddings}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -144,6 +145,59 @@ object CurationQueries {
       | array_to_string(toks[start+1:start+64], ' ') AS chunk
       |FROM s""".stripMargin
 
+  // ------------------------------------------------------- d_bpe_train
+  // BPE tokenizer training (Sennrich ACL'16): one distributed
+  // tokenize+count aggregate collapses the corpus to its word-frequency
+  // table; the merge loop runs on the bounded top-`maxWords` head (see
+  // Corpus.bpeTrain's scale notes). Output is the learned artifact — the
+  // rank-ordered merge table. Deterministic (count-desc / lexicographic
+  // tie-breaks) but not SQL-expressible (the merge loop is inherently
+  // sequential), so rows-only here; BpeSpec pins the semantics against an
+  // independent naive reimplementation plus encode round-trip properties.
+  private def dBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = Corpus.bpeTrain(Tables.documents(spark, dir), "text",
+      numMerges = 150)
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left_sym", "right_sym")
+  }
+
+  // -------------------------------------------------- d_vocab_coverage
+  // Vocabulary OOV coverage: the fixed-vocab head (top 20 tokens by
+  // count, deterministic text tie-break) vs each document — total tokens,
+  // out-of-vocab tokens, OOV per-mille. The go/no-go report for a chosen
+  // tokenizer vocab over a new corpus. Plan: one fused tokenize explode,
+  // vocab head via TakeOrdered (bounded), broadcast membership join (no
+  // corpus shuffle), per-doc count agg — the only full exchange carries
+  // (doc_id, counts). Integer per-mille → engine-exact.
+  private def dVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(ShingleHash.ngramTexts(col("text"), 1)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .select(col("tok"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_per_mille", expr("n_oov * 1000 div n_tokens"))
+  }
+
+  private val dVocabCoverageSql =
+    """WITH tok AS (
+      | SELECT doc_id, u.t AS tok FROM (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents), UNNEST(toks) AS u(t)),
+      |vocab AS (
+      | SELECT tok FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 20)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      | CAST((CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS oov_per_mille
+      |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+      |GROUP BY t.doc_id""".stripMargin
+
   // lazy: references dCurationPipelineSql declared below (a strict val
   // here would read it as null during object init — the Verify NPE trap)
   lazy val defs: Seq[QueryDef] = Seq(
@@ -154,7 +208,9 @@ object CurationQueries {
     QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql)),
     QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql)),
     QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql)),
-    QueryDef("d_split", dSplit, Some(dSplitSql))
+    QueryDef("d_split", dSplit, Some(dSplitSql)),
+    QueryDef("d_bpe_train", dBpeTrain, None),
+    QueryDef("d_vocab_coverage", dVocabCoverage, Some(dVocabCoverageSql))
   )
 
   // ------------------------------------------------------- d_split
