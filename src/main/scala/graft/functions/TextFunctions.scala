@@ -144,6 +144,23 @@ object TextFunctions {
   def fingerprint(text: Column, k: Int = 3, take: Int = 8): Column =
     slice(ShingleHash.wordShingleHashes(text, k, sorted = true), 1, take)
 
+  /** Engine-replayable variant of [[fingerprint]]: bottom-`take` md5 hex
+    * digests of the distinct word `k`-shingles. Winnowing only needs a
+    * uniform hash, so the md5 basis keeps the sketch's guarantees while
+    * letting an independent SQL engine (the DuckDB oracle) reproduce the
+    * digest bit-for-bit — xxhash64 exists in no other engine. Still pure
+    * per-row codegen'd builtins, zero shuffles; prefer [[fingerprint]]
+    * when raw throughput matters more than replayability.
+    */
+  def fingerprintHex(text: Column, k: Int = 3, take: Int = 8): Column = {
+    val toks = tokens(text)
+    val shingles = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    slice(array_sort(array_distinct(transform(shingles, s => md5(s)))), 1, take)
+  }
+
   /** Single 64-bit content fingerprint of normalized text. */
   def contentHash(text: Column): Column =
     xxhash64(regexp_replace(lower(text), "\\s+", " "))
@@ -210,4 +227,19 @@ object TextFunctions {
   def bigramsFromTokens(toks: Column): Column =
     transform(sequence(lit(1), greatest(size(toks) - 1, lit(0))),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** URL canonicalization (the CommonCrawl-style dedup key): strip the
+    * fragment and query string, lowercase scheme and host ONLY (paths are
+    * case-significant per RFC 3986), and drop one trailing slash. Pure
+    * per-row string expression — zero-shuffle, codegen'd builtins.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val stripped = substring_index(substring_index(url, "#", 1), "?", 1)
+    val proto = substring_index(stripped, "://", 1)
+    val rest = substring_index(stripped, "://", -1)
+    val host = substring_index(rest, "/", 1)
+    val path = regexp_replace(rest.substr(length(host) + lit(1), length(rest)),
+      "/$", "")
+    concat(lower(proto), lit("://"), lower(host), path)
+  }
 }

@@ -325,4 +325,100 @@ object Corpus {
     }
     BpeModel(merges.result())
   }
+
+  /** EXACT heavy-hitter tokens (frequency × `denom` > corpus total) from a
+    * sketch-bounded two-pass plan: pass 1 is ONE scan computing a
+    * Misra–Gries sketch ([[graft.functions.MisraGriesAgg]]) and the exact
+    * token total in the same aggregate — each partition ships at most
+    * `capacity` counters, never tokens; pass 2 recounts only the ≤
+    * `capacity` candidate tokens (an `InSet` filter pushed to the scan)
+    * and applies the exact threshold. Because `capacity + 1 ≥ denom`, the
+    * sketch provably contains every true heavy hitter, so the recount
+    * makes the answer exact — the approximation never reaches the output.
+    *
+    * vs [[topNgrams]]: that exact top-k counts EVERY distinct gram hash in
+    * its first exchange (shuffle grows with distinct-token count); this
+    * pass-1 exchange is `capacity` rows per partition regardless of corpus
+    * vocabulary — the shape for a threshold report over unbounded
+    * cardinality.
+    */
+  def heavyHitterTokens(df: DataFrame, textCol: String, denom: Long = 200,
+                        capacity: Int = 800): DataFrame = {
+    require(capacity + 1 >= denom,
+      s"capacity+1 ($capacity+1) must be >= denom ($denom) for the superset guarantee")
+    import graft.functions.MisraGriesAgg.misraGries
+    val toks = df.select(
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    // 1 row back to the driver: the bounded sketch + the exact total
+    val row = toks
+      .agg(misraGries(col("tok"), capacity).as("sk"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = row.getLong(1)
+    val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (cand.isEmpty) return toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt")).limit(0)
+    toks.filter(col("tok").isInCollection(cand))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > n)
+  }
+
+  /** LM-lite fluency scoring: corpus word-bigram frequencies (a 2-gram
+    * language model's count table) joined back per document — per-doc mean
+    * bigram corpus-frequency (per-mille integer) and the count of rare
+    * bigrams (corpus frequency < `rareBelow`), the "seen this phrasing
+    * before" signal perplexity filters compute with a trained LM. Only
+    * 8-byte bigram hashes cross the two exchanges; text never shuffles.
+    */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String,
+                    rareBelow: Long = 3): DataFrame = {
+    val bi = df.select(col(idCol), explode(
+      graft.functions.ShingleHash.bigramHashes(col(textCol))).as("__bh"))
+    val freq = bi.groupBy(col("__bh")).agg(count(lit(1)).as("__bf"))
+    bi.join(freq, "__bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__bf") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("__bf")).as("__fsum"))
+      .withColumn("mean_bf_pm", expr("__fsum * 1000 div n_bigrams"))
+      .drop("__fsum")
+  }
+
+  /** Greedy corpus selection under a global token budget: keep documents in
+    * (`scoreCol` desc, `idCol` asc) order while the running token total
+    * stays ≤ `budget` — "fill the training budget with the best documents",
+    * the selection step downstream of quality scoring.
+    *
+    * 100 TB shape: the naive formulation is ONE global window over every
+    * document (single task sorts the corpus). Instead, scores are
+    * bounded integers, so a per-score token HISTOGRAM (tiny — at most
+    * #distinct scores rows) decides each bucket's fate: buckets whose
+    * cumulative-above total fits entirely are kept wholesale, and only
+    * the single boundary bucket needs exact intra-bucket ranking. The
+    * implementation runs one aggregate, a global window over the
+    * aggregated histogram (bounded input — the DenseId exemption in
+    * ScaleSpec's registry pin), a broadcast join of per-bucket offsets,
+    * and per-bucket windows that distribute across score values. Results
+    * are identical to the global-sort greedy (same total order, same
+    * inclusive-≤ cutoff).
+    */
+  def selectUnderBudget(df: DataFrame, scoreCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val hist = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokenCol)).as("__btoks"))
+    val wh = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = hist
+      .withColumn("__above", sum(col("__btoks")).over(wh) - col("__btoks"))
+      // buckets starting past the budget can't contribute (≤, not <: a
+      // zero-token document sitting exactly at the boundary is kept by the
+      // inclusive global greedy, so its bucket must survive this prefilter)
+      .filter(col("__above") <= budget)
+      .select(col(scoreCol).as("__s"), col("__above"))
+    val wb = Window.partitionBy(col(scoreCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(offsets), col(scoreCol) === col("__s"))
+      .withColumn("__cum", sum(col(tokenCol)).over(wb) + col("__above"))
+      .filter(col("__cum") <= budget)
+      .drop("__s", "__above", "__cum")
+  }
 }

@@ -371,4 +371,39 @@ object Dedup {
         VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding corpus with the IVF coarse quantizer, compute
+    * pairwise cosine WITHIN each cluster only, and drop every document
+    * that has a cluster-mate above `threshold` with a smaller id — the
+    * deterministic min-id keeper rule (the paper keeps one representative
+    * per within-cluster duplicate group; min-id makes the choice
+    * engine-independent). Returns the KEPT rows of `df` unchanged.
+    *
+    * vs [[embeddingPairs]]: that lists near-dup PAIRS via hyperplane-LSH
+    * buckets (recall depends on probe radius); this partitions the corpus
+    * into disjoint k-means cells and is exhaustive within each cell — the
+    * published SemDeDup shape. The per-cell self-join is quadratic in cell
+    * population; that is the algorithm's knob: at 100 TB you raise
+    * `nCells` so cells stay bounded (the paper runs 50k clusters for
+    * LAION), and the join shuffles only (cell, id, vec) rows which AQE
+    * skew-splitting handles when a cell runs hot. Cross-cell near-dups are
+    * deliberately out of scope (the paper's approximation); use
+    * [[embeddingPairs]] when recall across cluster boundaries matters.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int = 16, threshold: Double = 0.92,
+                    trainTarget: Int = 1600): DataFrame = {
+    import graft.functions.VectorExprs
+    val idx = Similarity.ivfBuild(df, vecCol, idCol, nCells, trainTarget)
+    val a = idx.indexed.select(col("cell"), col("corpus_id").as("id_a"),
+      col("cv").as("v_a"))
+    val b = idx.indexed.select(col("cell"), col("corpus_id").as("id_b"),
+      col("cv").as("v_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(VectorExprs.cosineSim(col("v_a"), col("v_b")) > threshold)
+      .select(col("id_a").as("__drop")).distinct()
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
 }

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.ShingleHash
-import graft.functions.TextFunctions.{stripMarkup, tokenCount}
+import graft.functions.{Bpe, ShingleHash}
+import graft.functions.TextFunctions.{qualityScore, stripMarkup, tokenCount}
 import graft.operators.{Corpus, Dedup, Embeddings}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -198,6 +198,183 @@ object CurationQueries {
       |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
       |GROUP BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------ d_token_budget
+  // Greedy selection under a global token budget (half the corpus, computed
+  // from the data so the query is meaningful at every sf): rank documents
+  // (quality desc, doc_id asc) and keep while the running token total stays
+  // ≤ budget. The implementation is the histogram two-phase of
+  // Corpus.selectUnderBudget — no global sort of documents ever happens;
+  // only the single boundary quality-bucket is ranked exactly. The oracle
+  // replays the naive global-window formulation, proving the bucketed plan
+  // IS the greedy selection.
+  private def dTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      qualityScore(col("text")).as("quality"),
+      tokenCount(col("text")).as("n_tokens"))
+    val total = q.agg(sum(col("n_tokens"))).collect()(0).getLong(0) // 1-row bounded
+    Corpus.selectUnderBudget(q, "quality", "doc_id", "n_tokens", total / 2)
+  }
+
+  private val qualityTokSql = // shared CTE: per-doc quality score + token count
+    """q AS (
+      | SELECT doc_id,
+      |  CAST(greatest(0, CAST(FLOOR((least(length(text), 400) * 1000 / 400) * 0.5 +
+      |   least(CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |    len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'], x))) * 1000 // len(toks) END * 4, 300) * 0.5) AS BIGINT)
+      |   - least(CASE WHEN length(text) = 0 THEN 0 ELSE (length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))) * 1000 // length(text) END * 2, 500)) AS BIGINT) AS quality,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens
+      | FROM (SELECT doc_id, text,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      |       FROM documents))""".stripMargin
+
+  private val dTokenBudgetSql =
+    "WITH " + qualityTokSql + """,
+c AS (
+ SELECT doc_id, quality, n_tokens,
+  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+ FROM q)
+SELECT doc_id, quality, n_tokens FROM c
+WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
+
+  // -------------------------------------------------------- d_source_mix
+  // Temperature-scaled source mixing (alpha = 1/2, the multilingual-corpus
+  // standard): per-source token mass, weight = isqrt(tokens), sampling
+  // share in integer per-mille. floor(sqrt(bigint)) is engine-exact for
+  // n < 2^52 (IEEE sqrt is correctly rounded and k^2-1 never rounds up to
+  // k at these magnitudes), so no float ever reaches the output. Plan: one
+  // partial-combined aggregate; the share divisor rides a broadcast of the
+  // one-row total.
+  private def dSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    t.crossJoin(broadcast(t.agg(sum(col("weight")).as("__tw"))))
+      .withColumn("share_pm", expr("weight * 1000 div __tw"))
+      .drop("__tw")
+  }
+
+  private val dSourceMixSql =
+    """WITH t AS (
+      | SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      | FROM documents GROUP BY source),
+      |w AS (
+      | SELECT source, n_docs, n_tokens,
+      |  CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM t)
+      |SELECT source, n_docs, n_tokens, weight,
+      | CAST(weight * 1000 // CAST((SELECT SUM(weight) FROM w) AS BIGINT) AS BIGINT) AS share_pm
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------- d_bigram_fluency
+  // LM-lite fluency scoring: corpus word-bigram frequencies (the 2-gram
+  // language model's count table) joined back per document — mean bigram
+  // corpus-frequency (per-mille integer) and the rare-bigram count, the
+  // "have I seen this phrasing before" signal perplexity filters compute
+  // with a trained LM. Only 8-byte bigram hashes cross the exchanges
+  // (d_rarity's pattern at the sequence level); the oracle rebuilds the
+  // same bigrams as strings.
+  private def dBigramFluency(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bigramFluency(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val dBigramFluencySql =
+    """WITH t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |b AS (
+      | SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      | FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+      |f AS (SELECT bg, COUNT(*) AS bf FROM b GROUP BY bg)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(CASE WHEN f.bf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      | CAST(SUM(f.bf) AS BIGINT) * 1000 // COUNT(*) AS mean_bf_pm
+      |FROM b JOIN f USING (bg)
+      |GROUP BY b.doc_id""".stripMargin
+
+  // ----------------------------------------------------------- d_url_dedup
+  // URL-keyed dedup (the CommonCrawl first pass): canonicalize — strip
+  // fragment and query string, lowercase scheme+host only (paths stay
+  // case-significant), drop one trailing slash — then keep the first
+  // document per canonical URL. URLs are synthesized from doc_id (the
+  // corpus has no url column) with case/query/fragment variants so the
+  // canonicalization is load-bearing. Exchange carries the canonical
+  // string key; at the billions-of-URLs scale the key would be hashed
+  // first (d_dedup_exact's layout) — kept as text here so the oracle can
+  // rebuild it.
+  private def dUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://Site"), pmod(col("doc_id"), lit(5)),
+      lit(".Example.com/P/"), pmod(col("doc_id"), lit(97)),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("/"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit("?utm_source=x&ref=y"))
+        .otherwise(lit("#section")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.canonicalizeUrl(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+  }
+
+  private val dUrlDedupSql =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  'https://Site' || (doc_id % 5) || '.Example.com/P/' || (doc_id % 97) ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '/' WHEN doc_id % 3 = 1 THEN '?utm_source=x&ref=y' ELSE '#section' END AS url
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, split_part(split_part(url, '#', 1), '?', 1) AS stripped FROM u),
+      |p AS (
+      | SELECT doc_id, split_part(stripped, '://', 1) AS proto,
+      |  split_part(stripped, '://', 2) AS rest FROM s),
+      |h AS (
+      | SELECT doc_id, proto, split_part(rest, '/', 1) AS host,
+      |  regexp_replace(substring(rest, length(split_part(rest, '/', 1)) + 1), '/$', '') AS path
+      | FROM p)
+      |SELECT lower(proto) || '://' || lower(host) || path AS canon_url,
+      | MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+      |FROM h GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- d_bpe_encode
+  // Distributed apply of the trained BPE tokenizer: the learned merge
+  // table rides BpeEncodeExpr as a codegen reference object (broadcast
+  // with task binaries), so encoding is one fused zero-shuffle per-row
+  // pass — the tokenize step every downstream token count in the pipeline
+  // consumes. Per-doc subword count + chars-per-100-subwords (the
+  // compression ratio a tokenizer is judged by). Rows-only: training is a
+  // sequential merge loop no SQL engine replays; BpeSpec pins the
+  // encode/train semantics against an independent reimplementation.
+  private def dBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = Corpus.bpeTrain(docs, "text", numMerges = 60)
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(Bpe.encode(col("text"), model)).cast("long").as("n_subwords"))
+      .withColumn("chars_per_100sw",
+        when(col("n_subwords") === 0, 0L)
+          .otherwise(expr("n_chars * 100 div n_subwords")))
+  }
+
+  // ------------------------------------------------------ d_heavy_hitters
+  // Exact frequent-token report through a bounded-memory sketch: pass 1 is
+  // a Misra–Gries TypedImperativeAggregate (capacity 800 counters per
+  // partition — the exchange is fixed-size no matter the vocabulary), pass
+  // 2 recounts the bounded candidate set exactly. capacity+1 ≥ denom makes
+  // the sketch a PROVEN superset of the true hitters, so the DuckDB oracle
+  // can replay the answer with a plain GROUP BY/HAVING — exact answers,
+  // sketch-bounded shuffle.
+  private def dHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Corpus.heavyHitterTokens(Tables.documents(spark, dir), "text",
+      denom = 200, capacity = 800)
+
+  private val dHeavyHittersSql =
+    """WITH toks AS (
+      | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+      | FROM documents)
+      |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+      |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM toks)""".stripMargin
+
   // lazy: references dCurationPipelineSql declared below (a strict val
   // here would read it as null during object init — the Verify NPE trap)
   lazy val defs: Seq[QueryDef] = Seq(
@@ -210,7 +387,13 @@ object CurationQueries {
     QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql)),
     QueryDef("d_split", dSplit, Some(dSplitSql)),
     QueryDef("d_bpe_train", dBpeTrain, None),
-    QueryDef("d_vocab_coverage", dVocabCoverage, Some(dVocabCoverageSql))
+    QueryDef("d_vocab_coverage", dVocabCoverage, Some(dVocabCoverageSql)),
+    QueryDef("d_token_budget", dTokenBudget, Some(dTokenBudgetSql)),
+    QueryDef("d_source_mix", dSourceMix, Some(dSourceMixSql)),
+    QueryDef("d_bigram_fluency", dBigramFluency, Some(dBigramFluencySql)),
+    QueryDef("d_url_dedup", dUrlDedup, Some(dUrlDedupSql)),
+    QueryDef("d_bpe_encode", dBpeEncode, None),
+    QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql))
   )
 
   // ------------------------------------------------------- d_split

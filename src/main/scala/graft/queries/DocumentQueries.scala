@@ -379,6 +379,36 @@ object DocumentQueries {
        |FROM u a JOIN u b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""".stripMargin
 
+  // ------------------------------------------------------------ d_semdedup
+  // SemDeDup end-to-end (Dedup.semanticDedup): 300 embeddings + exact
+  // copies at shifted ids, clustered into 4 k-means cells, within-cell
+  // pairwise cosine at τ=0.98, min-id keeper. Oracle-checkable by margin
+  // design: the only pairs above 0.98 are the planted exact copies
+  // (cos = 1; unrelated 64-dim pairs never approach 0.98), and identical
+  // vectors land in the same cell deterministically — so the all-pairs
+  // DuckDB replay equals the within-cell answer no matter where k-means
+  // puts the cell boundaries. Expected survivors: the 300 originals.
+  private def dSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    Dedup.semanticDedup(doubled, "embedding", "vec_id",
+        nCells = 4, threshold = 0.98)
+      .select(col("vec_id"))
+  }
+
+  private val dSemDedupSql =
+    s"""WITH u AS (
+       | SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+       | UNION ALL
+       | SELECT vec_id + $SHIFT, embedding FROM embeddings WHERE vec_id < 300),
+       |doomed AS (
+       | SELECT DISTINCT a.vec_id AS id
+       | FROM u a JOIN u b ON b.vec_id < a.vec_id
+       | WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.98)
+       |SELECT vec_id FROM u ANTI JOIN doomed ON vec_id = id""".stripMargin
+
   // ------------------------------------------------------------- ANN topk
   private def dAnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -483,14 +513,33 @@ object DocumentQueries {
   }
 
   // -------------------------------------------------------- d_fingerprint
+  // md5-based winnowing bottom-k (TextFunctions.fingerprintHex) so DuckDB
+  // can replay the digests bit-for-bit — the xxhash64 fused variant
+  // (TextFunctions.fingerprint, ShingleHashSpec) stays as the throughput
+  // path; sketch semantics are identical under any uniform hash.
   private def dFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      contentHash(col("text")).as("content_hash"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("content_hash"),
       // canonical string render: the driver sorts+hashes result rows, and
       // array-typed cells are unhashable in its pandas sort
-      array_join(fingerprint(col("text"), k = 3, take = 8).cast("array<string>"), ",")
-        .as("fp"))
+      array_join(fingerprintHex(col("text"), k = 3, take = 8), ",").as("fp"))
+
+  private val dFingerprintSql =
+    """WITH t AS (
+      | SELECT doc_id, text,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, text,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |   list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |  ELSE CAST([] AS VARCHAR[]) END AS shingles
+      | FROM t)
+      |SELECT doc_id,
+      | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+      | array_to_string(list_sort(list_distinct(list_transform(shingles, x -> md5(x))))[1:8], ',') AS fp
+      |FROM s""".stripMargin
 
   // ---------------------------------------------------------- profiling
   private def pNumeric(spark: SparkSession, dir: String): DataFrame =
@@ -933,13 +982,14 @@ object DocumentQueries {
     QueryDef("d_domains", dDomains, Some(dDomainsSql)),
     QueryDef("d_rarity", dRarity, Some(dRaritySql)),
     QueryDef("d_dedup_embed", dEmbedDedup, Some(dEmbedDedupSql)),
+    QueryDef("d_semdedup", dSemDedup, Some(dSemDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
     QueryDef("d_ann_sq8", dAnnSq8, None),
     QueryDef("d_ann_pq", dAnnPq, None),
     QueryDef("d_ann_ivfpq", dAnnIvfPq, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),
-    QueryDef("d_fingerprint", dFingerprint, None),
+    QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),

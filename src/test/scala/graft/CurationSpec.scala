@@ -148,4 +148,61 @@ class CurationSpec extends AnyFunSuite {
     val m = Profiling.columnMode(df, "v").as[(String, String, Long)].collect().head
     assert(m == ("v", "a", 2L)) // a and b tie at 2; a wins
   }
+
+  test("selectUnderBudget equals the naive global-sort greedy (zero-token docs, boundary budgets)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { id =>
+      (id, rnd.nextInt(6).toLong,
+        if (rnd.nextInt(10) == 0) 0L else rnd.nextInt(50).toLong + 1)
+    }
+    val df = rows.toDF("doc_id", "quality", "n_tokens")
+    val sorted = rows.sortBy { case (id, q, _) => (-q, id) }
+    // include an exact bucket-boundary budget so the <=-prefilter edge fires
+    val q5total = rows.filter(_._2 == 5L).map(_._3).sum
+    for (budget <- Seq(0L, 37L, q5total, q5total + 1, 2000L, 1000000L)) {
+      val got = Corpus.selectUnderBudget(df, "quality", "doc_id", "n_tokens", budget)
+        .select("doc_id").as[Long].collect().toSet
+      var cum = 0L
+      val want = sorted.takeWhile { case (_, _, t) => cum += t; cum <= budget }
+        .map(_._1).toSet
+      assert(got == want, s"budget=$budget: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("canonicalizeUrl: query/fragment stripped, host-only lowercasing, one trailing slash") {
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM/Path/Sub/?q=1#f", "https://www.ex.com/Path/Sub"),
+      ("http://a.b/", "http://a.b"),
+      ("http://a.b", "http://a.b"),
+      ("http://A.B/P?x=1", "http://a.b/P"),
+      ("https://h/p#frag", "https://h/p"),
+      ("https://H.co/a//", "https://h.co/a/") // exactly ONE trailing slash drops
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("url")))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("bigramFluency counts corpus bigram mass and rare bigrams per doc") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // corpus bigram counts: "a b" = 3 (2 in doc1 + 1 in doc2), "b a" = 1, "b c" = 1
+    val got = Corpus.bigramFluency(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 3L, 1L, (3L + 1L + 3L) * 1000 / 3),  // "a b","b a","a b"; rare: "b a"
+      (2L, 2L, 1L, (3L + 1L) * 1000 / 2))       // "a b","b c"; rare: "b c"
+    assert(got == want, s"got $got") // doc 3: no bigrams, absent
+  }
+
+  test("isqrt via floor(sqrt(double)) is exact at perfect-square boundaries") {
+    // the d_source_mix weight must floor identically in Spark and DuckDB;
+    // both compute floor of the IEEE-correctly-rounded sqrt. Prove the
+    // boundary cases never round across an integer at token-count scales.
+    for (k <- Seq(1L, 2L, 10L, 999L, 65536L, 1000003L, 30000001L)) {
+      assert(math.floor(math.sqrt((k * k - 1).toDouble)).toLong == k - 1, s"k=$k low")
+      assert(math.floor(math.sqrt((k * k).toDouble)).toLong == k, s"k=$k sq")
+      assert(math.floor(math.sqrt((k * k + 1).toDouble)).toLong == k, s"k=$k high")
+    }
+  }
 }

@@ -322,6 +322,42 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("semanticDedup with nCells=1 equals the brute-force pairwise min-id rule") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+      .select("vec_id", "embedding")
+    // perturbed near-copies (cos ~ 0.999) + the untouched originals
+    val doubled = e.unionByName(e.select((col("vec_id") + SHIFT).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).cast("array<float>")
+        .as("embedding")))
+    val got = Dedup.semanticDedup(doubled, "embedding", "vec_id",
+        nCells = 1, threshold = 0.98)
+      .select("vec_id").as[Long].collect().toSet
+    // brute truth: drop any id with a smaller-id mate above threshold
+    val a = doubled.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = doubled.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val doomed = a.join(b, col("id_b") < col("id_a"))
+      .filter(graft.functions.VectorExprs.cosineSim(col("va"), col("vb")) > 0.98)
+      .select("id_a").as[Long].collect().toSet
+    val want = doubled.select("vec_id").as[Long].collect().toSet -- doomed
+    assert(got == want)
+    assert(got == e.select("vec_id").as[Long].collect().toSet,
+      "survivors should be exactly the original ids (min-id keeper)")
+  }
+
+  test("semanticDedup drops exact copies under ANY cell count (same-cell by construction)") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 80)
+      .select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    for (nCells <- Seq(2, 8)) {
+      val kept = Dedup.semanticDedup(doubled, "embedding", "vec_id",
+          nCells = nCells, threshold = 0.98)
+        .select("vec_id").as[Long].collect().toSet
+      assert(kept == e.select("vec_id").as[Long].collect().toSet,
+        s"nCells=$nCells")
+    }
+  }
+
   test("quality scoring orders degenerate text below natural text") {
     val df = Seq(
       ("natural", "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends and family members who are happy"),

@@ -159,7 +159,8 @@ class ScaleSpec extends AnyFunSuite {
 
   test("per-row curation ops are shuffle-free: no exchange in their plans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    Seq("d_doc_chunk", "d_markup_strip", "d_sentence_split").foreach { q =>
+    Seq("d_doc_chunk", "d_markup_strip", "d_sentence_split",
+        "d_bpe_encode").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         s"$q should be pure per-row work:\n$plan")
@@ -213,7 +214,7 @@ class ScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
         "d_contamination", "d_repetition", "d_fingerprint",
-        "d_cross_dedup").foreach { q =>
+        "d_cross_dedup", "d_bigram_fluency").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
         e.child.output.foreach { attr =>
