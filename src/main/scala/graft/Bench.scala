@@ -50,14 +50,20 @@ object Bench {
     // measures steady-state execution, not whichever alphabetically-first
     // queries happen to absorb JIT/codegen warmup (disable with
     // SPARK_GRAFT_WARMUP=0 to measure cold).
+    // optional comma-separated subset (quiet A-B reruns of a few queries
+    // without paying the full 120-query sweep)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         reclaimBlocks()
       }
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -76,7 +82,9 @@ object Bench {
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val fullPath = java.nio.file.Paths.get("bench_full.json")
+    // subset runs don't clobber the full-sweep artifact
+    val fullPath = java.nio.file.Paths.get(
+      if (only.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(fullPath,
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val slowest = results.toSeq.sortBy(-_._2).take(5)
