@@ -211,8 +211,9 @@ object CurationQueries {
     val q = Tables.documents(spark, dir).select(col("doc_id"),
       qualityScore(col("text")).as("quality"),
       tokenCount(col("text")).as("n_tokens"))
-    val total = q.agg(sum(col("n_tokens"))).collect()(0).getLong(0) // 1-row bounded
-    Corpus.selectUnderBudget(q, "quality", "doc_id", "n_tokens", total / 2)
+    // half the corpus's tokens; the fraction variant derives the total from
+    // the selection histogram itself — two corpus scans, not three
+    Corpus.selectUnderBudgetFraction(q, "quality", "doc_id", "n_tokens", 1L, 2L)
   }
 
   private val qualityTokSql = // shared CTE: per-doc quality score + token count

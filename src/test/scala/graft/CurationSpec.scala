@@ -167,6 +167,13 @@ class CurationSpec extends AnyFunSuite {
         .map(_._1).toSet
       assert(got == want, s"budget=$budget: got ${got.size}, want ${want.size}")
     }
+    // fraction variant: same answer as the explicit floor(total/2) budget
+    val total = rows.map(_._3).sum
+    val viaBudget = Corpus.selectUnderBudget(df, "quality", "doc_id", "n_tokens", total / 2)
+      .select("doc_id").as[Long].collect().toSet
+    val viaFraction = Corpus.selectUnderBudgetFraction(df, "quality", "doc_id", "n_tokens", 1L, 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFraction == viaBudget)
   }
 
   test("canonicalizeUrl: query/fragment stripped, host-only lowercasing, one trailing slash") {
