@@ -47,7 +47,11 @@ object GraftFunctions {
     // under one SQL name so SQL-first pipelines call the same semantics
     "strip_markup" -> (exprs => bridged(TextFunctions.stripMarkup, exprs(0))),
     "split_sentences" -> (exprs => bridged(TextFunctions.splitSentences, exprs(0))),
-    "content_hash" -> (exprs => bridged(TextFunctions.contentHash, exprs(0)))
+    "content_hash" -> (exprs => bridged(TextFunctions.contentHash, exprs(0))),
+    // round-6: bounded-memory heavy-hitters sketch aggregate
+    "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
+      exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "canonicalize_url" -> (exprs => bridged(TextFunctions.canonicalizeUrl, exprs(0)))
   )
 
   /** Lift a Column→Column composition into an Expression builder (eager

@@ -73,6 +73,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r._3) // contentHash lowercases before hashing
   }
 
+  test("misra_gries and canonicalize_url are callable from SQL") {
+    GraftFunctions.register(spark)
+    (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"u$i"))
+      .toDF("tok").createOrReplaceTempView("hh_sql")
+    val sk = spark.sql(
+      "SELECT explode(misra_gries(tok, 8)) AS e FROM hh_sql")
+      .select("e.item", "e.est").as[(String, Long)].collect().toMap
+    assert(sk.contains("hot") && sk("hot") <= 50)
+    val u = spark.sql(
+      "SELECT canonicalize_url('HTTPS://Ex.COM/Path/?q=1#f') AS cu")
+      .as[String].collect()(0)
+    assert(u == "https://ex.com/Path")
+  }
+
   test("unicode normalize functions are callable from SQL") {
     // decomposed e+U+0301 composes to U+00E9; NFKC folds the fi ligature
     Seq(("cafe\u0301", "\ufb01sh")).toDF("a", "b").createOrReplaceTempView("norm_sql")

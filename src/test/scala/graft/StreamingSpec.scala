@@ -255,6 +255,33 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
   }
 
+  test("streaming Misra-Gries sketch keeps the guarantee across micro-batches") {
+    val docsDir = Files.createTempDirectory("docs_stream_hh").toString
+    // two files -> two micro-batches exercising the state-store merge path
+    val mk = (range: Range, salt: String) => range.map { i =>
+      (i.toLong, (Seq.fill(6)(s"hot${i % 3}") ++ Seq(s"rare$salt$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    mk(1 to 40, "a").write.mode("overwrite").parquet(docsDir)
+    mk(41 to 80, "b").write.mode("append").parquet(docsDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(docsDir)
+    val sk = Streams.runToMemory(spark,
+      Streams.heavyHittersStream(stream, capacity = 10),
+      "hh_stream", OutputMode.Complete())
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(sk.size <= 10)
+    // hot0..hot2 are ~30% of the stream each -- far above N/(cap+1)
+    (0 to 2).foreach(i => assert(sk.contains(s"hot$i"), s"hot$i missing from $sk"))
+    // estimates never exceed truth (~27 docs x 6 occurrences per hot token)
+    (0 to 2).foreach { i =>
+      assert(sk(s"hot$i") <= 6L * 27, s"overestimate for hot$i: ${sk(s"hot$i")}")
+    }
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
