@@ -357,6 +357,27 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
           .otherwise(expr("n_chars * 100 div n_subwords")))
   }
 
+  // --------------------------------------------------------- d_embed_pca
+  // PCA over the embedding corpus (Embeddings.pcaTrain — ONE fixed-point
+  // Gram pass, bit-identical across partitionings — then a zero-shuffle
+  // fused projection), reported as per-component projection statistics in
+  // fixed point so the output is deterministic integers. Rows-only: no SQL
+  // engine replays an eigendecomposition; PcaSpec pins spectrum recovery,
+  // orthonormality, determinism, and variance-vs-eigenvalue agreement.
+  private def dEmbedPca(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Embeddings
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val m = Embeddings.pcaTrain(emb, "embedding", k = 8)
+    Embeddings.pcaProject(emb, "embedding", m)
+      .select(posexplode(col("pca")).as(Seq("component", "y")))
+      .select(col("component").cast("long").as("component"),
+        col("y").cast("double").as("y"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("y") * (1L << 20)).cast("long")).as("sum_fp"),
+        sum(floor(col("y") * col("y") * (1L << 20)).cast("long")).as("ss_fp"))
+  }
+
   // ------------------------------------------------------ d_heavy_hitters
   // Exact frequent-token report through a bounded-memory sketch: pass 1 is
   // a Misra–Gries TypedImperativeAggregate (capacity 800 counters per
@@ -394,7 +415,8 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_bigram_fluency", dBigramFluency, Some(dBigramFluencySql)),
     QueryDef("d_url_dedup", dUrlDedup, Some(dUrlDedupSql)),
     QueryDef("d_bpe_encode", dBpeEncode, None),
-    QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql))
+    QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql)),
+    QueryDef("d_embed_pca", dEmbedPca, None)
   )
 
   // ------------------------------------------------------- d_split
