@@ -390,60 +390,72 @@ object Corpus {
     *
     * 100 TB shape: the naive formulation is ONE global window over every
     * document (single task sorts the corpus). Instead, scores are
-    * bounded integers, so a per-score token HISTOGRAM (tiny — at most
-    * #distinct scores rows) decides each bucket's fate: buckets whose
-    * cumulative-above total fits entirely are kept wholesale, and only
-    * the single boundary bucket needs exact intra-bucket ranking. The
-    * implementation runs one aggregate, a global window over the
-    * aggregated histogram (bounded input — the DenseId exemption in
-    * ScaleSpec's registry pin), a broadcast join of per-bucket offsets,
-    * and per-bucket windows that distribute across score values. Results
-    * are identical to the global-sort greedy (same total order, same
-    * inclusive-≤ cutoff).
+    * bounded INTEGERS (the operator's contract — quality scores here are
+    * per-mille values in [0,1000]), so a per-score token HISTOGRAM
+    * (driver-sized by construction: one row per distinct score) decides
+    * each bucket's fate: buckets whose cumulative-above total fits
+    * entirely are kept wholesale, and only the single boundary bucket
+    * needs exact intra-bucket ranking. One corpus aggregate collects the
+    * histogram (a bounded collect, like DenseId's per-partition counts);
+    * the cumulative offsets compute driver-side and rejoin as a broadcast;
+    * the per-bucket windows partition by score value and distribute.
+    * Results are identical to the global-sort greedy (same total order,
+    * same inclusive-≤ cutoff). No global window, no corpus sort, two
+    * corpus scans total.
     */
   def selectUnderBudget(df: DataFrame, scoreCol: String, idCol: String,
-                        tokenCol: String, budget: Long): DataFrame =
-    selectFromHist(df, scoreCol, idCol, tokenCol,
-      df.groupBy(col(scoreCol)).agg(sum(col(tokenCol)).as("__btoks")),
-      budget)
+                        tokenCol: String, budget: Long): DataFrame = {
+    val (hist, _) = collectHist(df, scoreCol, tokenCol)
+    selectWithOffsets(df, scoreCol, idCol, tokenCol, hist, budget)
+  }
 
   /** [[selectUnderBudget]] with the budget expressed as a FRACTION
     * (`num/den`, floor) of the corpus token total. The total comes from
-    * the histogram itself — which the selection needs anyway — so the
-    * corpus is scanned exactly twice (histogram + selection join), not
-    * three times (a separate corpus-wide total pass is what a naive
-    * `agg(sum).collect` budget costs; measured 1.98 → ~1.4 s at sf0.1).
-    * The histogram is localCheckpoint'd: it is bounded by #distinct
-    * scores, and both the budget scalar and the offsets read it.
+    * the same histogram the selection needs anyway, so the corpus is
+    * scanned exactly twice (histogram + selection join), not three times
+    * (a separate corpus-wide total pass is what a naive
+    * `agg(sum).collect` budget costs; measured 1.98 → 1.28 s at sf0.1).
     */
   def selectUnderBudgetFraction(df: DataFrame, scoreCol: String, idCol: String,
                                 tokenCol: String, num: Long, den: Long): DataFrame = {
     require(den > 0, "den must be positive")
-    val hist = df.groupBy(col(scoreCol))
-      .agg(sum(col(tokenCol)).as("__btoks"))
-      .localCheckpoint()
-    val totalRow = hist.agg(sum(col("__btoks"))).collect()(0) // 1-row bounded
+    val (hist, total) = collectHist(df, scoreCol, tokenCol)
     // overflow-safe floor(total * num / den)
-    val budget = if (totalRow.isNullAt(0)) 0L
-      else totalRow.getLong(0) / den * num + totalRow.getLong(0) % den * num / den
-    selectFromHist(df, scoreCol, idCol, tokenCol, hist, budget)
+    val budget = total / den * num + total % den * num / den
+    selectWithOffsets(df, scoreCol, idCol, tokenCol, hist, budget)
   }
 
-  private def selectFromHist(df: DataFrame, scoreCol: String, idCol: String,
-                             tokenCol: String, hist: DataFrame,
-                             budget: Long): DataFrame = {
-    val wh = Window.orderBy(col(scoreCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = hist
-      .withColumn("__above", sum(col("__btoks")).over(wh) - col("__btoks"))
-      // buckets starting past the budget can't contribute (≤, not <: a
-      // zero-token document sitting exactly at the boundary is kept by the
-      // inclusive global greedy, so its bucket must survive this prefilter)
-      .filter(col("__above") <= budget)
-      .select(col(scoreCol).as("__s"), col("__above"))
+  /** One corpus aggregate → driver-side (score, bucketTokens) histogram +
+    * grand total. Bounded by the integer score domain.
+    */
+  private def collectHist(df: DataFrame, scoreCol: String,
+                          tokenCol: String): (Array[(Long, Long)], Long) = {
+    val hist = df.groupBy(col(scoreCol).cast(LongType).as("__s"))
+      .agg(sum(col(tokenCol)).as("__btoks"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    (hist, hist.map(_._2).sum)
+  }
+
+  private def selectWithOffsets(df: DataFrame, scoreCol: String, idCol: String,
+                                tokenCol: String, hist: Array[(Long, Long)],
+                                budget: Long): DataFrame = {
+    // cumulative tokens strictly above each bucket, highest score first;
+    // buckets starting past the budget can't contribute (≤, not <: a
+    // zero-token document sitting exactly at the boundary is kept by the
+    // inclusive global greedy, so its bucket must survive this prefilter)
+    var above = 0L
+    val offsetRows = hist.sortBy(-_._1).flatMap { case (s, btoks) =>
+      val mine = above
+      above += btoks
+      if (mine <= budget) Some((s, mine)) else None
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = offsetRows.toSeq.toDF("__s", "__above")
     val wb = Window.partitionBy(col(scoreCol)).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(offsets), col(scoreCol) === col("__s"))
+    df.join(broadcast(offsets), col(scoreCol).cast(LongType) === col("__s"))
       .withColumn("__cum", sum(col(tokenCol)).over(wb) + col("__above"))
       .filter(col("__cum") <= budget)
       .drop("__s", "__above", "__cum")

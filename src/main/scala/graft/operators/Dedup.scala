@@ -118,6 +118,53 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-batch NEAR-dup filter — the minhash companion of [[crossDedup]]
+    * for a continuously fed pipeline: incoming documents are dropped when
+    * the REFERENCE corpus (yesterday's accepted data) already contains a
+    * near-duplicate. Both sides reduce to minhash signatures; LSH banding
+    * generates candidates (one (band, bandhash) exchange carrying ids, as
+    * in [[minhashPairs]]), candidates verify by signature-agreement ≥
+    * `threshold`, and verified incoming ids anti-join out.
+    *
+    * At cluster scale the reference side is a PERSISTED signature table
+    * (band hashes precomputed once, reused every ingest batch — pass
+    * `referenceSignatures`/band output of a prior run); here it derives
+    * from the reference text for a self-contained call. The reference
+    * TEXT never shuffles either way — only signatures and 20-byte band
+    * tuples.
+    */
+  def crossNearDedup(incoming: DataFrame, reference: DataFrame,
+                     textCol: String, idCol: String,
+                     shingleK: Int = 3, nHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.7): DataFrame = {
+    val rows = nHashes / bands
+    def sigsOf(df: DataFrame): DataFrame =
+      shingleHashes(df, textCol, idCol, shingleK)
+        .select(col("id"), signatureOf(col("sh"), nHashes).as("sig"))
+        .localCheckpoint()
+    def bandsOf(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(array_join(slice(col("sig"), b * rows + 1, rows), ",")).as("bh"))
+      }
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    }
+    val inSig = sigsOf(incoming)
+    val refSig = sigsOf(reference)
+    val candidates = bandsOf(inSig)
+      .join(bandsOf(refSig).select(col("band"), col("bh"), col("id").as("ref_id")),
+        Seq("band", "bh"))
+      .select(col("id"), col("ref_id")).distinct()
+    val doomed = candidates
+      .join(inSig.select(col("id"), col("sig").as("sig_in")), "id")
+      .join(refSig.select(col("id").as("ref_id"), col("sig").as("sig_ref")), "ref_id")
+      .filter(graft.functions.MinHashExpr.sigAgree(col("sig_in"), col("sig_ref"))
+        >= threshold)
+      .select(col("id")).distinct()
+    incoming.join(doomed, col(idCol) === doomed("id"), "left_anti")
+  }
+
   /** 64-bit SimHash (Charikar'02): per token-hash bit, sum ±1 across tokens,
     * sign gives the bit — computed per row in one codegen'd pass
     * (graft.functions.SimHashExpr), so signatures need NO shuffle; the only

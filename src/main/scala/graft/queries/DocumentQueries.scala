@@ -230,6 +230,66 @@ object DocumentQueries {
        |  AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh))
        |SELECT id_a, id_b FROM p WHERE j >= 0.5""".stripMargin
 
+  // -------------------------------------------------- d_cross_neardedup
+  // Incremental-ingestion NEAR-dup gate (Dedup.crossNearDedup — the
+  // minhash companion of d_cross_dedup): incoming = 50 mutated docs
+  // (drop-last-word near-dups of the reference, exact J >= 0.889) + 50
+  // token-reversed docs (novel: shingles are order-sensitive, J < 0.2
+  // against everything). Oracle replays exact shingle-set Jaccard >= 0.5
+  // in DuckDB — the same wide-margin argument (and fixed hash seeds) that
+  // makes d_dedup_minhash oracle-checkable. Expected survivors: the 50
+  // reversed docs.
+  private def dCrossNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mutated = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val reversed = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        array_join(reverse(tokens(col("text"))), " ").as("text"))
+    Dedup.crossNearDedup(mutated.unionByName(reversed),
+        docs.select("doc_id", "text"), "text", "doc_id",
+        shingleK = 3, nHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("doc_id"))
+  }
+
+  private val dCrossNearDedupSql =
+    s"""WITH inc AS (
+       | SELECT doc_id + $SHIFT AS doc_id,
+       |  regexp_replace(text, '\\s+\\S+\\s*$$', '') AS text
+       | FROM documents WHERE doc_id < 50
+       | UNION ALL
+       | SELECT doc_id + ${2 * SHIFT},
+       |  array_to_string(list_reverse(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), ' ')
+       | FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+       |tin AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       | FROM inc),
+       |tref AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       | FROM documents),
+       |sin AS (
+       | SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |   ELSE list_transform(range(1, len(toks) - 2 + 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       | FROM tin),
+       |sref AS (
+       | SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |   ELSE list_transform(range(1, len(toks) - 2 + 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       | FROM tref),
+       |doomed AS (
+       | SELECT DISTINCT i.doc_id
+       | FROM sin i JOIN sref r
+       |  ON len(i.sh) * 2 >= len(r.sh) AND len(r.sh) * 2 >= len(i.sh)
+       | WHERE CAST(len(list_intersect(i.sh, r.sh)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(i.sh, r.sh))) >= 0.5)
+       |SELECT doc_id FROM inc ANTI JOIN doomed USING (doc_id)""".stripMargin
+
   // Measured (r6) and left rows-only ON PURPOSE: unlike minhash, simhash's
   // pair set is not margin-separable from content — true pairs span
   // hamming 0..7 while the BACKGROUND minimum is hamming 0 (similar-length
@@ -966,6 +1026,7 @@ object DocumentQueries {
     QueryDef("d_corpus_stats", dCorpusStats, Some(dCorpusStatsSql)),
     QueryDef("d_dedup_exact", dDedupExact, Some(dDedupExactSql)),
     QueryDef("d_cross_dedup", dCrossDedup, Some(dCrossDedupSql)),
+    QueryDef("d_cross_neardedup", dCrossNearDedup, Some(dCrossNearDedupSql)),
     QueryDef("d_markup_strip", dMarkupStrip, Some(dMarkupStripSql)),
     QueryDef("d_sentence_split", dSentenceSplit, Some(dSentenceSplitSql)),
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),

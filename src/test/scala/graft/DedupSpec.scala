@@ -322,6 +322,24 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("crossNearDedup drops near-dups of the reference, keeps novel docs") {
+    val docs = Tables.documents(spark, sf)
+    val mutated = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val exactCopies = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+      .select((col("doc_id") + SHIFT).as("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") >= 40 && col("doc_id") < 70)
+      .select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+        array_join(reverse(tokens(col("text"))), " ").as("text"))
+    val incoming = mutated.unionByName(exactCopies).unionByName(novel)
+    val kept = Dedup.crossNearDedup(incoming, docs.select("doc_id", "text"),
+        "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == novel.select("doc_id").as[Long].collect().toSet,
+      s"survivors must be exactly the reversed (novel) docs; got ${kept.size}")
+  }
+
   test("semanticDedup with nCells=1 equals the brute-force pairwise min-id rule") {
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
       .select("vec_id", "embedding")
