@@ -167,6 +167,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("d_heavy_hitters: recount scan is candidate-filtered (INSET), not full-vocabulary") {
+    // string-pinned — collect() cannot traverse an unfinalized
+    // AdaptiveSparkPlanExec. The candidate-set membership filter sits on
+    // the exploded tokens directly above the scan (Catalyst cannot hoist a
+    // Filter over the Aggregate), so its presence means only candidate
+    // tokens are counted and shuffled — without it the recount would be a
+    // full-vocabulary groupBy again.
+    val plan = SparkEntry.queries("d_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toUpperCase.contains("INSET"),
+      s"candidate INSET filter missing from recount plan:\n$plan")
+  }
+
   test("DenseId numbers rows like a global window without one") {
     val df = Tables.customer(spark, sf).select(col("c_custkey"))
     val dense = graft.operators.DenseId.withDenseId(df, "c_custkey", "id", startAt = 10L)
@@ -214,7 +227,7 @@ class ScaleSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     Seq("d_dedup_minhash", "d_dedup_simhash", "d_dedup_ngram",
         "d_contamination", "d_repetition", "d_fingerprint",
-        "d_cross_dedup", "d_bigram_fluency").foreach { q =>
+        "d_cross_dedup", "d_bigram_fluency", "d_cross_neardedup").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
         e.child.output.foreach { attr =>
