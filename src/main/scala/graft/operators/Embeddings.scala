@@ -58,6 +58,16 @@ object Embeddings {
       if (total <= 0) return Array.fill(basis.length)(0L)
       basis.indices.map(i => (eigvals(i) * 1000 / total).toLong).toArray
     }
+
+    /** Basis rows scaled by 1/√eigval — projecting with this whitens the
+      * output to unit per-component variance (the normalization quantized
+      * indexes want: every PQ subspace then carries comparable energy).
+      */
+    def whitenedBasis: Array[Array[Double]] =
+      basis.zipWithIndex.map { case (b, i) =>
+        val s = 1.0 / math.sqrt(math.max(eigvals(i), 1e-12))
+        b.map(_ * s)
+      }
   }
 
   /** Train a PCA basis with ONE distributed pass: the fixed-point Gram
@@ -106,9 +116,10 @@ object Embeddings {
     * the basis rides the generated code as a reference object.
     */
   def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
-                 outCol: String = "pca"): DataFrame =
+                 outCol: String = "pca", whiten: Boolean = false): DataFrame =
     df.withColumn(outCol, graft.functions.PcaProjectExpr.pcaProject(
-      col(vecCol), model.mean, model.basis))
+      col(vecCol), model.mean,
+      if (whiten) model.whitenedBasis else model.basis))
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector columns). O(d³) per sweep, converges in a

@@ -55,6 +55,42 @@ class PcaSpec extends AnyFunSuite {
     assert(m1.basis.map(_.toSeq).toSeq == m32.basis.map(_.toSeq).toSeq)
   }
 
+  test("whitened projection has unit per-component variance") {
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    val m = Embeddings.pcaTrain(e, "embedding", k = 4)
+    val stats = Embeddings.pcaProject(e, "embedding", m, whiten = true)
+      .select(posexplode(col("pca")).as(Seq("c", "y")))
+      .groupBy("c").agg(variance(col("y")).as("var"))
+      .as[(Int, Double)].collect()
+    stats.foreach { case (c, v) =>
+      assert(math.abs(v - 1.0) < 0.1, s"component $c whitened variance $v")
+    }
+  }
+
+  test("OPQ-style composition: PCA-truncate -> PQ index serves with usable recall") {
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 400)
+    val m = Embeddings.pcaTrain(e, "embedding", k = 32)
+    val proj = Embeddings.pcaProject(e, "embedding", m, outCol = "pv")
+      .select(col("vec_id"), col("pv").as("embedding"))
+      .localCheckpoint() // three consumers: train, index, queries
+    val queries = proj.filter(col("vec_id") < 5)
+    val truth = graft.operators.Similarity
+      .bruteForceTopK(proj, queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val books = graft.operators.Similarity.pqTrain(proj, "embedding", m = 8, ksub = 16)
+    val got = graft.operators.Similarity
+      .pqTopK(proj, queries, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.keys.map { q =>
+      got.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble / truth(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"PCA->PQ recall@10 too low: $mean")
+  }
+
   test("projection variance matches eigenvalues; pcaProject is shuffle-free") {
     val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
     val m = Embeddings.pcaTrain(e, "embedding", k = 4)
