@@ -61,12 +61,13 @@ case class MisraGriesAgg(
         case Some(c) => buf.update(key, c + 1)
         case None if buf.size < capacity => buf.update(key, 1L)
         case None => // decrement-all (amortized against prior increments)
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { k =>
-            val nc = buf(k) - 1
-            if (nc <= 0) dead += k else buf.update(k, nc)
+          // iterate a SNAPSHOT: scala 2.13 mutable.HashMap corrupts its
+          // own iteration when values are updated mid-iteration (verified
+          // empirically — keys get skipped), so mutating inside
+          // keysIterator silently under-decrements
+          buf.toArray.foreach { case (k, c) =>
+            if (c - 1 <= 0) buf.remove(k) else buf.update(k, c - 1)
           }
-          dead.foreach(buf.remove)
       }
     }
     buf
@@ -80,12 +81,10 @@ case class MisraGriesAgg(
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - (capacity + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.keysIterator.foreach { k =>
-        val nc = buf(k) - cut
-        if (nc <= 0) dead += k else buf.update(k, nc)
+      // snapshot before mutating — see the update() comment
+      buf.toArray.foreach { case (k, c) =>
+        if (c - cut <= 0) buf.remove(k) else buf.update(k, c - cut)
       }
-      dead.foreach(buf.remove)
     }
     buf
   }

@@ -343,22 +343,32 @@ object Corpus {
     * cardinality.
     */
   def heavyHitterTokens(df: DataFrame, textCol: String, denom: Long = 200,
-                        capacity: Int = 800): DataFrame = {
+                        capacity: Int = 800): DataFrame =
+    heavyHitters(df.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok")),
+      "tok", denom, capacity)
+
+  /** Generalized exact heavy hitters over ANY string column (the reference
+    * analyzer's value-frequency profile, bounded-memory form): values with
+    * `count × denom > rows` via the same sketch-then-recount two-pass as
+    * [[heavyHitterTokens]]. Output: (`valueCol`, cnt).
+    */
+  def heavyHitters(rows: DataFrame, valueCol: String, denom: Long,
+                   capacity: Int): DataFrame = {
     require(capacity + 1 >= denom,
       s"capacity+1 ($capacity+1) must be >= denom ($denom) for the superset guarantee")
     import graft.functions.MisraGriesAgg.misraGries
-    val toks = df.select(
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
     // 1 row back to the driver: the bounded sketch + the exact total
-    val row = toks
-      .agg(misraGries(col("tok"), capacity).as("sk"), count(lit(1)).as("n"))
+    val row = rows
+      .agg(misraGries(col(valueCol), capacity).as("sk"),
+        count(col(valueCol)).as("n")) // non-null count, matching the sketch
       .collect()(0)
     val n = row.getLong(1)
     val cand = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
-    if (cand.isEmpty) return toks.groupBy(col("tok"))
+    if (cand.isEmpty) return rows.groupBy(col(valueCol))
       .agg(count(lit(1)).as("cnt")).limit(0)
-    toks.filter(col("tok").isInCollection(cand))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    rows.filter(col(valueCol).isInCollection(cand))
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * denom > n)
   }
 
@@ -430,7 +440,19 @@ object Corpus {
     */
   private def collectHist(df: DataFrame, scoreCol: String,
                           tokenCol: String): (Array[(Long, Long)], Long) = {
-    val hist = df.groupBy(col(scoreCol).cast(LongType).as("__s"))
+    // the bounded-histogram argument only holds for integral scores (the
+    // operator's contract); a fractional score would silently truncate two
+    // distinct scores into one bucket
+    df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"selectUnderBudget needs an integral score column, got $other")
+    }
+    // null-score rows are excluded from selection either way (the offsets
+    // join never matches null); excluding them here keeps getLong safe
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast(LongType).as("__s"))
       .agg(sum(col(tokenCol)).as("__btoks"))
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))

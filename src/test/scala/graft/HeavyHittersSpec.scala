@@ -67,6 +67,40 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("property: MG bounds hold for arbitrary streams (unicode, empties, skew, capacities)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokenGen = Gen.frequency(
+      (5, Gen.oneOf("héad", "ключ", "主键", "x", "")), // hot incl. unicode + empty string
+      (3, Gen.alphaLowerChar.map(c => s"t$c")),
+      (2, Gen.chooseNum(0, 5000).map(i => s"u$i")))
+    for (seed <- 1 to 4; cap <- Seq(3, 17, 64)) {
+      val toks = (0 until 400).flatMap(i =>
+        tokenGen.apply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      val exact = toks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val sk = toks.toDF("tok").repartition(seed * 3 + 1)
+        .agg(misraGries(col("tok"), cap).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+      assert(sk.size <= cap, s"seed=$seed cap=$cap size")
+      sk.foreach { case (k, est) =>
+        assert(est <= exact(k), s"seed=$seed cap=$cap overestimate $k")
+      }
+      val floor = toks.size / (cap + 1)
+      exact.filter(_._2 > floor).keys.foreach { k =>
+        assert(sk.contains(k), s"seed=$seed cap=$cap guaranteed $k missing")
+      }
+    }
+  }
+
+  test("generalized heavyHitters profiles any string column exactly") {
+    val rows = ((1 to 300).map(_ => "BUILDING") ++ (1 to 200).map(_ => "MACHINERY")
+      ++ (1 to 40).map(i => s"seg$i")).map(Tuple1(_)).toDF("segment")
+    val got = Corpus.heavyHitters(rows, "segment", denom = 4, capacity = 16)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("BUILDING", 300L), ("MACHINERY", 200L)))
+  }
+
   test("sketch serde round-trips through the partial-merge path (multi-partition agg)") {
     // 64 partitions forces serialize/deserialize + merge of partial buffers;
     // a broken serde would corrupt counts or drop items
