@@ -169,6 +169,23 @@ object AnalyticsQueries {
       | us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
       |FROM e""".stripMargin
 
+  // ---------------------------------------------------------- p_top_values
+  // Value-frequency profile of a relational column through the
+  // bounded-memory sketch path (Corpus.heavyHitters, generalized from
+  // d_heavy_hitters): values holding > 1/8 of customer rows, exact counts
+  // — the sketch exchange is `capacity` counters per partition regardless
+  // of column cardinality, then the provable candidate superset recounts
+  // exactly. All 5 market segments (~20% each) clear the 1/8 threshold.
+  private def pTopValues(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.heavyHitters(
+      Tables.customer(spark, dir).select(col("c_mktsegment")),
+      "c_mktsegment", denom = 8, capacity = 64)
+
+  private val pTopValuesSql =
+    """SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+      |GROUP BY c_mktsegment
+      |HAVING COUNT(*) * 8 > (SELECT COUNT(c_mktsegment) FROM customer)""".stripMargin
+
   // ---------------------------------------------------------- p_mode
   // Column mode with a deterministic tie-break (count desc, value asc) —
   // one partial-combined aggregate + a 1-row TakeOrdered per column.
@@ -465,6 +482,7 @@ object AnalyticsQueries {
     QueryDef("q25_grouping_sets", q25GroupingSets, Some(q25GroupingSetsSql)),
     QueryDef("q33_lead_lag", q33LeadLag, Some(q33LeadLagSql)),
     QueryDef("p_mode", pMode, Some(pModeSql)),
+    QueryDef("p_top_values", pTopValues, Some(pTopValuesSql)),
     QueryDef("q34_bloom_join", q34BloomJoin, Some(q34BloomJoinSql)),
     QueryDef("q35_retention", q35Retention, Some(q35RetentionSql)),
     QueryDef("q36_gap_fill", q36GapFill, Some(q36GapFillSql)),
