@@ -165,6 +165,28 @@ object Dedup {
     incoming.join(doomed, col(idCol) === doomed("id"), "left_anti")
   }
 
+  /** LSH band keys of a text column as ONE array<long> per row — each key
+    * hashes (band index, that band's signature slice), so equal keys mean
+    * "same band content in the same band position". Per-row building block
+    * for set-membership gates (the streaming cross-batch near-dup filter)
+    * where the banded self-join form isn't available. Call on a column
+    * that already carries the signature (see [[bandKeysFromSig]]) or use
+    * the two-step select in callers so the signature computes once per
+    * row, not once per band.
+    */
+  private[graft] def bandKeysFromSig(sig: Column, nHashes: Int,
+                                     bands: Int): Column = {
+    val rows = nHashes / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(slice(sig, b * rows + 1, rows), ","))
+    }: _*)
+  }
+
+  private[graft] def signatureColumn(text: Column, shingleK: Int,
+                                     nHashes: Int): Column =
+    graft.functions.MinHashExpr.minhashSignature(
+      graft.functions.ShingleHash.wordShingleHashes(text, shingleK), nHashes)
+
   /** 64-bit SimHash (Charikar'02): per token-hash bit, sum ±1 across tokens,
     * sign gives the bit — computed per row in one codegen'd pass
     * (graft.functions.SimHashExpr), so signatures need NO shuffle; the only

@@ -195,6 +195,40 @@ object Streams {
     * aggregate, so a downstream exact recount (batch, over the archived
     * corpus) turns any snapshot into exact heavy hitters.
     */
+  /** Streaming cross-batch NEAR-dup gate — the stream form of
+    * [[graft.operators.Dedup.crossNearDedup]]. Stream-stream anti-joins
+    * aren't supported, so the reference corpus reduces to a broadcast
+    * BLOOM FILTER over its LSH band keys and the gate becomes a pure
+    * per-row predicate: a document drops when ANY of its band keys might
+    * be in the reference. Conservative by construction — bloom filters
+    * have no false negatives, so every document the batch operator would
+    * drop, this drops too (same banding, same keys); the price is a small
+    * extra false-drop rate (bloom fpp × per-band collision odds) instead
+    * of the batch path's signature-agreement verification. Zero state,
+    * zero shuffle: the filter rides each micro-batch map-side, which is
+    * what an ingest gate in front of a 100 TB corpus wants.
+    */
+  def crossNearDedupStream(docs: DataFrame, reference: DataFrame,
+                           textCol: String = "text", shingleK: Int = 3,
+                           nHashes: Int = 64, bands: Int = 16,
+                           expectedBandKeys: Long = 1000000L,
+                           fpp: Double = 0.000001): DataFrame = {
+    import graft.operators.Dedup
+    // two-step selects so the signature computes once per row (CollapseProject
+    // leaves the non-cheap alias alone), not once per band expression
+    val refKeys = reference
+      .select(Dedup.signatureColumn(col(textCol), shingleK, nHashes).as("__sig"))
+      .select(explode(Dedup.bandKeysFromSig(col("__sig"), nHashes, bands)).as("__k"))
+    val bf = refKeys.stat.bloomFilter("__k", expectedBandKeys, fpp)
+    val handle = reference.sparkSession.sparkContext.broadcast(bf)
+    docs
+      .withColumn("__sig", Dedup.signatureColumn(col(textCol), shingleK, nHashes))
+      .withColumn("__keys", Dedup.bandKeysFromSig(col("__sig"), nHashes, bands))
+      .filter(!exists(col("__keys"),
+        k => graft.functions.BloomExpr.mightContain(k, handle)))
+      .drop("__sig", "__keys")
+  }
+
   def heavyHittersStream(docs: DataFrame, textCol: String = "text",
                          capacity: Int = 400): DataFrame =
     docs.select(explode(

@@ -255,6 +255,37 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
   }
 
+  test("crossNearDedupStream: conservative vs batch; novel docs pass the gate") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val mutated = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val novel = docs.filter(col("doc_id") >= 40 && col("doc_id") < 70)
+      .select((col("doc_id") + 1800000L).as("doc_id"),
+        array_join(reverse(graft.functions.TextFunctions.tokens(col("text"))), " ")
+          .as("text"))
+    val incoming = mutated.unionByName(novel)
+    val reference = docs.select("doc_id", "text")
+    val batchKept = graft.operators.Dedup
+      .crossNearDedup(incoming, reference, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val incomingDir = Files.createTempDirectory("cross_near_stream").toString
+    incoming.write.mode("overwrite").parquet(incomingDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(incomingDir)
+    val streamKept = Streams.runToMemory(spark,
+      Streams.crossNearDedupStream(stream, reference), "cross_near_out",
+      OutputMode.Append())
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: everything the batch gate drops, the stream drops
+    assert(streamKept.subsetOf(batchKept),
+      s"stream kept ${streamKept -- batchKept} that batch dropped")
+    // and the gate is not trivially closed: the novel docs pass
+    assert(streamKept == novel.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("streaming Misra-Gries sketch keeps the guarantee across micro-batches") {
     val docsDir = Files.createTempDirectory("docs_stream_hh").toString
     // two files -> two micro-batches exercising the state-store merge path
