@@ -63,13 +63,37 @@ object Bench {
       }
       System.gc()
     }
-    val results = picked.map { case (name, fn) =>
+    // Load robustness: the machine hosting the driver's snapshot runs other
+    // work, and two rounds of artifacts were corrupted by CPU contention
+    // (uniform-ish 1.6x inflation with a 3-10x scheduling-sensitive tail).
+    // Two countermeasures, both recorded per query:
+    //  - min-of-N wall time (N=SPARK_GRAFT_REPS, default 2): contention is
+    //    bursty, so the min of two spaced runs sheds most of the tail;
+    //  - process-CPU seconds (all JVM threads, via the platform
+    //    OperatingSystemMXBean): the work a query does is ~invariant under
+    //    external load, so cpu_s is the metric to trust when wall times
+    //    disagree across artifacts.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
       reclaimBlocks()
-      name -> sec
-    }.toMap + ("d_ann_ivf_build" -> buildSec) + ("d_ann_pq_build" -> pqBuildSec)
+      (sec, cpu)
+    }
+    val timed = picked.map { case (name, fn) =>
+      val runs = (1 to reps).map(_ => timeOnce(fn))
+      // min wall; CPU from the min-wall run (the least-contended sample)
+      name -> runs.minBy(_._1)
+    }.toMap +
+      ("d_ann_ivf_build" -> (buildSec, Double.NaN)) +
+      ("d_ann_pq_build" -> (pqBuildSec, Double.NaN))
+    val results = timed.map { case (k, (w, _)) => k -> w }
+    val cpuResults = timed.collect { case (k, (_, c)) if !c.isNaN => k -> c }
     // The driver captures only the tail of stdout, and a single line carrying
     // all ~120 per-query timings truncates mid-line (BENCH parsed=null for 5
     // rounds). So: write the FULL per-query map to bench_full.json on disk,
@@ -79,18 +103,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sorted = results.values.toSeq.sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    val cpuTotal = if (cpuResults.nonEmpty) cpuResults.values.sum else 0.0
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val fullJson = jmap(results)
     // subset runs don't clobber the full-sweep artifact
     val fullPath = java.nio.file.Paths.get(
       if (only.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(fullPath,
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"cpu_total_s":${f(cpuTotal)},"queries":$fullJson,"cpu":${jmap(cpuResults)},"sf":"$sfDir"}""".getBytes("UTF-8"))
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"cpu_total_s":${f(cpuTotal)},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -399,8 +399,117 @@ object SourceQueries {
       | upper(c_name) AS name_upper, lower(c_mktsegment) AS segment
       |FROM customer""".stripMargin
 
+  // ----------------------------------------------------- q43_dfasdl_xml
+  // DFASDL-described XML data read end-to-end (the reference's
+  // parsers/XmlFileParser.scala StAX walk, re-expressed over the native xml
+  // source): customer is staged as XML with the segment as an ATTRIBUTE of
+  // the row element, then read back through a hand-written DFASDL whose
+  // leaves rename via xml-element-name and pull the attribute via
+  // xml-attribute-name/xml-attribute-parent. The oracle reads the original
+  // parquet — any drift in rowTag derivation, element naming, attribute
+  // extraction, or the num/formatnum coercions breaks the hash.
+  private def q43DfasdlXml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("dfasdlxml", dir) { out =>
+      Sinks.writeXml(
+        Tables.customer(spark, dir).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment").as("_segment")),
+        out, rowTag = "customer", rootTag = "customers")
+    }
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="CUSTXML" semantic="niem">
+        |  <seq id="customers">
+        |    <elem id="row" xml-element-name="customer">
+        |      <num id="custkey" xml-element-name="c_custkey"/>
+        |      <str id="name" xml-element-name="c_name"/>
+        |      <formatnum id="acctbal" xml-element-name="c_acctbal" decimal-separator="."/>
+        |      <str id="segment" xml-attribute-name="segment" xml-attribute-parent="customer"/>
+        |    </elem>
+        |  </seq>
+        |</dfasdl>""".stripMargin)
+    Dfasdl.readXml(spark, tmp, doc)
+  }
+
+  private val q43DfasdlXmlSql =
+    """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal,
+      | c_mktsegment AS segment FROM customer""".stripMargin
+
+  // ---------------------------------------------------- q44_dfasdl_json
+  // DFASDL-described JSON read (parsers/JsonFileParser.scala's argonaut
+  // cursor walk → the distributed json source): orders is staged as JSON
+  // Lines under renamed keys, the DFASDL maps them back through
+  // json-attribute-name, and the date/num/formatnum coercions re-type the
+  // stringly read. Oracle reads the original parquet.
+  private def q44DfasdlJson(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("dfasdljson", dir) { out =>
+      Sinks.writeJson(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey").as("key"), col("o_orderdate").as("odate"),
+          col("o_totalprice").as("total"), col("o_orderpriority").as("prio")),
+        out)
+    }
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="ORDERSJSON" semantic="niem">
+        |  <seq id="orders">
+        |    <elem id="row">
+        |      <num id="orderkey" json-attribute-name="key"/>
+        |      <date id="orderdate" json-attribute-name="odate"/>
+        |      <formatnum id="totalprice" json-attribute-name="total" decimal-separator="."/>
+        |      <str id="priority" json-attribute-name="prio"/>
+        |    </elem>
+        |  </seq>
+        |</dfasdl>""".stripMargin)
+    Dfasdl.readJson(spark, tmp, doc)
+  }
+
+  private val q44DfasdlJsonSql =
+    """SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+      | o_totalprice AS totalprice, o_orderpriority AS priority FROM orders""".stripMargin
+
+  // --------------------------------------------------- q45_dfasdl_write
+  // The target-DFASDL-driven write side (writers/FileWriterActor.scala:
+  // value bytes + per-element stop-sign) closing the read/write asymmetry:
+  // orders renders THROUGH the schema's format attributes (dd.MM.yyyy
+  // dates, ';' stop-signs, a header from the preamble) via
+  // Dfasdl.writeDelimited, and the SAME document reads it back — a full
+  // write→read round-trip whose oracle is the original parquet. Any
+  // asymmetry between render() and convert() breaks the hash.
+  private def q45DfasdlWrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="ORDERSOUT" semantic="niem">
+        |  <str id="header"/>
+        |  <seq id="orders">
+        |    <elem id="row">
+        |      <num id="orderkey" stop-sign=";"/>
+        |      <date id="orderdate" format="dd.MM.yyyy" stop-sign=";"/>
+        |      <formatnum id="totalprice" decimal-separator="." stop-sign=";"/>
+        |      <str id="priority" stop-sign=";"/>
+        |    </elem>
+        |  </seq>
+        |</dfasdl>""".stripMargin)
+    val tmp = cachedArtifact("dfasdlout", dir) { out =>
+      Dfasdl.writeDelimited(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"),
+          col("o_totalprice").as("totalprice"),
+          col("o_orderpriority").as("priority")),
+        doc, out)
+    }
+    Dfasdl.readDelimited(spark, tmp, doc)
+  }
+
+  private val q45DfasdlWriteSql =
+    """SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+      | o_totalprice AS totalprice, o_orderpriority AS priority FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
+    QueryDef("q43_dfasdl_xml", q43DfasdlXml, Some(q43DfasdlXmlSql)),
+    QueryDef("q44_dfasdl_json", q44DfasdlJson, Some(q44DfasdlJsonSql)),
+    QueryDef("q45_dfasdl_write", q45DfasdlWrite, Some(q45DfasdlWriteSql)),
     QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
     QueryDef("q42_dfasdl", q42Dfasdl, Some(q42DfasdlSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.functions.Transformers
 import graft.pipeline.Pipeline
+import graft.sinks.Sinks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -55,8 +56,12 @@ object Dfasdl {
     * `seq`/`elem`) and any preamble elements before the sequence (the
     * reference models a CSV header line as a leading `<str id="header"/>` —
     * see e.g. the structure of the reference's simple CSV schemas).
+    * `rowName` is the XML element name of the per-record wrapper (the first
+    * `elem` under the `seq`, or the `seq` itself when leaves sit directly
+    * under it) — the `rowTag` for DFASDL-described XML data ([[readXml]]).
     */
-  final case class Doc(id: String, preamble: Seq[Field], fields: Seq[Field]) {
+  final case class Doc(id: String, preamble: Seq[Field], fields: Seq[Field],
+                       rowName: Option[String] = None) {
     def schema: StructType =
       StructType(fields.map(f => StructField(f.id, f.sparkType)))
   }
@@ -121,9 +126,24 @@ object Dfasdl {
         if (flat.nonEmpty) flat else top.flatMap(leavesUnder)
     }
     require(fields.nonEmpty, "DFASDL document defines no record fields")
+    // the per-record wrapper's XML name: the first elem under the seq (the
+    // reference's <elem id="row"> — XmlFileParser resolves names through
+    // xml-element-name with the id as fallback, see getXmlElementName at
+    // parsers/XmlFileParser.scala:403), else the seq itself
+    val rowName = rest.headOption.map { seq =>
+      childElems(seq).find(e => !leafKinds(nameOf(e))) match {
+        case Some(wrapper) => xmlNameOfElem(wrapper)
+        case None          => xmlNameOfElem(seq)
+      }
+    }
     Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),
-      preamble, fields)
+      preamble, fields, rowName)
   }
+
+  private def xmlNameOfElem(e: XmlElement): String =
+    Option(e.getAttribute("xml-element-name")).filter(_.nonEmpty)
+      .orElse(Option(e.getAttribute("id")).filter(_.nonEmpty))
+      .getOrElse(nameOf(e))
 
   private def leavesUnder(e: XmlElement): Seq[Field] =
     childElems(e).flatMap { c =>
@@ -197,6 +217,158 @@ object Dfasdl {
     }
     val raw = Sources.readFixedWidth(spark, path, widths)
     raw.select(doc.fields.map(f => coerce(f, col(f.id)).as(f.id)): _*)
+  }
+
+  // ------------------------------------------- DFASDL-described XML / JSON
+
+  /** XML element name of a leaf: `xml-element-name` with the id as fallback
+    * (reference getXmlElementName, parsers/XmlFileParser.scala:403).
+    */
+  private def xmlName(f: Field): String =
+    f.attr("xml-element-name").getOrElse(f.id)
+
+  /** Read XML documents described by a DFASDL schema — the reference's
+    * XmlFileParser.scala walks a StAX stream under the DFASDL tree one
+    * element at a time inside an actor; here the same description maps onto
+    * Spark's native xml source (file-split distributed, pruned) and the §3
+    * type coercions layer on top as plain Catalyst expressions:
+    *
+    *  - the record wrapper (first `elem` under the `seq`) is the `rowTag`;
+    *  - each leaf reads the text of the child element named by its
+    *    `xml-element-name` (id fallback);
+    *  - a leaf carrying `xml-attribute-name` + `xml-attribute-parent` reads
+    *    an ATTRIBUTE of the named parent element instead
+    *    (XmlFileParser.scala:252-258) — of the row wrapper itself, or of a
+    *    sibling leaf's element (text + attribute on the same element);
+    *  - `formatnum`/`formattime`/`date` format patterns apply exactly as in
+    *    [[readDelimited]].
+    */
+  def readXml(spark: SparkSession, path: String, doc: Doc,
+              rowTag: Option[String] = None): DataFrame = {
+    val tag = rowTag.orElse(doc.rowName).getOrElse("row")
+    final case class AttrField(parent: String, name: String, f: Field)
+    val (attrFs, plainFs) = doc.fields.partition(f =>
+      f.attr("xml-attribute-name").isDefined)
+    val attrs = attrFs.map { f =>
+      AttrField(f.attr("xml-attribute-parent").getOrElse(tag),
+        f.attr("xml-attribute-name").get, f)
+    }
+    val byParent = attrs.groupBy(_.parent)
+    val plainNames = plainFs.map(xmlName).toSet
+    // raw read schema, all strings: a leaf element that also carries mapped
+    // attributes surfaces as a struct (valueTag "_VALUE" + "_<attr>"s)
+    def attrStruct(as: Seq[AttrField], withValue: Boolean): StructType =
+      StructType(
+        (if (withValue) Seq(StructField("_VALUE", StringType)) else Nil) ++
+          as.map(a => StructField("_" + a.name, StringType)))
+    val rawFields =
+      plainFs.map { f =>
+        val n = xmlName(f)
+        byParent.get(n) match {
+          case Some(as) => StructField(n, attrStruct(as, withValue = true))
+          case None     => StructField(n, StringType)
+        }
+      } ++
+        byParent.getOrElse(tag, Nil).map(a =>
+          StructField("_" + a.name, StringType)) ++
+        (byParent - tag).collect {
+          case (p, as) if !plainNames(p) => StructField(p, attrStruct(as, withValue = false))
+        }
+    val raw = spark.read.format("xml")
+      .option("rowTag", tag)
+      .schema(StructType(rawFields))
+      .load(path)
+    val cols = doc.fields.map { f =>
+      val c = f.attr("xml-attribute-name") match {
+        case Some(a) =>
+          val parent = f.attr("xml-attribute-parent").getOrElse(tag)
+          if (parent == tag) col("_" + a) else col(parent)("_" + a)
+        case None =>
+          val n = xmlName(f)
+          if (byParent.contains(n)) col(n)("_VALUE") else col(n)
+      }
+      coerce(f, c).as(f.id)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Read JSON records described by a DFASDL schema — the reference's
+    * JsonFileParser.scala drives an argonaut cursor from the DFASDL tree
+    * (one document, driver-side); here the description maps onto the json
+    * source: each leaf reads the object key named by `json-attribute-name`
+    * (id fallback — JsonFileParser.scala:194-208), the record stream is
+    * either JSON Lines (one object per line, the distributed layout) or a
+    * single top-level array document (`multiline = true`, the reference's
+    * whole-document shape), and the §3 coercions apply on top.
+    */
+  def readJson(spark: SparkSession, path: String, doc: Doc,
+               multiline: Boolean = false): DataFrame = {
+    def jsonName(f: Field): String = f.attr("json-attribute-name").getOrElse(f.id)
+    val raw = spark.read
+      .option("multiLine", multiline.toString)
+      .schema(StructType(doc.fields.map(f => StructField(jsonName(f), StringType))))
+      .json(path)
+    raw.select(doc.fields.map(f => coerce(f, col(jsonName(f))).as(f.id)): _*)
+  }
+
+  // --------------------------------------------------- cookbook write side
+
+  /** Render one column for the delimited write path per its DFASDL kind —
+    * the inverse of [[convert]]/[[coerce]]: format-patterned date/time kinds
+    * render THROUGH their pattern, `formatnum` honors `decimal-separator`,
+    * binary kinds re-encode base64. The reference's writer stringifies the
+    * already-transformed value (writers/FileWriterActor.scala:281-307); the
+    * pattern rendering lives in its transformer chain, which this collapses
+    * into the writer so emit→write→read round-trips without a cookbook.
+    */
+  private def render(f: Field, c: Column): Column = {
+    val s = f.kind match {
+      case "formattime" =>
+        date_format(c, f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))
+      case "date" if f.attr("format").isDefined => date_format(c, f.attr("format").get)
+      case "datetime" if f.attr("format").isDefined =>
+        date_format(c, f.attr("format").get)
+      case "datetime" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case "formatnum" if f.attr("decimal-separator").contains(",") =>
+        regexp_replace(c.cast(StringType), "\\.", ",")
+      case "bin" | "bin64" => base64(c)
+      case _               => c.cast(StringType)
+    }
+    coalesce(s, lit("")) // null renders empty, the delimited convention
+  }
+
+  /** Write a DataFrame as the delimited file a DFASDL schema describes —
+    * the target-DFASDL-driven write path (writers/FileWriterActor.scala:
+    * value bytes then the element's stop-sign, DEFAULT_STOP_SIGN ","). The
+    * uniform-separator case (every field the same `stop-sign` — the
+    * reference's delimited exports) writes through the csv sink with a
+    * header when the schema declares a preamble; heterogeneous per-field
+    * stop-signs concatenate value+sign per row and write as text lines.
+    * Columns are matched by field id; both paths are fully distributed
+    * (one file per partition) and [[readDelimited]] of the same doc is the
+    * exact inverse.
+    */
+  def writeDelimited(df: DataFrame, doc: Doc, path: String): Unit = {
+    val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
+    require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
+    val stopSigns = doc.fields.map(f => f.attr("stop-sign"))
+    val uniform = stopSigns.init.flatten.distinct.size <= 1
+    if (uniform) {
+      val rendered = doc.fields.map(f => render(f, col(f.id)).as(f.id))
+      Sinks.writeCsv(df.select(rendered: _*), path,
+        header = doc.preamble.nonEmpty, delimiter = sepOf(doc))
+    } else {
+      // per-field stop-signs: value1 sign1 value2 sign2 ... valueN, newline
+      // terminated by the text sink (the reference's last-element stop-sign)
+      val parts = doc.fields.zip(stopSigns).zipWithIndex.flatMap {
+        case ((f, ss), i) =>
+          val v = render(f, col(f.id))
+          if (i == doc.fields.size - 1) Seq(v)
+          else Seq(v, lit(ss.getOrElse(",")))
+      }
+      df.select(concat(parts: _*).as("value")).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+    }
   }
 
   /** Type coercion from an all-strings read (fixed-width) to the §3 types:
