@@ -239,6 +239,135 @@ class DfasdlSpec extends AnyFunSuite {
       s"only $ok/${dfasdls.size} parsed; rejections:\n${rejected.take(15).mkString("\n")}")
   }
 
+  private val orderXmlDoc =
+    """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="ORDERSXML">
+      |  <seq id="orders">
+      |    <elem id="row" xml-element-name="order">
+      |      <num id="id" xml-element-name="order-id"/>
+      |      <str id="status" xml-attribute-name="status" xml-attribute-parent="order"/>
+      |      <formatnum id="total" xml-element-name="amount" decimal-separator="."/>
+      |      <str id="currency" xml-attribute-name="ccy" xml-attribute-parent="amount"/>
+      |      <date id="day" xml-element-name="ordered-on"/>
+      |    </elem>
+      |  </seq>
+      |</dfasdl>""".stripMargin
+
+  private def orderXmlFile(): String = {
+    val dir = Files.createTempDirectory("dfasdl_xml")
+    Files.write(Paths.get(dir.toString, "orders.xml"),
+      """<orders>
+        |  <order status="OPEN"><order-id>1</order-id>
+        |    <amount ccy="EUR">10.50</amount><ordered-on>2024-01-05</ordered-on></order>
+        |  <order status="SHIPPED"><order-id>2</order-id>
+        |    <amount ccy="USD">-3.25</amount><ordered-on>2024-02-06</ordered-on></order>
+        |</orders>""".stripMargin.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("readXml maps elements, row attributes and nested-element attributes") {
+    val doc = Dfasdl.parseSchema(orderXmlDoc)
+    assert(doc.rowName.contains("order")) // wrapper's xml-element-name
+    val rows = Dfasdl.readXml(spark, orderXmlFile(), doc).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0) == Row(1L, "OPEN", 10.50, "EUR", java.sql.Date.valueOf("2024-01-05")))
+    assert(rows(1) == Row(2L, "SHIPPED", -3.25, "USD", java.sql.Date.valueOf("2024-02-06")))
+  }
+
+  test("cookbook whose source DFASDL describes an XML document runs end-to-end") {
+    val cb = Dfasdl.parseCookbook(
+      s"""<cookbook id="XML-MIGRATION">
+         |  <source>${orderXmlDoc.replaceFirst("^<\\?xml[^>]*\\?>\\s*", "")}</source>
+         |  <recipe id="R" mode="one-to-one">
+         |    <mapping><sources>id total</sources><targets>order_id total</targets></mapping>
+         |    <mapping><sources>status</sources><targets>status</targets>
+         |      <transformation class="com.wegtam.tensei.agent.transformers.LowerOrUpper">
+         |        <option name="perform" value="lower"/>
+         |      </transformation>
+         |    </mapping>
+         |  </recipe>
+         |</cookbook>""".stripMargin)
+    val got = Dfasdl.applyCookbook(
+      Dfasdl.readXml(spark, orderXmlFile(), cb.source), cb).orderBy("order_id").collect()
+    assert(got.toSeq == Seq(Row(1L, 10.50, "open"), Row(2L, -3.25, "shipped")))
+  }
+
+  test("readJson maps json-attribute-name keys over JSON Lines and array documents") {
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="J">
+        |  <seq id="s"><elem id="e">
+        |    <num id="id" json-attribute-name="k"/>
+        |    <str id="name"/>
+        |    <formatnum id="amt" json-attribute-name="amount" decimal-separator="."/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    val lines = Files.createTempDirectory("dfasdl_jsonl")
+    Files.write(Paths.get(lines.toString, "a.json"),
+      """{"k":1,"name":"ada","amount":10.5}
+        |{"k":2,"name":"alan","amount":-3.25}""".stripMargin.getBytes("UTF-8"))
+    val got = Dfasdl.readJson(spark, lines.toString, doc).orderBy("id").collect()
+    assert(got.toSeq == Seq(Row(1L, "ada", 10.5), Row(2L, "alan", -3.25)))
+    // the reference's whole-document shape: one top-level array
+    val arr = Files.createTempDirectory("dfasdl_jarr")
+    Files.write(Paths.get(arr.toString, "a.json"),
+      """[{"k":1,"name":"ada","amount":10.5},
+        | {"k":2,"name":"alan","amount":-3.25}]""".stripMargin.getBytes("UTF-8"))
+    val got2 = Dfasdl.readJson(spark, arr.toString, doc, multiline = true)
+      .orderBy("id").collect()
+    assert(got2.toSeq == got.toSeq)
+  }
+
+  test("writeDelimited round-trips through readDelimited, incl. format rendering") {
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="OUT">
+        |  <str id="header"/>
+        |  <seq id="s"><elem id="e">
+        |    <num id="id" stop-sign=";"/>
+        |    <date id="day" format="dd.MM.yyyy" stop-sign=";"/>
+        |    <formatnum id="amt" decimal-separator="," stop-sign=";"/>
+        |    <str id="note" stop-sign=";"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05"), 10.5, "first"),
+      (2L, java.sql.Date.valueOf("2024-02-06"), -3.25, "second"))
+      .toDF("id", "day", "amt", "note")
+    val out = Files.createTempDirectory("dfasdl_wr").toString + "/data"
+    Dfasdl.writeDelimited(df, doc, out)
+    // rendering honored the format attributes on the way out
+    val raw = Files.list(Paths.get(out)).iterator()
+    val text = new StringBuilder
+    while (raw.hasNext) { val p = raw.next()
+      if (p.toString.endsWith(".csv") || p.toString.contains("part-"))
+        text ++= new String(Files.readAllBytes(p), "UTF-8") }
+    assert(text.toString.contains("05.01.2024") && text.toString.contains("10,5"),
+      text.toString)
+    val back = Dfasdl.readDelimited(spark, out, doc).orderBy("id").collect()
+    assert(back.toSeq == df.orderBy("id").collect().toSeq)
+    // a missing column fails fast with the field named
+    val err = intercept[IllegalArgumentException] {
+      Dfasdl.writeDelimited(df.drop("note"), doc, out)
+    }
+    assert(err.getMessage.contains("note"))
+  }
+
+  test("writeDelimited with heterogeneous stop-signs writes value+sign text lines") {
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="HET">
+        |  <seq id="s"><elem id="e">
+        |    <str id="a" stop-sign="|"/>
+        |    <str id="b" stop-sign=";"/>
+        |    <str id="c"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    import spark.implicits._
+    val out = Files.createTempDirectory("dfasdl_het").toString + "/data"
+    Dfasdl.writeDelimited(
+      Seq(("x", "y", "z"), ("u", null, "w")).toDF("a", "b", "c"), doc, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted.toSeq
+    assert(lines == Seq("u|;w", "x|y;z"), lines) // null rendered empty
+  }
+
   test("unsupported transformer names fail fast with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
