@@ -453,23 +453,39 @@ object Dedup {
     * buckets (recall depends on probe radius); this partitions the corpus
     * into disjoint k-means cells and is exhaustive within each cell — the
     * published SemDeDup shape. The per-cell self-join is quadratic in cell
-    * population; that is the algorithm's knob: at 100 TB you raise
-    * `nCells` so cells stay bounded (the paper runs 50k clusters for
-    * LAION), and the join shuffles only (cell, id, vec) rows which AQE
-    * skew-splitting handles when a cell runs hot. Cross-cell near-dups are
-    * deliberately out of scope (the paper's approximation); use
-    * [[embeddingPairs]] when recall across cluster boundaries matters.
+    * population; `nCells` is the algorithm's primary knob (the paper runs
+    * 50k clusters for LAION). `maxCellSize` is the skew GUARD behind it:
+    * k-means makes no balance promise, and at 100 TB one hot cell would
+    * otherwise become a single quadratic straggler task. A cell whose
+    * population n exceeds the cap is split into ceil(n/maxCellSize)
+    * sub-cells by a deterministic hash of the VECTOR, bounding every
+    * task's pair count at ~maxCellSize²/2 while keeping identical vectors
+    * (the pairs the threshold reliably catches) co-located — the same
+    * within-subset comparison the paper's own cluster-sampling fallback
+    * accepts. Cross-cell near-dups are deliberately out of scope (the
+    * paper's approximation); use [[embeddingPairs]] when recall across
+    * cluster boundaries matters.
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     nCells: Int = 16, threshold: Double = 0.92,
-                    trainTarget: Int = 1600): DataFrame = {
+                    trainTarget: Int = 1600,
+                    maxCellSize: Int = 4096): DataFrame = {
     import graft.functions.VectorExprs
+    require(maxCellSize > 0, "maxCellSize must be positive")
     val idx = Similarity.ivfBuild(df, vecCol, idCol, nCells, trainTarget)
-    val a = idx.indexed.select(col("cell"), col("corpus_id").as("id_a"),
-      col("cv").as("v_a"))
-    val b = idx.indexed.select(col("cell"), col("corpus_id").as("id_b"),
-      col("cv").as("v_b"))
-    val dropped = a.join(b, Seq("cell"))
+    // per-cell populations: ≤ nCells rows, broadcast back onto the index
+    val counts = idx.indexed.groupBy("cell").count()
+    val sized = idx.indexed.join(broadcast(counts), "cell")
+      .withColumn("subcell",
+        when(col("count") > maxCellSize,
+          pmod(hash(col("cv")),
+            ceil(col("count").cast(DoubleType) / maxCellSize).cast(IntegerType)))
+          .otherwise(lit(0)))
+    val a = sized.select(col("cell"), col("subcell"),
+      col("corpus_id").as("id_a"), col("cv").as("v_a"))
+    val b = sized.select(col("cell"), col("subcell"),
+      col("corpus_id").as("id_b"), col("cv").as("v_b"))
+    val dropped = a.join(b, Seq("cell", "subcell"))
       .filter(col("id_b") < col("id_a"))
       .filter(VectorExprs.cosineSim(col("v_a"), col("v_b")) > threshold)
       .select(col("id_a").as("__drop")).distinct()

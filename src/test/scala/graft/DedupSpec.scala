@@ -376,6 +376,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup maxCellSize guard: a skew-planted cell splits, exact copies still drop") {
+    // nCells=1 plants ALL rows in one cell — the worst k-means skew.
+    // maxCellSize=50 over 400 rows forces ceil(400/50)=8 hash sub-cells;
+    // identical vectors hash identically, so every planted exact-copy pair
+    // stays co-located and the answer is unchanged by the guard.
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    val kept = Dedup.semanticDedup(doubled, "embedding", "vec_id",
+        nCells = 1, threshold = 0.98, maxCellSize = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == e.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("semanticDedup maxCellSize guard: per-task pair work stays bounded under skew") {
+    // Pin the split arithmetic itself: with n=400 and cap 50, the vector
+    // hash spreads the planted monster cell over 8 sub-cells and no
+    // sub-cell holds more than 2x the cap — so the per-task pair count is
+    // O(maxCellSize²), not O(n²). (Same formula as the operator; this is
+    // the scale contract, not a uniformity benchmark.)
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val doubled = e.unionByName(
+      e.select((col("vec_id") + SHIFT).as("vec_id"), col("embedding")))
+    val n = doubled.count()
+    val cap = 50
+    val splits = math.ceil(n.toDouble / cap).toInt
+    val sizes = doubled
+      .groupBy(pmod(hash(col("embedding")), lit(splits)).as("subcell"))
+      .count().select("count").as[Long].collect()
+    assert(sizes.length == splits, s"expected $splits sub-cells, got ${sizes.length}")
+    assert(sizes.max <= 2L * cap,
+      s"hash split left a sub-cell of ${sizes.max} rows (cap $cap)")
+  }
+
   test("quality scoring orders degenerate text below natural text") {
     val df = Seq(
       ("natural", "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends and family members who are happy"),
