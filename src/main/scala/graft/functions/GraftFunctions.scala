@@ -40,9 +40,10 @@ object GraftFunctions {
     // round-5: heavy-hitter support — n-gram texts (hash parity with
     // position_shingle_hashes via xxhash64) and position-kept shingle hashes
     "ngram_texts" -> (exprs =>
-      WordNgramTextExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      WordNgramTextExpr(exprs(0), intLiteral(exprs(1), "ngram_texts", "n"))),
     "position_shingle_hashes" -> (exprs => WordShingleHashExpr(exprs(0),
-      exprs(1).eval().asInstanceOf[Int], distinct = false, sorted = false)),
+      intLiteral(exprs(1), "position_shingle_hashes", "k"),
+      distinct = false, sorted = false)),
     // round-5: curation text ops — composed builtin expressions, exposed
     // under one SQL name so SQL-first pipelines call the same semantics
     "strip_markup" -> (exprs => bridged(TextFunctions.stripMarkup, exprs(0))),
@@ -50,9 +51,30 @@ object GraftFunctions {
     "content_hash" -> (exprs => bridged(TextFunctions.contentHash, exprs(0))),
     // round-6: bounded-memory heavy-hitters sketch aggregate
     "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
-      exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+      intLiteral(exprs(1), "misra_gries", "capacity")).toAggregateExpression()),
     "canonicalize_url" -> (exprs => bridged(TextFunctions.canonicalizeUrl, exprs(0)))
   )
+
+  /** Evaluate a SQL argument that must be an integral LITERAL (a sketch
+    * capacity, an n-gram width): checks foldability and accepts any
+    * integral width, so `misra_gries(tok, 400)` and a BIGINT literal both
+    * work while a column reference fails at plan time with a clear error
+    * instead of a ClassCastException.
+    */
+  private def intLiteral(e: Expression, fn: String, arg: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int                     => i
+      case l: Long if l == l.toInt    => l.toInt
+      case s: Short                   => s.toInt
+      case b: Byte                    => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant integer, got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName} (${e.sql})")
+    }
+  }
 
   /** Lift a Column→Column composition into an Expression builder (eager
     * conversion — the analyzer needs a concrete tree back, see

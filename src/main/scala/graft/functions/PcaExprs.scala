@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
 
 /** Fixed-point Gram/mean accumulator for PCA over an `array<float>`
   * embedding column: one pass, ONE output row — the buffer is
-  * `[n, sum_1..sum_d, gram_11..gram_dd]` as int64, where each row
+  * `[d, n, sum_1..sum_d, gram_11..gram_dd]` as int64 (leading `d` slot:
+  * the dimensionality captured from the first vector), where each row
   * contributes `floor(x_i · 2^s)` and `floor(x_i x_j · 2^s)`. Integer sums
   * are associative and commutative bit-for-bit, so the covariance (and
   * everything derived from it — eigenvectors, projections) is IDENTICAL

@@ -232,6 +232,9 @@ object TextFunctions {
     * fragment and query string, lowercase scheme and host ONLY (paths are
     * case-significant per RFC 3986), and drop one trailing slash. Pure
     * per-row string expression — zero-shuffle, codegen'd builtins.
+    * Scheme-less input (no "://") passes through unchanged after the
+    * fragment/query strip — without the guard both substring_index calls
+    * return the whole string and the value would double ("a.b/x://a.b/x").
     */
   def canonicalizeUrl(url: Column): Column = {
     val stripped = substring_index(substring_index(url, "#", 1), "?", 1)
@@ -240,6 +243,8 @@ object TextFunctions {
     val host = substring_index(rest, "/", 1)
     val path = regexp_replace(rest.substr(length(host) + lit(1), length(rest)),
       "/$", "")
-    concat(lower(proto), lit("://"), lower(host), path)
+    when(stripped.contains("://"),
+      concat(lower(proto), lit("://"), lower(host), path))
+      .otherwise(stripped)
   }
 }

@@ -225,6 +225,39 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** SimHash-gated EXACT near-dup pairs: [[simhashPairs]] generates
+    * candidates (pigeonhole chunks — one shuffle on (chunk, value),
+    * guaranteed to surface every pair within `maxDist` hamming), then each
+    * candidate verifies by exact word-shingle Jaccard and only pairs with
+    * true J ≥ `threshold` survive. Splitting the roles fixes what keeps
+    * raw simhash rows-only: the candidate set is hash-shaped (background
+    * pairs can collide down to hamming 0), but the VERIFIED set is a pure
+    * similarity statement — margin-separable corpora make it
+    * deterministic and oracle-checkable, the promotion path minhash took.
+    * Precision is exact by construction; recall is the simhash gate's
+    * (a true pair hashing beyond `maxDist` is skipped — widen `maxDist`
+    * to trade candidate volume for recall).
+    *
+    * Scale shape: candidates exchange id-only tuples; the shingle arrays
+    * join back per-candidate through two hash joins, so text-sized data
+    * never rides the pair explosion.
+    */
+  def simhashVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                           maxDist: Int = 7, shingleK: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.ShingleHash.wordShingleHashes(col(textCol), shingleK,
+        sorted = true).as("sh"))
+    val cands = simhashPairs(df, textCol, idCol, maxDist)
+      .select(col("id_a"), col("id_b"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(graft.functions.JaccardExpr.jaccardSorted(col("sh_a"), col("sh_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Character n-gram Jaccard pairs within a blocking key (e.g. language +
     * source). Exact Jaccard via array_intersect/array_union on distinct
     * n-gram sets; the block bounds the pair explosion.

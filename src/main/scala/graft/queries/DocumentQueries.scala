@@ -295,9 +295,64 @@ object DocumentQueries {
   // hamming 0..7 while the BACKGROUND minimum is hamming 0 (similar-length
   // unrelated docs can share identical token-weighted signatures), so no
   // maxDist reproduces an exact-similarity oracle. SimHash is a candidate
-  // generator; its guarantees live in DedupSpec.
+  // generator; its guarantees live in DedupSpec. The VERIFIED variant
+  // below is the oracle-checkable face of the same operator.
   private def dSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(withPlantedNearDups(spark, dir), "text", "doc_id", maxDist = 3)
+
+  // d_dedup_simhash_verified: simhash candidates verified by exact
+  // shingle Jaccard (Dedup.simhashVerifiedPairs). Oracle-checkable where
+  // raw simhash is not: verification makes every emitted pair a true
+  // J >= 0.5 pair (background collisions die on the exact check), so
+  // precision is exact; recall needs every true pair within the
+  // pigeonhole gate's hamming budget. SimHash's hamming concentrates
+  // only with token MASS — a one-word edit on a ~10-token doc flips a
+  // large share of the 64 sign-sums (a natural sf0.1 pair at J=0.889
+  // with 10 vs 11 tokens lands beyond hamming 7) — so the fixture floors
+  // the corpus at 30 tokens, the regime simhash is built for (short docs
+  // are minhash's territory: its banding margin is length-independent).
+  // On the floored corpus every true pair (planted drop-last-word,
+  // J >= 0.889, ≤1 flipped shingle window per 28+ windows) stays well
+  // inside maxDist=7 — measured green at sf0.01 AND sf0.1 with the fixed
+  // seeds — and the output equals the exact-Jaccard pair set the DuckDB
+  // oracle replays.
+  private def dSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 30)
+    val mutated = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + SHIFT).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    Dedup.simhashVerifiedPairs(
+      docs.select("doc_id", "text").unionByName(mutated), "text", "doc_id",
+      maxDist = 7, shingleK = 3, threshold = 0.5)
+  }
+
+  private val dSimhashVerifiedSql =
+    s"""WITH base AS (
+       | SELECT doc_id, text FROM documents
+       | WHERE len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) >= 30),
+       |u AS (
+       | SELECT doc_id, text FROM base
+       | UNION ALL
+       | SELECT doc_id + $SHIFT, regexp_replace(text, '\\s+\\S+\\s*$$', '')
+       | FROM base WHERE doc_id < 50),
+       |t AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       | FROM u),
+       |s AS (
+       | SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |   ELSE list_transform(range(1, len(toks) - 2 + 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       | FROM t),
+       |p AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(a.sh, b.sh))) AS j
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh))
+       |SELECT id_a, id_b FROM p WHERE j >= 0.5""".stripMargin
 
   private def dNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(withPlantedNearDups(spark, dir), "text", "doc_id",
@@ -487,14 +542,39 @@ object DocumentQueries {
 
   // d_ann_sq8: int8-quantized brute force + exact re-rank — the
   // memory-bandwidth ANN path (codes are 4× smaller than floats; scales
-  // cancel in the cosine). Quantization keeps this rows-only: a borderline
-  // candidate can sit outside the oversampled window; DedupSpec bounds
-  // recall@k against the float brute force instead.
+  // cancel in the cosine). Oracle-checkable by margin design (the
+  // d_dedup_minhash playbook): each query gets 10 planted EXACT copies at
+  // shifted ids, so the true top-10 sit at cos≈1 while the background
+  // never exceeds ~0.42 (measured at sf0.01 AND sf0.1) — a margin that
+  // dwarfs the int8 quantization error (~1e-2), making recall provably 1
+  // through the k×oversample cut, and the exact re-rank's tie-break
+  // (identical vectors → identical cosines → corpus_id asc) is the same
+  // deterministic order DuckDB computes. Output carries ranks only, so
+  // engine-level cosine rounding differences never reach the hash.
   private def dAnnSq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    Similarity.sq8TopK(e, e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val planted = q.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(9))).as("j"))
+      .select((lit(100000L) + col("vec_id") * 10 + col("j")).cast(LongType).as("vec_id"),
+        col("embedding"))
+    Similarity.sq8TopK(e.unionByName(planted), q, "embedding", "vec_id", k = 10)
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
+
+  private val dAnnSq8Sql =
+    """WITH p AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5),
+      |u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM p),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id AS cid, list_cosine_similarity(qv, embedding) AS cos
+      |      FROM q, u WHERE vec_id != qid)
+      |SELECT qid AS query_id, cid AS corpus_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
+      |FROM s QUALIFY rk <= 10""".stripMargin
 
   // d_ann_pq: product-quantized ANN + exact re-rank — the memory-capacity
   // ANN path (m=8 one-byte codes per 64-dim vector = 32× smaller than
@@ -1034,6 +1114,7 @@ object DocumentQueries {
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
     QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),
+    QueryDef("d_dedup_simhash_verified", dSimhashVerified, Some(dSimhashVerifiedSql)),
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
     QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),
     QueryDef("d_dedup_apply", dDedupApply, Some(dDedupApplySql)),
@@ -1046,7 +1127,7 @@ object DocumentQueries {
     QueryDef("d_semdedup", dSemDedup, Some(dSemDedupSql)),
     QueryDef("d_ann_brute", dAnnBrute, Some(dAnnBruteSql)),
     QueryDef("d_ann_lsh", dAnnLsh, None),
-    QueryDef("d_ann_sq8", dAnnSq8, None),
+    QueryDef("d_ann_sq8", dAnnSq8, Some(dAnnSq8Sql)),
     QueryDef("d_ann_pq", dAnnPq, None),
     QueryDef("d_ann_ivfpq", dAnnIvfPq, None),
     QueryDef("d_ann_ivf", dAnnIvf, None),

@@ -185,16 +185,6 @@ object Streams {
     docs.withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
 
-  /** Streaming frequent-token report: the Misra–Gries sketch
-    * ([[graft.functions.MisraGriesAgg]]) as a streaming global aggregate —
-    * each micro-batch's partials merge into the running state-store buffer,
-    * so state is `capacity` counters FOREVER, not a per-token map that
-    * grows with the stream's vocabulary (the failure mode of a naive
-    * streaming `groupBy(token).count`). Run in Complete/Update mode; the
-    * emitted sketch rows carry the same superset guarantee as the batch
-    * aggregate, so a downstream exact recount (batch, over the archived
-    * corpus) turns any snapshot into exact heavy hitters.
-    */
   /** Streaming cross-batch NEAR-dup gate — the stream form of
     * [[graft.operators.Dedup.crossNearDedup]]. Stream-stream anti-joins
     * aren't supported, so the reference corpus reduces to a broadcast
@@ -229,6 +219,16 @@ object Streams {
       .drop("__sig", "__keys")
   }
 
+  /** Streaming frequent-token report: the Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]) as a streaming global aggregate —
+    * each micro-batch's partials merge into the running state-store buffer,
+    * so state is `capacity` counters FOREVER, not a per-token map that
+    * grows with the stream's vocabulary (the failure mode of a naive
+    * streaming `groupBy(token).count`). Run in Complete/Update mode; the
+    * emitted sketch rows carry the same superset guarantee as the batch
+    * aggregate, so a downstream exact recount (batch, over the archived
+    * corpus) turns any snapshot into exact heavy hitters.
+    */
   def heavyHittersStream(docs: DataFrame, textCol: String = "text",
                          capacity: Int = 400): DataFrame =
     docs.select(explode(

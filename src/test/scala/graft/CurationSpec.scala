@@ -183,7 +183,11 @@ class CurationSpec extends AnyFunSuite {
       ("http://a.b", "http://a.b"),
       ("http://A.B/P?x=1", "http://a.b/P"),
       ("https://h/p#frag", "https://h/p"),
-      ("https://H.co/a//", "https://h.co/a/") // exactly ONE trailing slash drops
+      ("https://H.co/a//", "https://h.co/a/"), // exactly ONE trailing slash drops
+      // scheme-less: pass through after the fragment/query strip (previously
+      // doubled into "a.b/x://a.b/x")
+      ("a.b/Path?q=1#f", "a.b/Path"),
+      ("relative/path", "relative/path")
     )
     val got = cases.map(_._1).toDF("url")
       .select(graft.functions.TextFunctions.canonicalizeUrl(col("url")))

@@ -376,6 +376,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashVerifiedPairs emits exactly the exact-Jaccard pair set on a margin corpus") {
+    // 40 docs with >= 30 tokens + drop-last-word near-dups (J >= 29/31) +
+    // reversed-token novels (J ~ 0): the simhash gate at maxDist=7 recalls
+    // every true pair (token mass concentrates the hamming), and the exact
+    // verification kills background collisions — output == exact pair set.
+    val base = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val nearDups = base.select((col("doc_id") + SHIFT).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+    val novels = base.select((col("doc_id") + 2 * SHIFT).as("doc_id"),
+      array_join(reverse(graft.functions.TextFunctions.tokens(col("text"))), " ")
+        .as("text"))
+    val corpus = base.unionByName(nearDups).unionByName(novels)
+    val got = Dedup.simhashVerifiedPairs(corpus, "text", "doc_id", maxDist = 7)
+      .as[(Long, Long)].collect().toSet
+    // exact truth: every pair with word-3-shingle Jaccard >= 0.5
+    val sh = corpus.select(col("doc_id"),
+      graft.functions.ShingleHash.wordShingleHashes(col("text"), 3, sorted = true)
+        .as("sh"))
+    val want = sh.toDF("id_a", "sh_a")
+      .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+      .filter(graft.functions.JaccardExpr.jaccardSorted(col("sh_a"), col("sh_b")) >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size >= base.count().toInt / 2,
+      s"fixture should have plenty of true pairs, got ${want.size}")
+  }
+
   test("semanticDedup maxCellSize guard: a skew-planted cell splits, exact copies still drop") {
     // nCells=1 plants ALL rows in one cell — the worst k-means skew.
     // maxCellSize=50 over 400 rows forces ceil(400/50)=8 hash sub-cells;

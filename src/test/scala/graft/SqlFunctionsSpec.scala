@@ -87,6 +87,22 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(u == "https://ex.com/Path")
   }
 
+  test("integral-literal SQL args: BIGINT literals accepted, columns rejected cleanly") {
+    GraftFunctions.register(spark)
+    Seq("a", "a", "b").toDF("tok").createOrReplaceTempView("lit_sql")
+    // CAST(8 AS BIGINT) is a foldable Long literal — must not ClassCastException
+    val sk = spark.sql(
+      "SELECT explode(misra_gries(tok, CAST(8 AS BIGINT))) AS e FROM lit_sql")
+      .select("e.item", "e.est").as[(String, Long)].collect().toMap
+    assert(sk("a") == 2L)
+    // a column reference is non-foldable — clear plan-time error, not an NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT misra_gries(tok, length(tok)) FROM lit_sql").collect()
+    }
+    assert(err.getMessage.contains("must be a constant integer"),
+      err.getMessage)
+  }
+
   test("unicode normalize functions are callable from SQL") {
     // decomposed e+U+0301 composes to U+00E9; NFKC folds the fi ligature
     Seq(("cafe\u0301", "\ufb01sh")).toDF("a", "b").createOrReplaceTempView("norm_sql")
