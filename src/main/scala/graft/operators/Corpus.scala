@@ -51,9 +51,15 @@ object Corpus {
     * `sample()`, this is reproducible across the stack and can be
     * oracle-checked. Use a per-row `perMille` column for mixture weighting
     * (different sampling rates per source).
+    *
+    * The id reduces mod the prime BEFORE the multiply: the raw product
+    * overflows int64 once ids pass ~3.5e9 (ANSI mode then fails the job —
+    * hit at the sf1 scale test with 1e9-range ids), while the reduced
+    * product is bounded by 1000002 × 2654435761 ≈ 2.7e15. Ids below the
+    * prime — every current dataset — select identically.
     */
   def hashModKeep(id: Column, perMille: Column): Column =
-    (id.cast(LongType) * lit(2654435761L) % lit(1000003L)) % lit(1000L) < perMille
+    (id.cast(LongType) % lit(1000003L) * lit(2654435761L) % lit(1000003L)) % lit(1000L) < perMille
 
   /** Deterministic train/val/test assignment by hash range — the split
     * must be a pure function of the row id (not of partitioning, run, or
@@ -64,7 +70,7 @@ object Corpus {
     */
   def splitAssign(id: Column, trainPm: Int = 800, valPm: Int = 900): Column = {
     require(0 <= trainPm && trainPm <= valPm && valPm <= 1000)
-    val bucket = (id.cast(LongType) * lit(2654435761L) % lit(1000003L)) % lit(1000L)
+    val bucket = (id.cast(LongType) % lit(1000003L) * lit(2654435761L) % lit(1000003L)) % lit(1000L)
     when(bucket < trainPm, "train").when(bucket < valPm, "val").otherwise("test")
   }
 

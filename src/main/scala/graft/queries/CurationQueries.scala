@@ -66,7 +66,7 @@ object CurationQueries {
 
   private val dWeightedSampleSql =
     """SELECT doc_id, source, n_chars FROM documents
-      |WHERE (doc_id * 2654435761 % 1000003) % 1000 < least(n_chars // 2, 900)""".stripMargin
+      |WHERE (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < least(n_chars // 2, 900)""".stripMargin
 
   // ------------------------------------------------- d_substring_dedup
   // Cross-document duplicated-span coverage (the substring-level dedup
@@ -430,8 +430,8 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 
   private val dSplitSql =
-    """SELECT CASE WHEN (doc_id * 2654435761 % 1000003) % 1000 < 800 THEN 'train'
-      |            WHEN (doc_id * 2654435761 % 1000003) % 1000 < 900 THEN 'val'
+    """SELECT CASE WHEN (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < 800 THEN 'train'
+      |            WHEN (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < 900 THEN 'val'
       |            ELSE 'test' END AS split,
       | COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
       | CAST(MAX(doc_id) AS BIGINT) AS max_id

@@ -245,6 +245,29 @@ object Dfasdl {
     */
   def readXml(spark: SparkSession, path: String, doc: Doc,
               rowTag: Option[String] = None): DataFrame = {
+    val (tag, rawSchema, cols) = xmlPlan(doc, rowTag)
+    spark.read.format("xml").option("rowTag", tag).schema(rawSchema).load(path)
+      .select(cols: _*)
+  }
+
+  /** Streaming twin of [[readXml]] (the xml source is file-based, so it
+    * streams a drop-directory of XML exports like any other file source).
+    */
+  def readXmlStream(spark: SparkSession, dirPath: String, doc: Doc,
+                    rowTag: Option[String] = None): DataFrame = {
+    val (tag, rawSchema, cols) = xmlPlan(doc, rowTag)
+    spark.readStream.format("xml").option("rowTag", tag).schema(rawSchema)
+      .load(dirPath)
+      .select(cols: _*)
+  }
+
+  /** The shared batch/stream plan for a DFASDL-described XML read: the
+    * resolved rowTag, the all-strings raw read schema (a leaf element that
+    * also carries mapped attributes surfaces as a struct — valueTag
+    * "_VALUE" + "_<attr>"s), and the typed projection back to field ids.
+    */
+  private def xmlPlan(doc: Doc, rowTag: Option[String])
+      : (String, StructType, Seq[Column]) = {
     val tag = rowTag.orElse(doc.rowName).getOrElse("row")
     final case class AttrField(parent: String, name: String, f: Field)
     val (attrFs, plainFs) = doc.fields.partition(f =>
@@ -255,8 +278,6 @@ object Dfasdl {
     }
     val byParent = attrs.groupBy(_.parent)
     val plainNames = plainFs.map(xmlName).toSet
-    // raw read schema, all strings: a leaf element that also carries mapped
-    // attributes surfaces as a struct (valueTag "_VALUE" + "_<attr>"s)
     def attrStruct(as: Seq[AttrField], withValue: Boolean): StructType =
       StructType(
         (if (withValue) Seq(StructField("_VALUE", StringType)) else Nil) ++
@@ -274,10 +295,6 @@ object Dfasdl {
         (byParent - tag).collect {
           case (p, as) if !plainNames(p) => StructField(p, attrStruct(as, withValue = false))
         }
-    val raw = spark.read.format("xml")
-      .option("rowTag", tag)
-      .schema(StructType(rawFields))
-      .load(path)
     val cols = doc.fields.map { f =>
       val c = f.attr("xml-attribute-name") match {
         case Some(a) =>
@@ -289,7 +306,7 @@ object Dfasdl {
       }
       coerce(f, c).as(f.id)
     }
-    raw.select(cols: _*)
+    (tag, StructType(rawFields), cols)
   }
 
   /** Read JSON records described by a DFASDL schema — the reference's
@@ -308,6 +325,19 @@ object Dfasdl {
       .option("multiLine", multiline.toString)
       .schema(StructType(doc.fields.map(f => StructField(jsonName(f), StringType))))
       .json(path)
+    raw.select(doc.fields.map(f => coerce(f, col(jsonName(f))).as(f.id)): _*)
+  }
+
+  /** Streaming twin of [[readJson]] (cf. [[readDelimitedStream]]): the same
+    * key mapping and coercions over `readStream.json` for a live
+    * drop-directory of JSON Lines exports — a compiled cookbook applies
+    * unchanged.
+    */
+  def readJsonStream(spark: SparkSession, dirPath: String, doc: Doc): DataFrame = {
+    def jsonName(f: Field): String = f.attr("json-attribute-name").getOrElse(f.id)
+    val raw = spark.readStream
+      .schema(StructType(doc.fields.map(f => StructField(jsonName(f), StringType))))
+      .json(dirPath)
     raw.select(doc.fields.map(f => coerce(f, col(jsonName(f))).as(f.id)): _*)
   }
 
@@ -369,6 +399,31 @@ object Dfasdl {
       df.select(concat(parts: _*).as("value")).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
     }
+  }
+
+  /** Write a DataFrame as the fixed-width flat file a DFASDL schema with
+    * `length` attributes describes — the inverse of [[readFixedWidth]]
+    * (reference FileParserFunctions' element-length consumption, write
+    * side). Each field renders through [[render]] (format patterns,
+    * decimal separators, base64) then right-pads with spaces to its
+    * declared width; a value wider than its field fails the job rather
+    * than silently corrupting every column after it. Distributed text
+    * sink, one file per partition.
+    */
+  def writeFixedWidth(df: DataFrame, doc: Doc, path: String): Unit = {
+    val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
+    require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
+    val parts = doc.fields.map { f =>
+      val w = f.attr("length").map(_.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
+      val v = render(f, col(f.id))
+      when(length(v) > w,
+        raise_error(concat(lit(s"value too wide for fixed-width field ${f.id} (width $w): "), v)))
+        .otherwise(rpad(v, w, " "))
+    }
+    df.select(concat(parts: _*).as("value")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
   }
 
   /** Type coercion from an all-strings read (fixed-width) to the §3 types:

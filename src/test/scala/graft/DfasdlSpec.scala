@@ -351,6 +351,60 @@ class DfasdlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("note"))
   }
 
+  test("readXmlStream / readJsonStream match their batch twins on a drop directory") {
+    val doc = Dfasdl.parseSchema(orderXmlDoc)
+    val xmlDir = orderXmlFile()
+    val streamedXml = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readXmlStream(spark, xmlDir, doc), "dfasdl_xml_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    assert(streamedXml == Dfasdl.readXml(spark, xmlDir, doc).collect().toSet
+      && streamedXml.size == 2)
+    val jdoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="JS">
+        |  <seq id="s"><elem id="e">
+        |    <num id="id" json-attribute-name="k"/><str id="name"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    val jdir = Files.createTempDirectory("dfasdl_jstream")
+    Files.write(Paths.get(jdir.toString, "a.json"),
+      "{\"k\":1,\"name\":\"ada\"}\n{\"k\":2,\"name\":\"alan\"}".getBytes("UTF-8"))
+    val streamedJson = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readJsonStream(spark, jdir.toString, jdoc), "dfasdl_json_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    assert(streamedJson ==
+      Dfasdl.readJson(spark, jdir.toString, jdoc).collect().toSet
+      && streamedJson.size == 2)
+  }
+
+  test("writeFixedWidth round-trips through readFixedWidth and rejects overflow") {
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="FWOUT">
+        |  <seq id="s"><elem id="e">
+        |    <num id="id" length="6"/>
+        |    <str id="name" length="10"/>
+        |    <formatnum id="amount" length="9"/>
+        |    <date id="day" length="10"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 10.25, java.sql.Date.valueOf("2024-01-01")),
+      (2L, "beta", -99.5, java.sql.Date.valueOf("2024-01-02")))
+      .toDF("id", "name", "amount", "day")
+    val out = Files.createTempDirectory("dfasdl_fw").toString + "/data"
+    Dfasdl.writeFixedWidth(df, doc, out)
+    val back = Dfasdl.readFixedWidth(spark, out, doc).orderBy("id").collect()
+    assert(back.toSeq == df.orderBy("id").collect().toSeq)
+    // a too-wide value fails the job instead of shifting every later column
+    val wide = Seq((3L, "name-way-too-long", 0.0,
+      java.sql.Date.valueOf("2024-01-03"))).toDF("id", "name", "amount", "day")
+    val err = intercept[Exception] {
+      Dfasdl.writeFixedWidth(wide, doc, out)
+    }
+    assert(err.getMessage.contains("too wide") ||
+      Option(err.getCause).exists(_.getMessage.contains("too wide")), err.getMessage)
+  }
+
   test("writeDelimited with heterogeneous stop-signs writes value+sign text lines") {
     val doc = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="HET">
