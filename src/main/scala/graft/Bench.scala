@@ -9,6 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -27,6 +28,9 @@ object Bench {
     try {
       val idx = graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
       idx.indexed.count() // materialize the persisted cell assignment
+      // the margin-fixture index the oracle-checked d_ann_ivf probes
+      val idxP = graft.queries.DocumentQueries.ivfIndexPlanted(spark, sfDir)
+      idxP.indexed.count()
     } catch { case _: Throwable => () }
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
     // Same offline/online split for the PQ codebooks: train once here,

@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (no-timezone) parquet timestamps read as TIMESTAMP in the UTC
+      // session, not TIMESTAMP_NTZ: the oracle (DuckDB) reads the same files
+      // as naive timestamps, so the two engines agree value-for-value, and
+      // time functions (unix_micros, windows, intervals) keep working no
+      // matter which annotation a producer wrote.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

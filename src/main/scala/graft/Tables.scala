@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (see
   * /root/repo/TESTDATA.md). Every operator in the library takes DataFrames;
@@ -24,17 +24,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see GraftSession), which
-    * surfaces it as a nano-epoch Long; convert to a proper timestamp by
-    * truncating to micros (DuckDB truncates nanos→micros identically).
+  /** events.parquet has shipped `ts` two ways across testdata generations:
+    * INT64 TIMESTAMP(NANOS) (surfaced as a nano-epoch Long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; truncate to micros —
+    * DuckDB truncates nanos→micros identically) and plain naive
+    * timestamp[us] (read as TIMESTAMP in the UTC session —
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` — matching
+    * DuckDB's naive reading; the NTZ cast below covers sessions without
+    * that flag). Normalize both to TimestampType here so every consumer,
+    * batch or streaming, sees one schema.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
 object Streams {
 
   /** Event schema of testdata events.parquet, with `ts` as a proper
-    * timestamp (files store nanos; see graft.Tables.events).
+    * timestamp (producers staging event drops normalize through
+    * graft.Tables.events, which handles legacy nano-long files).
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -32,7 +33,6 @@ object Streams {
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Sliding event-time windowed aggregation with a watermark bounding
     * state. The streaming twin of q14_events_bucket.

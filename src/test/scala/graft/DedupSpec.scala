@@ -441,6 +441,50 @@ class DedupSpec extends AnyFunSuite {
       s"hash split left a sub-cell of ${sizes.max} rows (cap $cap)")
   }
 
+  test("margin-fixture ANN family: sq8, lsh, ivf, pq, ivfpq ALL equal the exact top-10") {
+    // The r7 oracle-promotion claim, verified in-engine: on the planted
+    // exact-copy fixture every approximate family reproduces brute force
+    // bit-for-bit — copies are provably candidates (shared bucket / cell /
+    // ADC separation) and each family's final scoring or re-rank is exact.
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(
+        graft.queries.DocumentQueries.annPlanted(e), q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    for (name <- Seq("d_ann_sq8", "d_ann_lsh", "d_ann_ivf", "d_ann_pq", "d_ann_ivfpq")) {
+      val out = SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "corpus_id", "rk")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == brute, s"$name diverged from exact top-10 on the margin fixture")
+    }
+  }
+
+  test("PQ ADC separation: planted copies outscore every natural background pair") {
+    // The measured fact the d_ann_pq / d_ann_ivfpq oracles rest on
+    // (0.730/0.451 at sf0.01, 0.660/0.473 at sf0.1): min copy ADC strictly
+    // above max background ADC, so copies survive ANY top-N ADC cut.
+    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val corpus = graft.queries.DocumentQueries.annPlanted(e)
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val qv = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+      toCol(PqLutExpr(toExpr(col("embedding")), books.books, books.ksub)).as("lut"))
+    val enc = corpus.select(col("vec_id").as("corpus_id"),
+      toCol(PqEncodeExpr(toExpr(col("embedding")), books.books)).as("codes"))
+    val scored = enc.join(broadcast(qv), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
+          books.normSq, books.ksub)).as("adc"))
+    val isCopy = col("corpus_id") >= lit(100000L) + col("query_id") * 10 &&
+      col("corpus_id") <= lit(100000L) + col("query_id") * 10 + 9
+    val minCopy = scored.filter(isCopy).agg(min("adc")).head.getDouble(0)
+    val maxBg = scored.filter(!isCopy).agg(max("adc")).head.getDouble(0)
+    assert(minCopy > maxBg,
+      s"ADC margin collapsed: minCopy=$minCopy maxBg=$maxBg")
+  }
+
   test("quality scoring orders degenerate text below natural text") {
     val df = Seq(
       ("natural", "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends and family members who are happy"),

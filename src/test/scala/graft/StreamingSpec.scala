@@ -13,8 +13,9 @@ class StreamingSpec extends AnyFunSuite {
   // Stage the static events parquet as a one-drop streaming directory.
   private lazy val streamDir: String = {
     val dir = Files.createTempDirectory("events_stream").toString
-    // keep raw long nanos: eventStream applies the same ns->ts conversion
-    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    // normalize ts to TimestampType (Tables.events handles every testdata
+    // generation's physical type) — eventSchema declares a timestamp
+    Tables.events(spark, TestSpark.sf)
       .write.mode("overwrite").parquet(dir)
     dir
   }
