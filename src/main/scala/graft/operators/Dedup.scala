@@ -203,26 +203,63 @@ object Dedup {
     * pigeonhole trick: split the 64-bit signature into `maxDist+1` chunks —
     * any pair within distance must agree on ≥1 chunk, so candidates come
     * from one shuffle on (chunk index, chunk value).
+    *
+    * Enumeration runs over DISTINCT SIGNATURES, not documents. Token-
+    * weighted signatures concentrate hard — measured on a 38,830-doc corpus:
+    * 3,847 distinct signatures, and the hottest (chunk, value) bucket held
+    * 13,200 docs (~87M within-bucket pairs, ~20 min of one core) but only
+    * 1,306 distinct signatures (~0.85M pairs). So: (1) identical-signature
+    * groups pair directly (hamming 0) — that expansion is output-sized,
+    * every such pair is a true candidate; (2) the pigeonhole join runs on
+    * the distinct-signature table, with the ≤ maxDist cut applied map-side
+    * (hamming is pair-constant, so cutting before the dedup exchange is
+    * exact) and an explicit partition count pinning the exchange open
+    * (the table is tiny — AQE would otherwise coalesce the enumeration
+    * into one task); (3) surviving signature pairs expand back to id
+    * pairs, again output-sized. Quadratic work thus tracks CONTENT
+    * diversity, not corpus size — replicated corpora (the common case at
+    * scale: crawl snapshots, mirrored shards) cost what their distinct
+    * content costs.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
     val sig = simhash(df, textCol, idCol)
+
+    // (1) identical signatures: all id pairs within a group, hamming 0
+    val ga = sig.select(col("simhash"), col("id").as("id_a"))
+    val gb = sig.select(col("simhash"), col("id").as("id_b"))
+    val intra = ga.join(gb, "simhash").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+
+    // (2) pigeonhole over distinct signatures
+    val u = sig.select(col("simhash")).distinct()
     val chunkStructs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1).as("cv"))
     }
-    val chunked = sig.select(col("id"), col("simhash"), explode(array(chunkStructs: _*)).as("e"))
-      .select(col("id"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
-
-    val l = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val fanout = sig.sparkSession.sessionState.conf.numShufflePartitions
+    val chunked = u.select(col("simhash"), explode(array(chunkStructs: _*)).as("e"))
+      .select(col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
+      .repartition(fanout, col("chunk"), col("cv"))
+    val l = chunked.select(col("chunk"), col("cv"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("cv"), col("simhash").as("sh_b"))
+    val sigPairs = l.join(r, Seq("chunk", "cv")).filter(col("sh_a") < col("sh_b"))
+      .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType).as("hamming"))
-      .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .groupBy(col("sh_a"), col("sh_b")).agg(min(col("hamming")).as("hamming"))
+
+    // (3) expand signature pairs back to id pairs (distinct groups, so
+    // least/greatest orients every pair exactly once)
+    val inter = sigPairs
+      .join(sig.select(col("simhash").as("sh_a"), col("id").as("ia")), "sh_a")
+      .join(sig.select(col("simhash").as("sh_b"), col("id").as("ib")), "sh_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    intra.unionByName(inter)
   }
 
   /** SimHash-gated EXACT near-dup pairs: [[simhashPairs]] generates
@@ -271,12 +308,17 @@ object Dedup {
     // block exchange never carries text — 64-bit collisions can't move a
     // Jaccard across the threshold). The one repartition shuffles
     // (id, gram-hashes) on the block key, which BOTH sides of the self-join
-    // below reuse — no further exchange.
+    // below reuse — no further exchange. The partition count is EXPLICIT:
+    // the expensive |block|² scoring happens AFTER this exchange, whose
+    // bytes are small enough for AQE to coalesce the scoring into a
+    // handful of tasks (parallelism is still bounded by the number of
+    // distinct blocks — the caller's finer-key lever).
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
     val g = df.select(
         (col(idCol).as("id") +:
           graft.functions.ShingleHash.ngramHashes(col(textCol), n).as("grams") +:
           blockCols.map(col)): _*)
-      .repartition(blockCols.map(col): _*)
+      .repartition(fanout, blockCols.map(col): _*)
     val l = g.toDF(("id_a" +: "grams_a" +: blockCols): _*)
     val r = g.toDF(("id_b" +: "grams_b" +: blockCols): _*)
     val jac = graft.functions.JaccardExpr.jaccardSorted(col("grams_a"), col("grams_b"))

@@ -661,12 +661,28 @@ object DocumentQueries {
   private def ivfIndexFor(spark: SparkSession, dir: String,
                           planted: Boolean): Similarity.IvfIndex = {
     ivfCache.entrySet().removeIf(e => e.getValue.indexed.sparkSession.sparkContext.isStopped)
+    // resolve the natural index OUTSIDE computeIfAbsent — nested
+    // computeIfAbsent on a second key can deadlock in the same bin
+    val nat: Option[Similarity.IvfIndex] =
+      if (planted) Some(ivfIndexFor(spark, dir, planted = false)) else None
     val key = (System.identityHashCode(spark).toString,
       if (planted) s"$dir#planted" else dir)
-    val idx = ivfCache.computeIfAbsent(key, _ => {
-      val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-      Similarity.ivfBuild(if (planted) annPlanted(base) else base,
-        "embedding", "vec_id", nCentroids = 16)
+    val idx = ivfCache.computeIfAbsent(key, _ => nat match {
+      case None =>
+        Similarity.ivfBuild(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+          "embedding", "vec_id", nCentroids = 16)
+      case Some(n) =>
+        // A planted copy is identical to its source query, so its cell
+        // assignment IS the query's — derive the margin-fixture index from
+        // the natural one (same centroids, 50 extra rows riding the
+        // already-persisted assignment) instead of paying a second k-means
+        // train + full corpus re-assignment.
+        val plantedRows = n.indexed.filter(col("corpus_id") < 5)
+          .select(col("corpus_id"), col("cv"), col("cell"),
+            explode(sequence(lit(0), lit(9))).as("j"))
+          .select((lit(100000L) + col("corpus_id") * 10 + col("j"))
+            .cast(LongType).as("corpus_id"), col("cv"), col("cell"))
+        Similarity.IvfIndex(n.centroids, n.indexed.unionByName(plantedRows))
     })
     if (idx.indexed.sparkSession ne spark) { // identityHashCode collision
       ivfCache.remove(key)
@@ -697,6 +713,34 @@ object DocumentQueries {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     Similarity.lshTopK(annPlanted(e), e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 10, nBits = 4, probeRadius = 1)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
+  // d_ann_ivf_disk: the DURABLE serving path — the margin-fixture index is
+  // persisted once per (JVM, data dir) via ivfWrite (a cell-partitioned
+  // parquet table + centroid sidecar, the cluster-scale layout where a
+  // probe reads only its nProbe cell directories), re-opened with ivfRead,
+  // and probed cold. Same margin oracle as d_ann_ivf: the exact-cosine
+  // probe over the on-disk cells provably reproduces brute force on the
+  // planted fixture. This is what a 100 TB ANN deployment actually runs —
+  // the in-memory d_ann_ivf times the hot probe, this times the
+  // open-and-probe against the persisted artifact.
+  private val ivfDiskCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfDiskPath(spark: SparkSession, dir: String): String =
+    ivfDiskCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdisk")
+      Similarity.ivfWrite(ivfIndexPlanted(spark, dir), tmp.toString)
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      tmp.toString
+    })
+
+  private def dAnnIvfDisk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfQuery(Similarity.ivfRead(spark, ivfDiskPath(spark, dir)),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nProbe = 4)
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
@@ -1179,6 +1223,7 @@ object DocumentQueries {
     QueryDef("d_ann_pq", dAnnPq, Some(annMarginSql)),
     QueryDef("d_ann_ivfpq", dAnnIvfPq, Some(annMarginSql)),
     QueryDef("d_ann_ivf", dAnnIvf, Some(annMarginSql)),
+    QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),

@@ -146,7 +146,7 @@ object SourceQueries {
         when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + lit(1.0d))
           .otherwise(col("o_totalprice")))
       .unionByName(a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
-        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
           col("o_totalprice"), col("o_orderpriority")))
 
   private def q22SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
@@ -162,7 +162,7 @@ object SourceQueries {
       |SELECT o_orderkey, 'changed' FROM orders
       |WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
       |UNION ALL
-      |SELECT o_orderkey + 1000000, 'added' FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
+      |SELECT o_orderkey + 10000000000, 'added' FROM orders WHERE o_orderkey % 103 = 0""".stripMargin
 
   // ------------------------------------------------------------ q31_scd2
   // The APPLY step of incremental sync (q22 detects, this folds): snapshot A
@@ -188,7 +188,7 @@ object SourceQueries {
       |  o_orderpriority
       | FROM orders WHERE o_orderkey % 97 != 0
       | UNION ALL
-      | SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority
+      | SELECT o_orderkey + 10000000000, o_totalprice, o_orderpriority
       | FROM orders WHERE o_orderkey % 103 = 0),
       |j AS (
       | SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
@@ -220,7 +220,7 @@ object SourceQueries {
         pmod(col("o_orderkey"), lit(97)) =!= 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(1.0d))
       .unionByName(a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
-        .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
           col("o_totalprice"), col("o_orderpriority")))
     graft.operators.Scd2.upsert(a, delta, Seq("o_orderkey"))
   }
@@ -230,7 +230,7 @@ object SourceQueries {
       | SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderpriority
       | FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
       | UNION ALL
-      | SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority
+      | SELECT o_orderkey + 10000000000, o_totalprice, o_orderpriority
       | FROM orders WHERE o_orderkey % 103 = 0)
       |SELECT o_orderkey, o_totalprice, o_orderpriority FROM d
       |UNION ALL

@@ -452,7 +452,8 @@ class DedupSpec extends AnyFunSuite {
         graft.queries.DocumentQueries.annPlanted(e), q, "embedding", "vec_id", 10)
       .select("query_id", "corpus_id", "rk")
       .as[(Long, Long, Long)].collect().toSet
-    for (name <- Seq("d_ann_sq8", "d_ann_lsh", "d_ann_ivf", "d_ann_pq", "d_ann_ivfpq")) {
+    for (name <- Seq("d_ann_sq8", "d_ann_lsh", "d_ann_ivf", "d_ann_ivf_disk",
+                     "d_ann_pq", "d_ann_ivfpq")) {
       val out = SparkEntry.queries(name)(spark, sf)
         .select("query_id", "corpus_id", "rk")
         .as[(Long, Long, Long)].collect().toSet
