@@ -268,6 +268,17 @@ object Corpus {
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
                maxWords: Int = 1 << 16): graft.functions.BpeModel = {
     import graft.functions.{BpeCompute, BpeModel, ShingleHash}
+    // Driver-memory bound: the collected table is maxWords rows of
+    // (word, count); at avg word length w bytes that is O(maxWords · w) —
+    // the default 2^16 words × ~32 B ≈ 2 MB, corpus-size-INDEPENDENT (the
+    // 100 TB property: corpus size raises counts, not vocabulary width).
+    // The guard rejects caps that would no longer fit a driver heap rather
+    // than letting collect() OOM opaquely.
+    require(maxWords > 0 && maxWords <= (1 << 22),
+      s"bpeTrain: maxWords=$maxWords outside (0, 2^22] — the word table " +
+        "collects to the driver (O(maxWords · avgWordLen) bytes); caps " +
+        "beyond ~4M words risk driver OOM and add no merge quality " +
+        "(frequency mass concentrates in the head)")
     val top: Array[(String, Long)] =
       df.select(explode(ShingleHash.ngramTexts(col(textCol), 1)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -349,6 +349,10 @@ object Dedup {
         graft.functions.JaccardExpr.jaccardSorted(col("grams"), col("grams"))
           .as("jaccard")), "rep")
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // jaccardSorted(g,g) is 1.0 today, but an empty-gram-set or future
+      // scorer change must not leak sub-threshold self-pairs: filter
+      // defensively (output-sized, negligible)
+      .filter(col("jaccard") >= threshold)
     val inter = repPairs
       .join(members.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
@@ -557,11 +561,15 @@ object Dedup {
     // identical-vector groups: every member pair, at the group's self-cos
     val selfCos = b.select(col("rep"),
       VectorExprs.cosineSim(col("v"), col("v")).as("cos"))
+    // degenerate vectors (all-zero norm) self-score 0.0, so the threshold
+    // filter must apply here too or duplicated zero embeddings would emit
+    // pairs the pre-collapse pairwise path (and the oracle) reject
     val intra = m.select(col("rep"), col("id").as("id_a"))
       .join(m.select(col("rep"), col("id").as("id_b")), "rep")
       .filter(col("id_a") < col("id_b"))
       .join(selfCos, "rep")
       .select(col("id_a"), col("id_b"), col("cos"))
+      .filter(col("cos") >= threshold)
     // cross-group candidates: expand each surviving rep pair to all member
     // pairs (groups are disjoint, so least/greatest orients exactly once)
     val inter = repPairs

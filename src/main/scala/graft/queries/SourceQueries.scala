@@ -505,11 +505,55 @@ object SourceQueries {
     """SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
       | o_totalprice AS totalprice, o_orderpriority AS priority FROM orders""".stripMargin
 
+  // --------------------------------------------------- q46_dfasdl_choice
+  // DFASDL <choice> elements end-to-end (parsers/BaseParser.scala:244
+  // handleChoice + BaseParserChoiceState.scala — try branches in order,
+  // first successful parse wins): a staged ';'-delimited file whose second
+  // token is a NUMBER on even order keys and a priority STRING on odd
+  // ones; the schema models that position as a num-vs-str choice, so each
+  // record dispatches per-row to its first parsing branch (the reference's
+  // CSV/choice-02 fixture shape). The oracle replays the dispatch with
+  // CASE over the original parquet — a wrong branch pick, a flattened
+  // (pre-r8) parse, or a typing drift breaks the hash.
+  private def q46DfasdlChoice(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("dfasdlchoice", dir) { out =>
+      Sinks.writeCsv(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey").as("okey"),
+          when(col("o_orderkey") % 2 === 0,
+            (col("o_orderkey") * 2).cast(StringType))
+            .otherwise(col("o_orderpriority")).as("v")),
+        out, delimiter = ";")
+    }
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="ORDERSCHOICE" semantic="niem">
+        |  <str id="header"/>
+        |  <seq id="orders">
+        |    <elem id="row">
+        |      <num id="okey" stop-sign=";"/>
+        |      <choice id="v">
+        |        <celem id="v-as-num"><num id="v_num"/></celem>
+        |        <celem id="v-as-str"><str id="v_str"/></celem>
+        |      </choice>
+        |    </elem>
+        |  </seq>
+        |</dfasdl>""".stripMargin)
+    Dfasdl.readDelimited(spark, tmp, doc)
+  }
+
+  private val q46DfasdlChoiceSql =
+    """SELECT o_orderkey AS okey,
+      | CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey * 2 END AS v_num,
+      | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS v_str
+      |FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
     QueryDef("q43_dfasdl_xml", q43DfasdlXml, Some(q43DfasdlXmlSql)),
     QueryDef("q44_dfasdl_json", q44DfasdlJson, Some(q44DfasdlJsonSql)),
     QueryDef("q45_dfasdl_write", q45DfasdlWrite, Some(q45DfasdlWriteSql)),
+    QueryDef("q46_dfasdl_choice", q46DfasdlChoice, Some(q46DfasdlChoiceSql)),
     QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
     QueryDef("q42_dfasdl", q42Dfasdl, Some(q42DfasdlSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),

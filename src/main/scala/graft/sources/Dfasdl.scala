@@ -35,10 +35,16 @@ import org.w3c.dom.{Element => XmlElement, Node}
   */
 object Dfasdl {
 
+  /** One record position of a DFASDL schema: a plain leaf [[Field]] or a
+    * [[ChoiceSlot]] of alternative leaves competing for the same position.
+    */
+  sealed trait Slot { def id: String }
+
   /** One leaf element of a DFASDL record: its id, DFASDL element kind and
     * raw attributes.
     */
-  final case class Field(id: String, kind: String, attrs: Map[String, String]) {
+  final case class Field(id: String, kind: String, attrs: Map[String, String])
+      extends Slot {
     def attr(name: String): Option[String] = attrs.get(name)
 
     /** SURVEY §3 type mapping. */
@@ -52,16 +58,63 @@ object Dfasdl {
     }
   }
 
-  /** A parsed DFASDL document: record fields (children of the first
-    * `seq`/`elem`) and any preamble elements before the sequence (the
-    * reference models a CSV header line as a leading `<str id="header"/>` —
-    * see e.g. the structure of the reference's simple CSV schemas).
+  /** A `<choice>` element: alternative branches (each a `celem` wrapping one
+    * leaf) competing for ONE record position. The reference's BaseParser
+    * runs a per-record state machine over the branches
+    * (parsers/BaseParser.scala:244 handleChoice — a BROKEN branch resets the
+    * offset and the next branch retries; the first branch that parses is
+    * MATCHED, see BaseParserChoiceState.scala / adt/BaseParserChoiceStatus
+    * .scala): try branches IN ORDER, first successful parse wins. In a
+    * columnar engine the same semantics are a per-row `when` dispatch: the
+    * choice consumes one raw token, every branch leaf becomes a nullable
+    * output column, and the token lands in the FIRST branch whose typed
+    * parse succeeds (the reference's expected-data fixtures — e.g.
+    * parsers/FileParsers/CSV/choice-02-expected-data.xml — show exactly
+    * this per-record either/or population).
+    *
+    * A branch may hold SEVERAL leaves (the reference's email-header schemas
+    * pair a `start-sign`-matched label leaf with a value leaf); such
+    * branches parse into the schema model, but only SINGLE-leaf branches
+    * are readable by the fixed-arity delimited/fixed-width readers (a
+    * multi-leaf branch makes the record's token count branch-dependent —
+    * the reference's offset-reset retry can express that over a byte
+    * stream; a columnar record reader rejects it with a typed error).
+    */
+  final case class Branch(id: String, leaves: Seq[Field])
+  final case class ChoiceSlot(id: String, branches: Seq[Branch]) extends Slot {
+    def leaves: Seq[Field] = branches.flatMap(_.leaves)
+    /** The one leaf per branch, when every branch is single-leaf — the
+      * fixed-arity record shape the delimited readers dispatch over.
+      */
+    def singleLeafBranches: Seq[Field] = branches.map { b =>
+      require(b.leaves.size == 1,
+        s"choice $id branch ${b.id} holds ${b.leaves.size} leaves; the " +
+          "delimited/fixed-width readers need exactly one leaf per branch " +
+          "(token-stream choice schemas are not a fixed-arity record)")
+      b.leaves.head
+    }
+  }
+
+  /** A parsed DFASDL document: record slots (children of the first
+    * `seq`/`elem` — plain leaves or choices) and any preamble elements
+    * before the sequence (the reference models a CSV header line as a
+    * leading `<str id="header"/>` — see e.g. the structure of the
+    * reference's simple CSV schemas).
     * `rowName` is the XML element name of the per-record wrapper (the first
     * `elem` under the `seq`, or the `seq` itself when leaves sit directly
     * under it) — the `rowTag` for DFASDL-described XML data ([[readXml]]).
     */
-  final case class Doc(id: String, preamble: Seq[Field], fields: Seq[Field],
+  final case class Doc(id: String, preamble: Seq[Field], slots: Seq[Slot],
                        rowName: Option[String] = None) {
+    /** Output-schema leaves: plain fields plus every choice branch (the
+      * losing branches of a record are null — the reference materializes
+      * only the matched branch per record, which columnar output renders
+      * as either/or nullability).
+      */
+    def fields: Seq[Field] = slots.flatMap {
+      case f: Field      => Seq(f)
+      case c: ChoiceSlot => c.leaves
+    }
     def schema: StructType =
       StructType(fields.map(f => StructField(f.id, f.sparkType)))
   }
@@ -116,28 +169,30 @@ object Dfasdl {
     val preamble =
       if (rest.nonEmpty) pre.filter(e => leafKinds(nameOf(e))).map(fieldOf)
       else Nil
-    val fields = rest.headOption match {
-      case Some(seq) => leavesUnder(seq)
+    val slots = rest.headOption match {
+      case Some(seq) => slotsUnder(seq)
       case None =>
         // no sequence: a single-record document — either flat leaves at the
         // top, or the reference's JSON-shaped elem-rooted nesting (descend;
-        // inner repeated groups flatten into the field list)
+        // inner repeated groups flatten into the slot list)
         val flat = top.filter(e => leafKinds(nameOf(e))).map(fieldOf)
-        if (flat.nonEmpty) flat else top.flatMap(leavesUnder)
+        if (flat.nonEmpty) (flat: Seq[Slot]) else top.flatMap(slotsUnder)
     }
-    require(fields.nonEmpty, "DFASDL document defines no record fields")
+    require(slots.nonEmpty, "DFASDL document defines no record fields")
     // the per-record wrapper's XML name: the first elem under the seq (the
     // reference's <elem id="row"> — XmlFileParser resolves names through
     // xml-element-name with the id as fallback, see getXmlElementName at
-    // parsers/XmlFileParser.scala:403), else the seq itself
+    // parsers/XmlFileParser.scala:403), else the seq itself. A choice is a
+    // record POSITION, not a wrapper, so it never supplies the row tag.
     val rowName = rest.headOption.map { seq =>
-      childElems(seq).find(e => !leafKinds(nameOf(e))) match {
+      childElems(seq).find(e =>
+          !leafKinds(nameOf(e)) && nameOf(e) != "choice") match {
         case Some(wrapper) => xmlNameOfElem(wrapper)
         case None          => xmlNameOfElem(seq)
       }
     }
     Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),
-      preamble, fields, rowName)
+      preamble, slots, rowName)
   }
 
   private def xmlNameOfElem(e: XmlElement): String =
@@ -145,11 +200,32 @@ object Dfasdl {
       .orElse(Option(e.getAttribute("id")).filter(_.nonEmpty))
       .getOrElse(nameOf(e))
 
-  private def leavesUnder(e: XmlElement): Seq[Field] =
+  private def slotsUnder(e: XmlElement): Seq[Slot] =
     childElems(e).flatMap { c =>
-      if (leafKinds(nameOf(c))) Seq(fieldOf(c))
-      else leavesUnder(c) // elem / seq wrappers
+      nameOf(c) match {
+        case k if leafKinds(k) => Seq(fieldOf(c))
+        case "choice"          => Seq(choiceOf(c))
+        case _                 => slotsUnder(c) // elem / celem / seq wrappers
+      }
     }
+
+  /** Parse a `<choice>`: each child `celem` is one alternative branch of
+    * one or more leaves.
+    */
+  private def choiceOf(e: XmlElement): ChoiceSlot = {
+    val id = Option(e.getAttribute("id")).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException("DFASDL <choice> has no id"))
+    val branches = childElems(e).map { b =>
+      require(nameOf(b) == "celem",
+        s"choice $id holds <${nameOf(b)}>; every branch must be a <celem>")
+      val leaves = slotsUnder(b).collect { case f: Field => f }
+      require(leaves.nonEmpty,
+        s"choice $id branch ${Option(b.getAttribute("id")).getOrElse("?")} holds no leaves")
+      Branch(Option(b.getAttribute("id")).filter(_.nonEmpty).getOrElse(id), leaves)
+    }
+    require(branches.nonEmpty, s"choice $id defines no branches")
+    ChoiceSlot(id, branches)
+  }
 
   /** DFASDLValidator analog: structural checks that fail fast driver-side
     * instead of mid-job — duplicate ids, unknown element kinds, empty
@@ -182,7 +258,7 @@ object Dfasdl {
       .option("sep", sepOf(doc))
       .schema(rawSchema(doc))
       .csv(path)
-    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
+    raw.select(slotCols(doc): _*)
   }
 
   /** Streaming twin of [[readDelimited]]: the same schema and format
@@ -199,7 +275,7 @@ object Dfasdl {
       .option("sep", sepOf(doc))
       .schema(rawSchema(doc))
       .csv(dirPath)
-    raw.select(doc.fields.map(f => convert(f, col(f.id)).as(f.id)): _*)
+    raw.select(slotCols(doc): _*)
   }
 
   /** Fixed-width flat file described by a DFASDL document whose every field
@@ -210,13 +286,27 @@ object Dfasdl {
     * string columns.
     */
   def readFixedWidth(spark: SparkSession, path: String, doc: Doc): DataFrame = {
-    val widths = doc.fields.map { f =>
-      f.id -> f.attr("length").map(_.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
+    def widthOf(f: Field): Int = f.attr("length").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
+    val widths = doc.slots.map {
+      case f: Field => f.id -> widthOf(f)
+      case c: ChoiceSlot =>
+        // a fixed-arity record needs ONE width per position, so every
+        // branch must declare the same length (branch-dependent record
+        // widths are the offset-retry shape a byte-sliced reader can't
+        // dispatch without parsing — typed rejection beats mis-slicing)
+        val ws = c.singleLeafBranches.map(widthOf).distinct
+        require(ws.size == 1,
+          s"fixed-width choice ${c.id}: branches declare differing lengths " +
+            s"(${ws.mkString(", ")}); all branches must share one width")
+        c.id -> ws.head
     }
     val raw = Sources.readFixedWidth(spark, path, widths)
-    raw.select(doc.fields.map(f => coerce(f, col(f.id)).as(f.id)): _*)
+    raw.select(doc.slots.flatMap {
+      case f: Field      => Seq(coerce(f, col(f.id)).as(f.id))
+      case c: ChoiceSlot => choiceCols(c, col(c.id))
+    }: _*)
   }
 
   // ------------------------------------------- DFASDL-described XML / JSON
@@ -351,20 +441,35 @@ object Dfasdl {
     * pattern rendering lives in its transformer chain, which this collapses
     * into the writer so emit→write→read round-trips without a cookbook.
     */
-  private def render(f: Field, c: Column): Column = {
-    val s = f.kind match {
-      case "formattime" =>
-        date_format(c, f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))
-      case "date" if f.attr("format").isDefined => date_format(c, f.attr("format").get)
-      case "datetime" if f.attr("format").isDefined =>
-        date_format(c, f.attr("format").get)
-      case "datetime" => date_format(c, "yyyy-MM-dd HH:mm:ss")
-      case "formatnum" if f.attr("decimal-separator").contains(",") =>
-        regexp_replace(c.cast(StringType), "\\.", ",")
-      case "bin" | "bin64" => base64(c)
-      case _               => c.cast(StringType)
-    }
-    coalesce(s, lit("")) // null renders empty, the delimited convention
+  private def renderValue(f: Field, c: Column): Column = f.kind match {
+    case "formattime" =>
+      date_format(c, f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))
+    case "date" if f.attr("format").isDefined => date_format(c, f.attr("format").get)
+    case "datetime" if f.attr("format").isDefined =>
+      date_format(c, f.attr("format").get)
+    case "datetime" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case "formatnum" if f.attr("decimal-separator").contains(",") =>
+      regexp_replace(c.cast(StringType), "\\.", ",")
+    case "bin" | "bin64" => base64(c)
+    case _               => c.cast(StringType)
+  }
+
+  private def render(f: Field, c: Column): Column =
+    coalesce(renderValue(f, c), lit("")) // null renders empty, the delimited convention
+
+  /** The written token of one record slot: a plain field renders itself; a
+    * choice renders its single populated branch (branches are either/or by
+    * construction — [[choiceCols]] — so coalesce picks the matched one).
+    */
+  private def renderSlot(s: Slot): Column = s match {
+    case f: Field => render(f, col(f.id))
+    case c: ChoiceSlot =>
+      coalesce((c.singleLeafBranches.map(b => renderValue(b, col(b.id))) :+ lit("")): _*)
+  }
+
+  private def slotStopSign(s: Slot): Option[String] = s match {
+    case f: Field      => f.attr("stop-sign")
+    case c: ChoiceSlot => c.leaves.flatMap(_.attr("stop-sign")).headOption
   }
 
   /** Write a DataFrame as the delimited file a DFASDL schema describes —
@@ -381,19 +486,19 @@ object Dfasdl {
   def writeDelimited(df: DataFrame, doc: Doc, path: String): Unit = {
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
-    val stopSigns = doc.fields.map(f => f.attr("stop-sign"))
+    val stopSigns = doc.slots.map(slotStopSign)
     val uniform = stopSigns.init.flatten.distinct.size <= 1
     if (uniform) {
-      val rendered = doc.fields.map(f => render(f, col(f.id)).as(f.id))
+      val rendered = doc.slots.map(s => renderSlot(s).as(s.id))
       Sinks.writeCsv(df.select(rendered: _*), path,
         header = doc.preamble.nonEmpty, delimiter = sepOf(doc))
     } else {
       // per-field stop-signs: value1 sign1 value2 sign2 ... valueN, newline
       // terminated by the text sink (the reference's last-element stop-sign)
-      val parts = doc.fields.zip(stopSigns).zipWithIndex.flatMap {
-        case ((f, ss), i) =>
-          val v = render(f, col(f.id))
-          if (i == doc.fields.size - 1) Seq(v)
+      val parts = doc.slots.zip(stopSigns).zipWithIndex.flatMap {
+        case ((s, ss), i) =>
+          val v = renderSlot(s)
+          if (i == doc.slots.size - 1) Seq(v)
           else Seq(v, lit(ss.getOrElse(",")))
       }
       df.select(concat(parts: _*).as("value")).write
@@ -440,16 +545,66 @@ object Dfasdl {
   private def sepOf(doc: Doc): String =
     doc.fields.flatMap(_.attr("stop-sign")).headOption.getOrElse(",")
 
-  /** Fields whose parse needs their format pattern load as strings first. */
+  /** Fields whose parse needs their format pattern load as strings first;
+    * a choice reads its ONE raw token as a string (typed dispatch happens
+    * in [[choiceCols]]).
+    */
   private def rawSchema(doc: Doc): StructType =
-    StructType(doc.fields.map { f =>
-      val needsPattern = f.kind match {
-        case "formattime" | "formatnum" => true
-        case "date" | "datetime"        => f.attr("format").isDefined
-        case _                          => false
-      }
-      StructField(f.id, if (needsPattern) StringType else f.sparkType)
+    StructType(doc.slots.map {
+      case f: Field =>
+        val needsPattern = f.kind match {
+          case "formattime" | "formatnum" => true
+          case "date" | "datetime"        => f.attr("format").isDefined
+          case _                          => false
+        }
+        StructField(f.id, if (needsPattern) StringType else f.sparkType)
+      case c: ChoiceSlot => StructField(c.id, StringType)
     })
+
+  /** Typed projection per record slot: plain fields convert through their
+    * pattern; each choice branch materializes as a nullable column holding
+    * the token iff ITS branch is the first whose parse succeeds.
+    */
+  private def slotCols(doc: Doc): Seq[Column] = doc.slots.flatMap {
+    case f: Field      => Seq(convert(f, col(f.id)).as(f.id))
+    case c: ChoiceSlot => choiceCols(c, col(c.id))
+  }
+
+  /** Would this raw string token parse as branch `f`? Pure predicates (no
+    * ANSI-mode cast errors): numerics match by pattern, dates/timestamps by
+    * try-parse, and string kinds always match — the reference's catch-all
+    * last branch (its num parser rejects non-digits the same way:
+    * FileParserFunctions' extract + the BROKEN retry).
+    */
+  private def branchMatches(f: Field, c: Column): Column = f.kind match {
+    case "num" => trim(c).rlike("^[+-]?\\d+$")
+    case "formatnum" =>
+      val pattern = f.attr("format").getOrElse("(-?[\\d.,]+)")
+      val grouped = if (pattern.contains("(")) pattern else s"($pattern)"
+      regexp_extract(trim(c), grouped, 1) =!= ""
+    case "date" =>
+      try_to_timestamp(trim(c),
+        lit(f.attr("format").getOrElse("yyyy-MM-dd"))).isNotNull
+    case "datetime" | "formattime" =>
+      try_to_timestamp(trim(c),
+        lit(f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))).isNotNull
+    case _ => lit(true) // str / time / format / bin: the catch-all branches
+  }
+
+  /** First-match-wins dispatch of one raw choice token to its branch
+    * columns — branch i gets the value when it matches AND no earlier
+    * branch did (the in-order retry of the reference's choice state
+    * machine, evaluated as one whole-stage-codegen'd CASE per branch).
+    */
+  private def choiceCols(ch: ChoiceSlot, raw: Column): Seq[Column] = {
+    val leaves = ch.singleLeafBranches
+    val preds = leaves.map(b => branchMatches(b, raw))
+    leaves.zipWithIndex.map { case (b, i) =>
+      val firstMatch =
+        preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
+      when(firstMatch, coerce(b, raw)).as(b.id)
+    }
+  }
 
   private def convert(f: Field, c: Column): Column = f.kind match {
     case "formattime" =>

@@ -30,9 +30,25 @@ object Streams {
 
   /** File-based event stream over a directory of parquet drops — the
     * streaming twin of Tables.events.
+    *
+    * CONTRACT (changed r7): `ts` must already be a parquet TIMESTAMP —
+    * legacy INT64(NANOS) drops are NOT normalized here (a streaming schema
+    * is fixed up front; per-file type dispatch can't happen mid-stream).
+    * Producers staging from a legacy directory go through [[stageEvents]],
+    * which applies the same Tables.events normalization batch readers get.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Stage a batch events table into a streaming drop directory with the
+    * `ts` column normalized to TimestampType (Tables.events handles the
+    * legacy nano-long and NTZ shapes) — the supported way to feed
+    * [[eventStream]] from any historical events file.
+    */
+  def stageEvents(spark: SparkSession, srcDir: String, dropDir: String,
+                  mode: String = "append"): Unit =
+    graft.Tables.events(spark, srcDir)
+      .write.mode(mode).parquet(dropDir)
 
   /** Sliding event-time windowed aggregation with a watermark bounding
     * state. The streaming twin of q14_events_bucket.

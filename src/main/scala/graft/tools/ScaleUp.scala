@@ -54,10 +54,31 @@ object ScaleUp {
 
     // next power of ten above the table's max id — the per-copy id stride
     def stride(name: String, idCol: String): Long = {
-      val mx = table(name).agg(max(col(idCol))).head.getLong(0)
+      val mx = Option(table(name).agg(max(col(idCol))).head.get(0)) match {
+        case Some(m: Long) => m
+        case Some(other) => sys.error(
+          s"ScaleUp: $name.$idCol is ${other.getClass.getSimpleName}, expected Long")
+        case None => sys.error(
+          s"ScaleUp: $name is empty — cannot derive an id stride for $idCol")
+      }
       var s = 1L
       while (s <= mx) s *= 10
       s
+    }
+
+    // the planted-fixture id bases the scaled ids must stay below: the ANN
+    // margin fixtures live at doc_id/vec_id >= 100000L and the q22/q31
+    // snapshot deltas at orderkey >= 1e10. A factor or source size that
+    // pushes (factor-1)*stride + maxId past those bases silently corrupts
+    // the oracle (the bug class the +1e6→+1e10 shift fix addressed), so
+    // fail fast instead.
+    def assertBelow(name: String, idCol: String, s: Long, base: Long): Unit = {
+      val mx = table(name).agg(max(col(idCol))).head.getLong(0)
+      val top = (factor - 1).toLong * s + mx
+      require(top < base,
+        s"ScaleUp: scaled $name.$idCol would reach $top >= planted-fixture " +
+          s"base $base (factor=$factor, stride=$s) — ids would collide with " +
+          "oracle fixtures; lower the factor or widen the fixture base")
     }
 
     val cust = stride("customer", "c_custkey")
@@ -68,6 +89,9 @@ object ScaleUp {
     val usr = stride("events", "user_id")
     val doc = stride("documents", "doc_id")
     val vec = stride("embeddings", "vec_id")
+    assertBelow("documents", "doc_id", doc, 100000L)
+    assertBelow("embeddings", "vec_id", vec, 100000L)
+    assertBelow("orders", "o_orderkey", ord, 10000000000L)
 
     // which columns shift by which stride, per table
     val remaps: Map[String, Seq[(String, Long)]] = Map(

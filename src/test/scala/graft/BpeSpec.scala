@@ -90,6 +90,16 @@ class BpeSpec extends AnyFunSuite {
     assert(capped.merges.forall { case (l, r) => !(l + r).exists("zq".contains(_)) })
   }
 
+  test("maxWords guard rejects caps that would overflow the driver table") {
+    val df = corpusOf(Map("aa" -> 1L))
+    intercept[IllegalArgumentException] {
+      Corpus.bpeTrain(df, "text", numMerges = 1, maxWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.bpeTrain(df, "text", numMerges = 1, maxWords = (1 << 22) + 1)
+    }
+  }
+
   test("encode: zero-merge model yields code points + </w>; round-trip lossless") {
     val empty = BpeModel(Vector.empty)
     val docs = Seq("Hello world", "a", "  spaced   out  ").toDF("text")

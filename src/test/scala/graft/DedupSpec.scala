@@ -97,6 +97,21 @@ class DedupSpec extends AnyFunSuite {
     assert(noProbe <= planted.length)
   }
 
+  test("embeddingPairs filters duplicated zero-norm vectors (intra self-cos 0.0 < threshold)") {
+    import spark.implicits._
+    // zero vectors self-score cos=0.0; the exact-collapse intra branch must
+    // apply the threshold like the pairwise path does (regression: r7's
+    // collapse emitted zero-vector member pairs at cos=0.0 unfiltered)
+    val rows = Seq(
+      (1L, Array.fill(4)(0.0f)), (2L, Array.fill(4)(0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (4L, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(rows, "embedding", "vec_id",
+      nBits = 4, threshold = 0.95, probeRadius = 1).collect()
+    assert(pairs.length == 1, s"only the unit-vector pair should survive: ${pairs.toSeq}")
+    assert(pairs.head.getAs[Long]("id_a") == 3L && pairs.head.getAs[Long]("id_b") == 4L)
+  }
+
   test("lineDedup removes corpus-wide boilerplate lines, keeps order, empties covered docs") {
     import spark.implicits._
     val docs = Seq(

@@ -203,6 +203,89 @@ class DfasdlSpec extends AnyFunSuite {
     assert(widened.schema("n").dataType == LongType)
   }
 
+  // mirrors the reference fixture shape at
+  // src/test/resources/.../parsers/FileParsers/CSV/choice-02.xml: three
+  // choices of num-vs-str branches over a ";"-delimited record
+  private val choiceDoc =
+    """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" default-encoding="utf-8">
+      |  <seq id="test">
+      |    <elem id="account_list">
+      |      <choice id="field1">
+      |        <celem id="f1-c1"><num stop-sign=";" id="num-field1"/></celem>
+      |        <celem id="f1-c2"><str stop-sign=";" id="str-field1"/></celem>
+      |      </choice>
+      |      <choice id="field2">
+      |        <celem id="f2-c1"><num stop-sign=";" id="num-field2"/></celem>
+      |        <celem id="f2-c2"><str stop-sign=";" id="str-field2"/></celem>
+      |      </choice>
+      |      <choice id="field3">
+      |        <celem id="f3-c1"><num id="num-field3"/></celem>
+      |        <celem id="f3-c2"><str id="str-field3"/></celem>
+      |      </choice>
+      |    </elem>
+      |  </seq>
+      |</dfasdl>""".stripMargin
+
+  test("choice: parseSchema models branches as one slot with nullable branch leaves") {
+    val d = Dfasdl.parseSchema(choiceDoc)
+    assert(d.slots.size == 3)
+    assert(d.slots.forall(_.isInstanceOf[Dfasdl.ChoiceSlot]))
+    assert(d.fields.map(_.id) == Seq("num-field1", "str-field1",
+      "num-field2", "str-field2", "num-field3", "str-field3"))
+    assert(d.schema("num-field1").dataType == LongType)
+    assert(d.schema("str-field3").dataType == StringType)
+  }
+
+  test("choice: readDelimited dispatches each record to its first parsing branch") {
+    // the reference's choice-02 expected data: record 1 picks num/str/str,
+    // record 2 picks num/str/num (field3 "42" parses as num, "test01" not)
+    val path = tmpCsv("choice", "01;booyah;test01\n02;aliG;42\n")
+    val d = Dfasdl.parseSchema(choiceDoc)
+    val rows = Dfasdl.readDelimited(spark, path, d)
+      .orderBy("num-field1").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("num-field1") == 1L && r1.isNullAt(r1.fieldIndex("str-field1")))
+    assert(r1.getAs[String]("str-field2") == "booyah" && r1.isNullAt(r1.fieldIndex("num-field2")))
+    assert(r1.getAs[String]("str-field3") == "test01" && r1.isNullAt(r1.fieldIndex("num-field3")))
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("num-field1") == 2L)
+    assert(r2.getAs[String]("str-field2") == "aliG")
+    assert(r2.getAs[Long]("num-field3") == 42L && r2.isNullAt(r2.fieldIndex("str-field3")))
+  }
+
+  test("choice: writeDelimited renders the populated branch and round-trips") {
+    val path = tmpCsv("choice_rt", "01;booyah;test01\n02;aliG;42\n")
+    val d = Dfasdl.parseSchema(choiceDoc)
+    val df = Dfasdl.readDelimited(spark, path, d)
+    val out = Files.createTempDirectory("choice_out").toString + "/data"
+    Dfasdl.writeDelimited(df, d, out)
+    val back = Dfasdl.readDelimited(spark, out, d)
+    assert(back.orderBy("num-field1").collect().toSeq ==
+      df.orderBy("num-field1").collect().toSeq)
+  }
+
+  test("choice: multi-leaf branches parse (email-header shape) but reject delimited reads") {
+    // the reference's email-01.xml pairs a label leaf with a value leaf per
+    // branch — a token-stream schema: it must MODEL, and the fixed-arity
+    // delimited reader must reject it with a typed error, not mis-read
+    val multiLeaf =
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s">
+        |  <choice id="c"><celem id="b"><num id="n"/><str id="t"/></celem></choice>
+        |</seq></dfasdl>""".stripMargin
+    val d = Dfasdl.parseSchema(multiLeaf)
+    assert(d.fields.map(_.id) == Seq("n", "t"))
+    val e1 = intercept[IllegalArgumentException](
+      Dfasdl.readDelimited(spark, "/dev/null", d))
+    assert(e1.getMessage.contains("exactly one leaf"))
+    val badBranch =
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s">
+        |  <choice id="c"><str id="n"/></choice>
+        |</seq></dfasdl>""".stripMargin
+    val e2 = intercept[IllegalArgumentException](Dfasdl.parseSchema(badBranch))
+    assert(e2.getMessage.contains("celem"))
+  }
+
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
     // Runs only where the reference checkout is present (test-time read;
     // nothing is copied into this repo). parseSchema must either produce a
@@ -222,12 +305,23 @@ class DfasdlSpec extends AnyFunSuite {
     }
     assert(dfasdls.size >= 300, s"expected the reference corpus, found ${dfasdls.size}")
     var ok = 0
+    var choiceDocs = 0
+    var choiceParsed = 0
     val rejected = scala.collection.mutable.ListBuffer.empty[String]
     dfasdls.foreach { case (name, xml) =>
+      val hasChoice = xml.contains("<choice")
+      if (hasChoice) choiceDocs += 1
       try {
         val d = Dfasdl.parseSchema(xml)
         assert(d.fields.nonEmpty)
         ok += 1
+        if (hasChoice) {
+          choiceParsed += 1
+          // the choice surfaced as a dispatching slot, not a flattened
+          // leaf run (the pre-r8 mis-parse shape)
+          assert(d.slots.exists(_.isInstanceOf[Dfasdl.ChoiceSlot]),
+            s"$name contains <choice> but no ChoiceSlot was modeled")
+        }
       } catch {
         case e @ (_: IllegalArgumentException | _: org.xml.sax.SAXException) =>
           rejected += s"$name: ${e.getMessage}" // clean, typed rejection
@@ -237,6 +331,13 @@ class DfasdlSpec extends AnyFunSuite {
     }
     assert(ok >= (dfasdls.size * 0.8).toInt,
       s"only $ok/${dfasdls.size} parsed; rejections:\n${rejected.take(15).mkString("\n")}")
+    // r8: choice-bearing schemas are a supported surface now — most of the
+    // real corpus's choice documents must parse (a handful still reject for
+    // unrelated reasons, e.g. multi-leaf branches)
+    assert(choiceDocs > 0, "reference corpus lost its choice fixtures?")
+    assert(choiceParsed >= (choiceDocs * 0.7).toInt,
+      s"only $choiceParsed/$choiceDocs choice documents parsed")
+    info(s"sweep: $ok/${dfasdls.size} parsed; choice docs $choiceParsed/$choiceDocs")
   }
 
   private val orderXmlDoc =
