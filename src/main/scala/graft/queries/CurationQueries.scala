@@ -359,24 +359,82 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
 
   // --------------------------------------------------------- d_embed_pca
   // PCA over the embedding corpus (Embeddings.pcaTrain — ONE fixed-point
-  // Gram pass, bit-identical across partitionings — then a zero-shuffle
-  // fused projection), reported as per-component projection statistics in
-  // fixed point so the output is deterministic integers. Rows-only: no SQL
-  // engine replays an eigendecomposition; PcaSpec pins spectrum recovery,
-  // orthonormality, determinism, and variance-vs-eigenvalue agreement.
+  // Gram pass, bit-identical across partitionings). No SQL engine replays
+  // an eigendecomposition, but the model's INVARIANTS are checkable: the
+  // oracle replays the exact integer sufficient statistics (per-dim n /
+  // Σ floor(x·2^20) / Σ floor(x²·2^20) — the same fixed-point sums
+  // FixedGramAgg accumulates, so DuckDB's doubles reproduce them
+  // bit-for-bit), and three spectral identities that must hold of any
+  // correct decomposition ride along as flag columns checked driver-side
+  // at tight tolerance: Σ eigenvalues == trace(cov) (rotation preserves
+  // trace), the basis is orthonormal, and the per-component variance of
+  // the projected corpus equals its eigenvalue. A broken eigensolver,
+  // drifted aggregation, or wrong projection flips a flag (or an integer)
+  // and breaks the hash; the rotation itself stays pinned by PcaSpec.
   private def dEmbedPca(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Embeddings
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val m = Embeddings.pcaTrain(emb, "embedding", k = 8)
-    Embeddings.pcaProject(emb, "embedding", m)
-      .select(posexplode(col("pca")).as(Seq("component", "y")))
-      .select(col("component").cast("long").as("component"),
-        col("y").cast("double").as("y"))
-      .groupBy(col("component"))
+    val k = 8
+    val m = Embeddings.pcaTrain(emb, "embedding", k = k)
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("y") * (1L << 20)).cast("long")).as("sum_fp"),
-        sum(floor(col("y") * col("y") * (1L << 20)).cast("long")).as("ss_fp"))
+        sum(floor(col("x") * (1L << 20)).cast("long")).as("sum_fp"),
+        sum(floor(col("x") * col("x") * (1L << 20)).cast("long")).as("gram_fp"))
+    // invariant 1: trace preservation. Recompute cov's trace from the SAME
+    // integer statistics with the SAME expression shape pcaTrain uses
+    // (gram/scale/n - mean², mean = sum/scale/n), then compare against the
+    // full eigenvalue sum. d rows collect — bounded by dimensionality.
+    val s = stats.orderBy("dim").collect()
+    val scale = (1L << 20).toDouble
+    val trace = s.map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val mean = r.getAs[Long]("sum_fp") / scale / n
+      r.getAs[Long]("gram_fp") / scale / n - mean * mean
+    }.sum
+    val eigSum = m.eigvals.sum
+    val traceOk = math.abs(eigSum - trace) <= 1e-9 * math.max(1.0, math.abs(trace))
+    // invariant 2: orthonormal basis (B·Bᵀ == I over the kept k rows)
+    val orthoOk = (0 until k).forall { a =>
+      (a until k).forall { b =>
+        val dot = m.basis(a).zip(m.basis(b)).map { case (x, y) => x * y }.sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0)) <= 1e-9
+      }
+    }
+    // invariant 3: per-component projected variance == eigenvalue (float
+    // projection, so a looser relative tolerance)
+    val varRows = Embeddings.pcaProject(emb, "embedding", m)
+      .select(posexplode(col("pca")).as(Seq("component", "y")))
+      .select(col("component"), col("y").cast("double").as("y"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+      .collect() // k rows
+    val projOk = varRows.forall { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val mean = r.getAs[Double]("s") / n
+      val v = r.getAs[Double]("ss") / n - mean * mean
+      val ev = m.eigvals(r.getAs[Int]("component"))
+      math.abs(v - ev) <= 1e-3 * math.max(1e-9, ev)
+    }
+    stats.withColumn("trace_ok", lit(if (traceOk) 1L else 0L))
+      .withColumn("ortho_ok", lit(if (orthoOk) 1L else 0L))
+      .withColumn("proj_ok", lit(if (projOk) 1L else 0L))
   }
+
+  private val dEmbedPcaSql =
+    """WITH e AS (
+      | SELECT CAST(u.i AS BIGINT) AS dim,
+      |  CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE) AS x
+      | FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i))
+      |SELECT dim, COUNT(*) AS n,
+      | CAST(SUM(CAST(FLOOR(x * 1048576) AS BIGINT)) AS BIGINT) AS sum_fp,
+      | CAST(SUM(CAST(FLOOR(x * x * 1048576) AS BIGINT)) AS BIGINT) AS gram_fp,
+      | CAST(1 AS BIGINT) AS trace_ok, CAST(1 AS BIGINT) AS ortho_ok,
+      | CAST(1 AS BIGINT) AS proj_ok
+      |FROM e GROUP BY dim""".stripMargin
 
   // ------------------------------------------------------ d_heavy_hitters
   // Exact frequent-token report through a bounded-memory sketch: pass 1 is
@@ -416,7 +474,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_url_dedup", dUrlDedup, Some(dUrlDedupSql)),
     QueryDef("d_bpe_encode", dBpeEncode, None),
     QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql)),
-    QueryDef("d_embed_pca", dEmbedPca, None)
+    QueryDef("d_embed_pca", dEmbedPca, Some(dEmbedPcaSql))
   )
 
   // ------------------------------------------------------- d_split
