@@ -772,10 +772,50 @@ object Dfasdl {
     * the SAME source, their outputs column-concatenated — the reference
     * processes each recipe against the parsed source tree and writes all
     * recipe outputs to the target).
+    *
+    * Mapping ORDER (the reference's SortTransformationMappings.scala): the
+    * reference topologically sorts recipes/mappings by target-document
+    * position (getSortedIdList over the target DFASDL) and by
+    * `db-foreign-key` references before processing, because its writer
+    * emits target elements SEQUENTIALLY. Order is about write layout only
+    * — mapping SOURCES always resolve against the parsed source tree
+    * (processor/MappingOneToOneWorker.scala fetches element data from the
+    * DataTreeDocument of the SOURCE dfasdl), so no reference mapping ever
+    * consumes another mapping's output, and the compiled one-projection
+    * form is data-flow order-independent by the same argument. The write-
+    * layout half is honored here: when the cookbook declares a target
+    * DFASDL, output columns are ordered by its document order (stable for
+    * ids the target doesn't know). The foreign-key recipe reorder
+    * (sortRecipesByForeignKeys) sequences multi-TABLE database writes; a
+    * cookbook here compiles to one DataFrame, so cross-table write
+    * sequencing belongs to the caller issuing the writes.
+    *
+    * A mapping whose source names another mapping's TARGET (and no column
+    * of `df`) would silently read nothing under the one-projection model,
+    * so it is rejected with a typed error instead.
     */
   def applyCookbook(df: DataFrame, cb: Cookbook): DataFrame = {
-    val cols = cb.recipes.flatMap(r => compileRecipe(r).columns)
-    df.select(cols: _*)
+    val fms = cb.recipes.flatMap(r => compileRecipe(r).mappings)
+    val avail = df.columns.toSet
+    val targetIds = fms.map(_.target).toSet
+    fms.foreach { m =>
+      val targetConsuming = m.sources.filter(s => !avail(s) && targetIds(s))
+      require(targetConsuming.isEmpty,
+        s"mapping for target '${m.target}' reads ${targetConsuming.mkString(", ")} — " +
+          "the target of another mapping, not a source column. Cookbooks " +
+          "compile to ONE projection over the source (the reference reads " +
+          "mapping sources from the source tree too); chain cookbooks " +
+          "explicitly instead: applyCookbook(applyCookbook(df, first), second)")
+    }
+    val cols = fms.map(m => m.build(m.sources.map(col)).as(m.target))
+    cb.target match {
+      case Some(t) =>
+        val pos = t.fields.map(_.id).zipWithIndex.toMap
+        val sorted = fms.zip(cols)
+          .sortBy { case (m, _) => pos.getOrElse(m.target, Int.MaxValue) }
+        df.select(sorted.map(_._2): _*)
+      case None => df.select(cols: _*)
+    }
   }
 
   /** One transformer-chain step set applied to the current columns; a

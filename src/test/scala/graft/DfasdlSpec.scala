@@ -523,6 +523,55 @@ class DfasdlSpec extends AnyFunSuite {
     assert(lines == Seq("u|;w", "x|y;z"), lines) // null rendered empty
   }
 
+  test("cookbook mapping order: target-document order wins; shuffled mappings are equivalent") {
+    // SortTransformationMappings semantics: the reference sorts mappings by
+    // position in the TARGET dfasdl before processing (write layout); the
+    // compiled projection honors that by ordering output columns the same
+    // way, and is otherwise mapping-order-independent (sources only ever
+    // read the source tree)
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "p", "q")
+    def cb(mappingXml: String) = Dfasdl.parseCookbook(
+      s"""<cookbook id="ORDER">
+         |  <source><dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+         |    <num id="k" stop-sign=","/><str id="p" stop-sign=","/><str id="q"/>
+         |  </elem></seq></dfasdl></source>
+         |  <target><dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="t"><elem id="r">
+         |    <num id="key" stop-sign=","/><str id="first" stop-sign=","/><str id="second"/>
+         |  </elem></seq></dfasdl></target>
+         |  <recipe id="R" mode="one-to-one"><mapping>
+         |    $mappingXml
+         |  </mapping></recipe>
+         |</cookbook>""".stripMargin)
+    // mappings listed BACKWARD relative to the target document
+    val shuffled = cb("<sources>q p k</sources><targets>second first key</targets>")
+    val ordered = cb("<sources>k p q</sources><targets>key first second</targets>")
+    val a = Dfasdl.applyCookbook(df, shuffled)
+    val b = Dfasdl.applyCookbook(df, ordered)
+    // both orderings emit target-document column order and identical rows
+    assert(a.columns.toSeq == Seq("key", "first", "second"))
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.orderBy("key").collect().toSeq == b.orderBy("key").collect().toSeq)
+  }
+
+  test("cookbook mapping consuming another mapping's target rejects with guidance") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "p")
+    val cb = Dfasdl.parseCookbook(
+      """<cookbook id="CHAIN">
+        |  <source><dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |    <num id="k" stop-sign=","/><str id="p"/>
+        |  </elem></seq></dfasdl></source>
+        |  <recipe id="R" mode="one-to-one">
+        |    <mapping><sources>p</sources><targets>renamed</targets></mapping>
+        |    <mapping><sources>renamed</sources><targets>derived</targets></mapping>
+        |  </recipe>
+        |</cookbook>""".stripMargin)
+    val e = intercept[IllegalArgumentException](Dfasdl.applyCookbook(df, cb))
+    assert(e.getMessage.contains("target of another mapping"))
+    assert(e.getMessage.contains("chain cookbooks"))
+  }
+
   test("unsupported transformer names fail fast with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
