@@ -548,12 +548,38 @@ object SourceQueries {
       | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS v_str
       |FROM orders""".stripMargin
 
+  // ------------------------------------------------------------ q47_avro
+  // Avro container round-trip (sources/Avro.scala — avro CORE container +
+  // codec layer, graft sync-marker split plumbing): orders writes to
+  // snappy Avro (dates/timestamps as logical types, prices as double) and
+  // reads back through the byte-ranged split reader with splits small
+  // enough that several tasks cover each part file. The oracle reads the
+  // original parquet — any drift in the schema mapping, logical-type
+  // encode/decode, or a split duplicating/dropping a block row breaks
+  // rows+hash.
+  private def q47Avro(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Avro
+    val tmp = cachedArtifact("avro", dir) { out =>
+      Avro.writeAvro(
+        Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority")),
+        out, codec = "snappy")
+    }
+    Avro.readAvro(spark, tmp, maxSplitBytes = 64 * 1024)
+  }
+
+  private val q47AvroSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+      | o_orderpriority FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_fixed_width", q21FixedWidth, Some(q21FixedWidthSql)),
     QueryDef("q43_dfasdl_xml", q43DfasdlXml, Some(q43DfasdlXmlSql)),
     QueryDef("q44_dfasdl_json", q44DfasdlJson, Some(q44DfasdlJsonSql)),
     QueryDef("q45_dfasdl_write", q45DfasdlWrite, Some(q45DfasdlWriteSql)),
     QueryDef("q46_dfasdl_choice", q46DfasdlChoice, Some(q46DfasdlChoiceSql)),
+    QueryDef("q47_avro", q47Avro, Some(q47AvroSql)),
     QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
     QueryDef("q42_dfasdl", q42Dfasdl, Some(q42DfasdlSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),

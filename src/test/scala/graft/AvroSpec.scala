@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.Avro
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Avro container source/sink (sources/Avro.scala): round-trips, logical
+  * types, nullability, codecs, and the sync-marker split protocol — a
+  * byte-ranged read of one file must see every record exactly once.
+  */
+class AvroSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString + "/data"
+
+  test("write/read round-trip preserves primitives, logical types and nulls") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("blob", BinaryType),
+      StructField("dec", DecimalType(10, 2))
+    ))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"),
+        Array[Byte](1, 2, 3), BigDecimal("12345.67").bigDecimal),
+      Row(2L, null, null, false, null, null, null, null)
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp("avro_rt")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("nested structs, arrays and maps round-trip") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Map("a" -> 1L, "b" -> 2L), ("x", 10L)),
+      (2L, Seq.empty[Float], Map.empty[String, Long], ("y", 20L))
+    ).toDF("id", "vec", "counts", "pair")
+    val path = tmp("avro_nested")
+    Avro.writeAvro(df, path, codec = "deflate")
+    val back = Avro.readAvro(spark, path)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("a single large file parallelizes via sync-marker byte ranges, exactly once") {
+    // one partition -> ONE container file; read it back with a tiny split
+    // size so many byte-range tasks cover it — each record must appear
+    // exactly once (the sync/pastSync contract)
+    val df = (0L until 20000L).toDF("id")
+      .withColumn("pad", concat(lit("x"), col("id") % 97))
+      .repartition(1)
+    val path = tmp("avro_split")
+    Avro.writeAvro(df, path, codec = "null")
+    val back = Avro.readAvro(spark, path, maxSplitBytes = 16 * 1024)
+    assert(back.rdd.getNumPartitions > 4, "small splits must fan out tasks")
+    assert(back.count() == 20000L)
+    assert(back.select(countDistinct("id")).as[Long].head() == 20000L)
+    assert(back.agg(sum("id")).as[Long].head() == 19999L * 20000L / 2)
+  }
+
+  test("parquet -> avro -> parquet round-trip over a real table") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val path = tmp("avro_orders")
+    Avro.writeAvro(orders, path)
+    val back = Avro.readAvro(spark, path)
+    assert(back.count() == orders.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("multi-branch unions reject with a typed error") {
+    import org.apache.avro.{Schema => AS, SchemaBuilder}
+    val union = SchemaBuilder.record("r").fields()
+      .name("v").`type`(AS.createUnion(
+        AS.create(AS.Type.INT), AS.create(AS.Type.STRING))).noDefault()
+      .endRecord()
+    val e = intercept[IllegalArgumentException](Avro.toSparkType(union))
+    assert(e.getMessage.contains("multi-branch"))
+  }
+
+  test("unknown codec rejects; snappy and zstandard write readable files") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    intercept[IllegalArgumentException](
+      Avro.writeAvro(df, tmp("avro_bad"), codec = "lzo"))
+    for (codec <- Seq("snappy", "zstandard")) {
+      val p = tmp(s"avro_$codec")
+      Avro.writeAvro(df, p, codec = codec)
+      assert(Avro.readAvro(spark, p).orderBy("id").collect().toSeq ==
+        df.orderBy("id").collect().toSeq)
+    }
+  }
+}

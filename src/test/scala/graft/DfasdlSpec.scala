@@ -265,6 +265,32 @@ class DfasdlSpec extends AnyFunSuite {
       df.orderBy("num-field1").collect().toSeq)
   }
 
+  test("choice: XML reads dispatch by element presence (branch leaves are optional)") {
+    // self-describing formats need no token dispatch: each record carries
+    // the matched branch's ELEMENT and omits the others — the reference's
+    // XmlFileParser resolves the choice the same way (vCard choice-01)
+    val dir = Files.createTempDirectory("dfasdl_choice_xml")
+    Files.write(Paths.get(dir.toString, "recs.xml"),
+      """<recs>
+        |  <rec><k>1</k><num-v>42</num-v></rec>
+        |  <rec><k>2</k><str-v>hello</str-v></rec>
+        |</recs>""".stripMargin.getBytes("UTF-8"))
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="recs">
+        |  <elem id="rec">
+        |    <num id="k"/>
+        |    <choice id="v">
+        |      <celem id="vn"><num id="num-v"/></celem>
+        |      <celem id="vs"><str id="str-v"/></celem>
+        |    </choice>
+        |  </elem>
+        |</seq></dfasdl>""".stripMargin)
+    val rows = Dfasdl.readXml(spark, dir.toString, doc).orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("num-v") == 42L && rows(0).isNullAt(rows(0).fieldIndex("str-v")))
+    assert(rows(1).getAs[String]("str-v") == "hello" && rows(1).isNullAt(rows(1).fieldIndex("num-v")))
+  }
+
   test("choice: multi-leaf branches parse (email-header shape) but reject delimited reads") {
     // the reference's email-01.xml pairs a label leaf with a value leaf per
     // branch — a token-stream schema: it must MODEL, and the fixed-arity
