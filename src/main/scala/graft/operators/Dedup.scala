@@ -296,32 +296,33 @@ object Dedup {
   }
 
   /** Character n-gram Jaccard pairs within a blocking key (e.g. language +
-    * source). Exact Jaccard via array_intersect/array_union on distinct
-    * n-gram sets; the block bounds the pair explosion.
+    * source). Exact Jaccard on distinct n-gram sets; candidate enumeration
+    * auto-selects between the block-bounded quadratic walk and an exact
+    * PPJoin prefix filter by the measured hottest-block population (a
+    * `maxQuadraticBlock` override of 0 forces the prefix path). NOTE: the
+    * auto-selection runs one small planning aggregate EAGERLY (block
+    * populations over the distinct-set table) — this operator is
+    * batch-only and the job is a fraction of the pair enumeration it
+    * sizes.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int = 4,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8,
+                        maxQuadraticBlock: Int = 8192): DataFrame = {
     // n-gram hashes map-side in one fused pass (normalize → grams → hash →
     // sort, graft.functions.NGramHashExpr: sorted so the per-pair scorer is
-    // a codegen'd merge walk; hashed so set ops compare 8-byte longs and the
-    // block exchange never carries text — 64-bit collisions can't move a
-    // Jaccard across the threshold). The one repartition shuffles
-    // (id, gram-hashes) on the block key, which BOTH sides of the self-join
-    // below reuse — no further exchange. The partition count is EXPLICIT:
-    // the expensive |block|² scoring happens AFTER this exchange, whose
-    // bytes are small enough for AQE to coalesce the scoring into a
-    // handful of tasks (parallelism is still bounded by the number of
-    // distinct blocks — the caller's finer-key lever).
-    // EXACT-COLLAPSE before the block self-join (the simhashPairs /
-    // embeddingPairs scheme): documents with identical gram sets in the
-    // same block score identically, so the |block|² walk runs over
-    // DISTINCT (block, gram-set) representatives and expands back
-    // output-sized — identical-set pairs at the set's self-Jaccard
-    // (exactly 1.0 from the same merge-walk expression), cross-set pairs
-    // at the rep pair's score. Replicated corpora cost what their
-    // distinct content costs.
-    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    // a codegen'd merge walk; hashed so set ops compare 8-byte longs and no
+    // exchange carries text — 64-bit collisions can't move a Jaccard
+    // across the threshold).
+    // EXACT-COLLAPSE first (the simhashPairs / embeddingPairs scheme):
+    // documents with identical gram sets in the same block score
+    // identically, so candidate generation and scoring run over DISTINCT
+    // (block, gram-set) representatives and expand back output-sized —
+    // identical-set pairs at the set's self-Jaccard (exactly 1.0 from the
+    // same merge-walk expression), cross-set pairs at the rep pair's
+    // score. Replicated corpora cost what their distinct content costs;
+    // candidate generation over the distinct sets auto-selects between the
+    // |block|² walk and the r8 prefix filter (see below).
     val s = df.select(
         (col(idCol).as("id") +:
           graft.functions.ShingleHash.ngramHashes(col(textCol), n).as("grams") +:
@@ -331,17 +332,84 @@ object Dedup {
     val members = s.join(grouped, "grams" +: blockCols)
       .select(col("id"), col("rep"))
     val g = grouped.select((col("rep") +: col("grams") +: blockCols.map(col)): _*)
-      .repartition(fanout, blockCols.map(col): _*)
-    val l = g.toDF(("rep_a" +: "grams_a" +: blockCols): _*)
-    val r = g.toDF(("rep_b" +: "grams_b" +: blockCols): _*)
     val jac = graft.functions.JaccardExpr.jaccardSorted(col("grams_a"), col("grams_b"))
     // size-ratio prefilter: J(A,B) >= t forces |A| and |B| within factor 1/t,
     // so prune before the (much more expensive) set intersection
     val sizeOk = size(col("grams_a")).cast(DoubleType) >= size(col("grams_b")) * threshold &&
       size(col("grams_b")).cast(DoubleType) >= size(col("grams_a")) * threshold
-    val repPairs = l.join(r, blockCols).filter(col("rep_a") < col("rep_b") && sizeOk)
-      .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // CANDIDATE STRATEGY — auto-selected on the measured hottest block
+    // population (one cheap aggregate over the already-shuffled distinct
+    // table). Both paths verify exactly (size-ratio cut, then the sorted
+    // merge-walk), so results — and the DuckDB oracle — are identical;
+    // only candidate ENUMERATION differs:
+    //  - |block|² walk (hottest block <= maxQuadraticBlock): all rep pairs
+    //    within a block behind an explicit-fanout repartition (AQE would
+    //    coalesce the tiny-bytes/huge-CPU exchange to one task). Zero
+    //    index overhead; right while block populations are modest — the
+    //    walk is a codegen'd in-memory loop, measured cheaper than any
+    //    index below ~10k reps/block (DEDUPSCALE_r08: 46 s vs 68 s at
+    //    1.5k/block with DENSE 30-way near-dup groups, where every true
+    //    pair re-surfaces through ~p shared prefix grams).
+    //  - PPJoin-style PREFIX FILTER (Xiao et al., WWW'08 — exact, no false
+    //    negatives) beyond that: J(A,B) >= t forces |A∩B| >= ceil(t·|A|)
+    //    and >= ceil(t·|B|) (J = O/(|A|+|B|-O) >= t with |B| >= O gives
+    //    O >= t|A|), and an overlap of α elements under ANY common total
+    //    order cannot avoid a set's first |X| - α + 1 elements — so every
+    //    qualifying pair shares a gram in BOTH prefixes. The order is
+    //    ascending block-local DOCUMENT FREQUENCY (PPJoin's canonical
+    //    choice): prefixes hold each set's RAREST grams, so candidate
+    //    volume tracks shared-rare-gram frequency instead of population²
+    //    — hash order instead puts boilerplate grams in prefixes and one
+    //    hot (block, gram) key regenerates the |block|² blowup (measured:
+    //    OOM at 150k docs). Index cost is linear (explode + df count +
+    //    per-set sort); candidates join on (block, gram) — keys FINER
+    //    than the block, so parallelism no longer caps at the block count.
+    //    This unlocks the single-hot-block corpora the r7 scale harness
+    //    flagged as the operator's limit.
+    val hottest = grouped.groupBy(blockCols.map(col): _*).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val repPairs = if (hottest <= maxQuadraticBlock) {
+      val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+      val gq = g.repartition(fanout, blockCols.map(col): _*)
+      val l = gq.toDF(("rep_a" +: "grams_a" +: blockCols): _*)
+      val r = gq.toDF(("rep_b" +: "grams_b" +: blockCols): _*)
+      l.join(r, blockCols).filter(col("rep_a") < col("rep_b") && sizeOk)
+        .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val ex = g.select((col("rep") +: size(col("grams")).as("sz") +:
+        explode(col("grams")).as("gram") +: blockCols.map(col)): _*)
+      val dfreq = ex.groupBy((col("gram") +: blockCols.map(col)): _*)
+        .agg(count(lit(1)).as("df"))
+      // per-set rarest-first rank via a keyed WINDOW (sort-based, spills;
+      // a collect_list aggregation here holds every set's gram structs in
+      // task hash maps at once — measured Java-heap OOM at 150k one-block
+      // docs under local[32]). Every join in this path carries a
+      // shuffle_merge hint: the sides are gram-table-sized (millions of
+      // rows / arrays of hundreds of longs), and AQE's post-shuffle size
+      // estimate tried to BROADCAST the df table at the one-block scale —
+      // measured driver broadcast-build OOM.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rep")).orderBy(col("df"), col("gram"))
+      val pref = ex.join(dfreq.hint("shuffle_merge"), "gram" +: blockCols)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= greatest(lit(1),
+          col("sz") - ceil(col("sz") * threshold).cast("int") + lit(1)))
+        .select((col("rep") +: col("gram").as("pg") +: blockCols.map(col)): _*)
+      val candidates = pref.toDF(("rep_a" +: "pg" +: blockCols): _*)
+        .join(pref.toDF(("rep_b" +: "pg" +: blockCols): _*).hint("shuffle_merge"),
+          "pg" +: blockCols)
+        .filter(col("rep_a") < col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      candidates
+        .join(g.select(col("rep").as("rep_a"), col("grams").as("grams_a"))
+          .hint("shuffle_merge"), "rep_a")
+        .join(g.select(col("rep").as("rep_b"), col("grams").as("grams_b"))
+          .hint("shuffle_merge"), "rep_b")
+        .filter(sizeOk)
+        .select(col("rep_a"), col("rep_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     val intra = members.select(col("rep"), col("id").as("id_a"))
       .join(members.select(col("rep"), col("id").as("id_b")), "rep")
       .filter(col("id_a") < col("id_b"))

@@ -81,8 +81,18 @@ object DedupScale {
     val e = spark.read.parquet(s"$base/embeddings.parquet")
     val nDocs = d.count(); val nVecs = e.count()
 
+    // diagnostic ops run only when explicitly named: ngrampf forces the
+    // PPJoin prefix path regardless of block population, and on THIS
+    // template-generated synthetic corpus its candidate volume measures
+    // the corpus's sub-threshold similarity mass (every doc's rarest grams
+    // are still shared by hundreds of template-mates), not the operator —
+    // the exact reason ngramJaccardPairs auto-prefers the quadratic walk
+    // until blocks outgrow maxQuadraticBlock. A-B at factor 10: identical
+    // 224,794 pairs, 8.4 s quadratic vs 29.6 s forced-prefix.
+    val diagnosticOnly = Set("ngrampf")
     def time(name: String)(f: => Long): Option[(String, Double, Long)] =
-      if (only.exists(o => !o(name))) None
+      if (only.exists(o => !o(name)) ||
+          (only.isEmpty && diagnosticOnly(name))) None
       else {
         val t0 = System.nanoTime()
         val rows = f
@@ -100,6 +110,12 @@ object DedupScale {
       time("ngram") {
         Dedup.ngramJaccardPairs(d, "text", "doc_id",
           blockCols = Seq("lang", "source"), n = 4, threshold = 0.8).count()
+      },
+      time("ngrampf") { // forced PPJoin prefix-filter path (the hot-block
+        // strategy) measured against the same corpus for the strategy A-B
+        Dedup.ngramJaccardPairs(d, "text", "doc_id",
+          blockCols = Seq("lang", "source"), n = 4, threshold = 0.8,
+          maxQuadraticBlock = 0).count()
       },
       time("embed") { // the registered query's setting (8 hyperplanes)
         Dedup.embeddingPairs(e, "embedding", "vec_id",

@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.length == 20)
   }
 
+  test("ngram candidate strategies are result-identical (prefix filter == block walk)") {
+    // maxQuadraticBlock=0 forces the PPJoin prefix-filter path; the default
+    // takes the |block|² walk on this small fixture — the PAIR SETS (ids +
+    // jaccard) must match exactly, pinning the prefix filter's
+    // no-false-negative guarantee on real data
+    def pairSet(maxQuad: Int) =
+      Dedup.ngramJaccardPairs(docsWithNearDups, "text", "doc_id",
+        blockCols = Seq("lang", "source"), n = 4, threshold = 0.8,
+        maxQuadraticBlock = maxQuad)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    assert(pairSet(0) == pairSet(8192))
+  }
+
   test("embedding LSH multi-probe finds all planted PERTURBED near-duplicates") {
     // perturbed (cos ≈ 0.9997, not 1.0) copies CAN land in a different
     // hyperplane bucket; 100% recall here is earned by multi-probe bucketing
