@@ -126,7 +126,12 @@ object Avro {
 
   // --------------------------------------------------------------- values
 
-  /** Avro runtime value → Spark Row value for `dt`. */
+  /** Avro runtime value → Spark Row value for `dt` (shared with the V2
+    * scan — see [[AvroV2]]).
+    */
+  private[sources] def fieldToSpark(v: Any, dt: DataType, as: ASchema): Any =
+    toSpark(v, dt, as)
+
   private def toSpark(v: Any, dt: DataType, as: ASchema): Any = {
     if (v == null) return null
     val s = nonNull(as)

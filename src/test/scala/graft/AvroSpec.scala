@@ -84,6 +84,31 @@ class AvroSpec extends AnyFunSuite {
       orders.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("graftavro V2 source prunes columns via a projected reader schema") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val path = tmp("avro_v2")
+    Avro.writeAvro(orders, path)
+    val v2 = spark.read.format("graftavro").load(path)
+    assert(v2.schema.fieldNames.toSeq == orders.schema.fieldNames.toSeq)
+    // full read matches the function API
+    assert(v2.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    // a 2-column projection prunes down to the projected reader schema —
+    // visible in the executed plan's scan description
+    val pruned = v2.select("o_orderkey", "o_totalprice")
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(desc.contains("ReadSchema: o_orderkey,o_totalprice"),
+      s"scan must show the pruned schema:\n$desc")
+    assert(pruned.orderBy("o_orderkey").collect().toSeq ==
+      orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").collect().toSeq)
+    // split option parallelizes one file
+    val many = spark.read.format("graftavro")
+      .option("maxSplitBytes", 16 * 1024).load(path)
+    assert(many.count() == orders.count())
+  }
+
   test("multi-branch unions reject with a typed error") {
     import org.apache.avro.{Schema => AS, SchemaBuilder}
     val union = SchemaBuilder.record("r").fields()
