@@ -105,7 +105,8 @@ object Dfasdl {
     * under it) — the `rowTag` for DFASDL-described XML data ([[readXml]]).
     */
   final case class Doc(id: String, preamble: Seq[Field], slots: Seq[Slot],
-                       rowName: Option[String] = None) {
+                       rowName: Option[String] = None,
+                       rowLimit: Option[Long] = None) {
     /** Output-schema leaves: plain fields plus every choice branch (the
       * losing branches of a record are null — the reference materializes
       * only the matched branch per record, which columnar output renders
@@ -119,8 +120,18 @@ object Dfasdl {
       StructType(fields.map(f => StructField(f.id, f.sparkType)))
   }
 
-  private val leafKinds = Set("str", "num", "formatnum", "date", "datetime",
-    "formattime", "time", "format", "bin", "bin64", "binHex")
+  private val leafKinds = Set("str", "num", "formatnum", "formatstr", "date",
+    "datetime", "formattime", "time", "format", "bin", "bin64", "binHex")
+
+  /** Does a regex carry at least one capture group? Driver-side exact count
+    * (escaped `\(` doesn't fool it) — [[convert]]'s formatstr path extracts
+    * group(1) only when one exists, exactly like the reference's
+    * readNextStringElement (FileParserFunctions.scala:286-301: group(1) when
+    * groupCount > 0, otherwise None with a warning).
+    */
+  private def hasCaptureGroup(pattern: String): Boolean =
+    try java.util.regex.Pattern.compile(pattern).matcher("").groupCount() > 0
+    catch { case _: java.util.regex.PatternSyntaxException => false }
 
   private def childElems(n: Node): Seq[XmlElement] = {
     val kids = n.getChildNodes
@@ -163,7 +174,11 @@ object Dfasdl {
     require(nameOf(root) == "dfasdl",
       s"not a DFASDL document: root <${root.getTagName}>")
     val top = childElems(root)
-    val (pre, rest) = top.span(e => nameOf(e) != "seq")
+    // the record container is the first seq — or fixseq, the reference's
+    // bounded sequence (its DatabaseParser maps a fixseq's count straight to
+    // a LIMIT clause, DatabaseParser.scala:407; the file parsers stop after
+    // count iterations) — surfaced as [[Doc.rowLimit]]
+    val (pre, rest) = top.span(e => nameOf(e) != "seq" && nameOf(e) != "fixseq")
     // preamble = elements BEFORE the record sequence (header line); a
     // document without a sequence has no preamble
     val preamble =
@@ -191,9 +206,19 @@ object Dfasdl {
         case None          => xmlNameOfElem(seq)
       }
     }
+    val rowLimit = rest.headOption.collect {
+      case seq if nameOf(seq) == "fixseq" =>
+        Option(seq.getAttribute("count")).filter(_.nonEmpty).map(_.toLong)
+    }.flatten
     Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),
-      preamble, slots, rowName)
+      preamble, slots, rowName, rowLimit)
   }
+
+  /** Apply a top-level fixseq's record bound to a batch read (LIMIT count —
+    * the reference's own SQL mapping for fixseq). No-op for plain seq docs.
+    */
+  private def bounded(df: DataFrame, doc: Doc): DataFrame =
+    doc.rowLimit.fold(df)(n => df.limit(n.toInt))
 
   private def xmlNameOfElem(e: XmlElement): String =
     Option(e.getAttribute("xml-element-name")).filter(_.nonEmpty)
@@ -205,9 +230,36 @@ object Dfasdl {
       nameOf(c) match {
         case k if leafKinds(k) => Seq(fieldOf(c))
         case "choice"          => Seq(choiceOf(c))
+        case "fixseq"          => fixseqSlots(c)
         case _                 => slotsUnder(c) // elem / celem / seq wrappers
       }
     }
+
+  /** A NESTED `<fixseq count="k">` repeats its inner group exactly k times
+    * per record (the reference's BaseParser iterates the branch k times —
+    * e.g. `<fixseq id="columns" count="3"><elem id="column"><str
+    * id="column-data"/></elem></fixseq>` parses three column-data instances
+    * per row, indexed by sequence position in the data tree). A columnar
+    * record has one column per instance: the first repeat keeps the bare
+    * ids (so cookbook mappings addressing the id resolve to instance 0,
+    * the reference's default sequence index) and repeats 2..k suffix
+    * `_2`..`_k`. count absent or 1 degenerates to a plain wrapper.
+    */
+  private def fixseqSlots(e: XmlElement): Seq[Slot] = {
+    val inner = slotsUnder(e)
+    val n = Option(e.getAttribute("count")).filter(_.nonEmpty).map(_.toInt)
+      .getOrElse(1)
+    require(n >= 1, s"fixseq ${Option(e.getAttribute("id")).getOrElse("?")} " +
+      s"declares count=$n; a fixed sequence repeats at least once")
+    def suffix(s: Slot, sfx: String): Slot = s match {
+      case f: Field => f.copy(id = f.id + sfx)
+      case c: ChoiceSlot => c.copy(id = c.id + sfx,
+        branches = c.branches.map(b => b.copy(id = b.id + sfx,
+          leaves = b.leaves.map(l => l.copy(id = l.id + sfx)))))
+    }
+    if (n == 1) inner
+    else inner ++ (2 to n).flatMap(i => inner.map(s => suffix(s, s"_$i")))
+  }
 
   /** Parse a `<choice>`: each child `celem` is one alternative branch of
     * one or more leaves.
@@ -241,6 +293,10 @@ object Dfasdl {
       errs += s"duplicate element id: $id")
     doc.fields.filter(f => f.kind == "formattime" && f.attr("format").isEmpty)
       .foreach(f => errs += s"formattime ${f.id} has no format attribute")
+    // the reference parser throws on a formatstr without format
+    // (FileParser.scala:166 "without format attribute!")
+    doc.fields.filter(f => f.kind == "formatstr" && f.attr("format").isEmpty)
+      .foreach(f => errs += s"formatstr ${f.id} has no format attribute")
     errs.toList
   }
 
@@ -258,7 +314,7 @@ object Dfasdl {
       .option("sep", sepOf(doc))
       .schema(rawSchema(doc))
       .csv(path)
-    raw.select(slotCols(doc): _*)
+    bounded(raw.select(slotCols(doc): _*), doc)
   }
 
   /** Streaming twin of [[readDelimited]]: the same schema and format
@@ -270,6 +326,9 @@ object Dfasdl {
     */
   def readDelimitedStream(spark: SparkSession, dirPath: String,
                           doc: Doc): DataFrame = {
+    require(doc.rowLimit.isEmpty, "a fixseq-bounded document (LIMIT " +
+      s"${doc.rowLimit.getOrElse(0L)}) cannot drive an unbounded stream; " +
+      "use readDelimited for the bounded batch read")
     val raw = spark.readStream
       .option("header", doc.preamble.nonEmpty.toString)
       .option("sep", sepOf(doc))
@@ -303,10 +362,10 @@ object Dfasdl {
         c.id -> ws.head
     }
     val raw = Sources.readFixedWidth(spark, path, widths)
-    raw.select(doc.slots.flatMap {
+    bounded(raw.select(doc.slots.flatMap {
       case f: Field      => Seq(coerce(f, col(f.id)).as(f.id))
       case c: ChoiceSlot => choiceCols(c, col(c.id))
-    }: _*)
+    }: _*), doc)
   }
 
   // ------------------------------------------- DFASDL-described XML / JSON
@@ -336,8 +395,8 @@ object Dfasdl {
   def readXml(spark: SparkSession, path: String, doc: Doc,
               rowTag: Option[String] = None): DataFrame = {
     val (tag, rawSchema, cols) = xmlPlan(doc, rowTag)
-    spark.read.format("xml").option("rowTag", tag).schema(rawSchema).load(path)
-      .select(cols: _*)
+    bounded(spark.read.format("xml").option("rowTag", tag).schema(rawSchema)
+      .load(path).select(cols: _*), doc)
   }
 
   /** Streaming twin of [[readXml]] (the xml source is file-based, so it
@@ -415,7 +474,8 @@ object Dfasdl {
       .option("multiLine", multiline.toString)
       .schema(StructType(doc.fields.map(f => StructField(jsonName(f), StringType))))
       .json(path)
-    raw.select(doc.fields.map(f => coerce(f, col(jsonName(f))).as(f.id)): _*)
+    bounded(raw.select(doc.fields.map(f =>
+      coerce(f, col(jsonName(f))).as(f.id)): _*), doc)
   }
 
   /** Streaming twin of [[readJson]] (cf. [[readDelimitedStream]]): the same
@@ -588,6 +648,10 @@ object Dfasdl {
     case "datetime" | "formattime" =>
       try_to_timestamp(trim(c),
         lit(f.attr("format").getOrElse("yyyy-MM-dd HH:mm:ss"))).isNotNull
+    case "formatstr" =>
+      // a formatstr branch matches iff its format regex matches the token
+      // (the reference's in-choice prefix match over the format pattern)
+      f.attr("format").map(p => c.rlike("(?s)" + p)).getOrElse(lit(true))
     case _ => lit(true) // str / time / format / bin: the catch-all branches
   }
 
@@ -624,6 +688,17 @@ object Dfasdl {
         case _         => regexp_replace(raw, ",", "")
       }
       normalized.cast(DoubleType)
+    case "formatstr" =>
+      // the reference applies the format regex to the raw token and yields
+      // group(1) of the first match; a match without a capture group, or no
+      // match at all, yields NO data (FileParserFunctions.scala:286-301) —
+      // here: null. `(?s)` mirrors its DOTALL compile.
+      f.attr("format") match {
+        case Some(pattern) if hasCaptureGroup(pattern) =>
+          val p = "(?s)" + pattern
+          when(regexp_like(c, lit(p)), regexp_extract(c, p, 1))
+        case _ => lit(null).cast(StringType)
+      }
     case _ => c
   }
 

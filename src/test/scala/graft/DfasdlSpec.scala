@@ -312,6 +312,72 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("celem"))
   }
 
+  test("formatstr extracts its format group; unmatched tokens are null") {
+    // reference semantics (FileParserFunctions.scala:286-301): apply the
+    // format regex, yield group(1) of the first match; a non-match, or a
+    // pattern without a capture group, yields no data
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str id="name"/>
+        |  <formatstr id="phone" format="(\d{3}-\d{4})"/>
+        |  <formatstr id="nogroup" format="\w+"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    assert(d.fields.map(_.kind) == Seq("str", "formatstr", "formatstr"))
+    assert(d.schema("phone").dataType == StringType)
+    val path = tmpCsv("fmtstr",
+      "bob,tel 555-1234 x9,abc\nalice,no phone here,def\n")
+    val rows = Dfasdl.readDelimited(spark, path, d).orderBy("name").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "alice" && rows(0).isNullAt(1))
+    assert(rows(1).getString(1) == "555-1234") // extracted group, not the token
+    assert(rows.forall(_.isNullAt(2))) // match without a group yields no data
+    val errs = Dfasdl.validate(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s">
+        |<elem id="r"><formatstr id="f"/></elem></seq></dfasdl>""".stripMargin)
+    assert(errs.exists(_.contains("formatstr f has no format")), errs)
+  }
+
+  test("top-level fixseq bounds the batch read and rejects the stream") {
+    // the reference maps a fixseq's count straight to LIMIT
+    // (DatabaseParser.scala:407); file parsers stop after count iterations
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><fixseq id="rows" count="2">
+        |  <elem id="r"><str id="a"/><num id="n"/></elem>
+        |</fixseq></dfasdl>""".stripMargin)
+    assert(d.rowLimit.contains(2L))
+    assert(d.fields.map(_.id) == Seq("a", "n"))
+    val path = tmpCsv("fixseqtop", "w,1\nx,2\ny,3\nz,4\n")
+    assert(Dfasdl.readDelimited(spark, path, d).count() == 2)
+    val e = intercept[IllegalArgumentException](
+      Dfasdl.readDelimitedStream(spark, "/tmp", d))
+    assert(e.getMessage.contains("unbounded stream"))
+  }
+
+  test("nested fixseq count=k expands to per-instance columns") {
+    // the reference's own fixture shape (BaseParserTest-08.xml: fixseq
+    // count=3 of one str leaf per elem wrapper = three instances per row)
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="rows">
+        |  <elem id="row">
+        |    <str id="name"/>
+        |    <fixseq id="columns" count="3">
+        |      <elem id="column"><str id="v"/></elem>
+        |    </fixseq>
+        |  </elem>
+        |</seq></dfasdl>""".stripMargin)
+    assert(d.fields.map(_.id) == Seq("name", "v", "v_2", "v_3"))
+    val path = tmpCsv("fixseqnested", "bob,p,q,r\nann,s,t,u\n")
+    val rows = Dfasdl.readDelimited(spark, path, d).orderBy("name").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSeq == Seq(("ann", "s", "t", "u"), ("bob", "p", "q", "r")))
+    // count=1 / absent degenerates to a plain wrapper
+    val d1 = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="rows">
+        |  <elem id="row"><fixseq id="one"><str id="x"/></fixseq></elem>
+        |</seq></dfasdl>""".stripMargin)
+    assert(d1.fields.map(_.id) == Seq("x"))
+  }
+
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
     // Runs only where the reference checkout is present (test-time read;
     // nothing is copied into this repo). parseSchema must either produce a
@@ -333,6 +399,8 @@ class DfasdlSpec extends AnyFunSuite {
     var ok = 0
     var choiceDocs = 0
     var choiceParsed = 0
+    var fsDocs = 0
+    var fsSurfaced = 0
     val rejected = scala.collection.mutable.ListBuffer.empty[String]
     dfasdls.foreach { case (name, xml) =>
       val hasChoice = xml.contains("<choice")
@@ -341,6 +409,14 @@ class DfasdlSpec extends AnyFunSuite {
         val d = Dfasdl.parseSchema(xml)
         assert(d.fields.nonEmpty)
         ok += 1
+        if (xml.contains("<formatstr")) {
+          // r8: formatstr is a leaf kind — it must surface as a field, not
+          // silently vanish as a descended-through wrapper (a formatstr in
+          // a LATER sequence than the record container legitimately stays
+          // out of the record, hence the ratio below, not a hard assert)
+          fsDocs += 1
+          if ((d.fields ++ d.preamble).exists(_.kind == "formatstr")) fsSurfaced += 1
+        }
         if (hasChoice) {
           choiceParsed += 1
           // the choice surfaced as a dispatching slot, not a flattened
@@ -363,7 +439,11 @@ class DfasdlSpec extends AnyFunSuite {
     assert(choiceDocs > 0, "reference corpus lost its choice fixtures?")
     assert(choiceParsed >= (choiceDocs * 0.7).toInt,
       s"only $choiceParsed/$choiceDocs choice documents parsed")
-    info(s"sweep: $ok/${dfasdls.size} parsed; choice docs $choiceParsed/$choiceDocs")
+    assert(fsDocs > 0, "reference corpus lost its formatstr fixtures?")
+    assert(fsSurfaced >= (fsDocs * 0.7).toInt,
+      s"formatstr fields surfaced in only $fsSurfaced/$fsDocs formatstr docs")
+    info(s"sweep: $ok/${dfasdls.size} parsed; choice docs $choiceParsed/$choiceDocs; " +
+      s"formatstr docs $fsSurfaced/$fsDocs surface formatstr fields")
   }
 
   private val orderXmlDoc =
