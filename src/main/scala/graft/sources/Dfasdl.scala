@@ -47,6 +47,14 @@ object Dfasdl {
       extends Slot {
     def attr(name: String): Option[String] = attrs.get(name)
 
+    /** An id-less leaf — the reference's consumed-and-discarded positions
+      * (its vCard schemas interleave `<str class="label" stop-sign=":"/>`
+      * label tokens between the value leaves; the parser reads them but no
+      * mapping can address them). Such slots consume a raw token in the
+      * readers and never surface as output columns.
+      */
+    def anonymous: Boolean = attrs.contains(AnonMarker)
+
     /** SURVEY §3 type mapping. */
     def sparkType: DataType = kind match {
       case "num"                      => LongType
@@ -113,7 +121,7 @@ object Dfasdl {
       * as either/or nullability).
       */
     def fields: Seq[Field] = slots.flatMap {
-      case f: Field      => Seq(f)
+      case f: Field      => if (f.anonymous) Nil else Seq(f)
       case c: ChoiceSlot => c.leaves
     }
     def schema: StructType =
@@ -158,11 +166,21 @@ object Dfasdl {
       .getDocumentElement
   }
 
+  /** Internal attrs marker for anonymous (id-less) skip leaves — never read
+    * from a document.
+    */
+  private val AnonMarker = "graft:anonymous"
+  private val anonIds = new java.util.concurrent.atomic.AtomicLong
+
   private def fieldOf(e: XmlElement): Field =
-    Field(Option(e.getAttribute("id")).filter(_.nonEmpty)
-        .getOrElse(throw new IllegalArgumentException(
-          s"DFASDL element <${nameOf(e)}> has no id")),
-      nameOf(e), attrsOf(e))
+    Option(e.getAttribute("id")).filter(_.nonEmpty) match {
+      case Some(id) => Field(id, nameOf(e), attrsOf(e))
+      case None =>
+        // an id-less leaf is a skip position (see [[Field.anonymous]]); the
+        // synthetic id only needs to be unique within the raw read schema
+        Field(s"_skip_${anonIds.incrementAndGet()}", nameOf(e),
+          attrsOf(e) + (AnonMarker -> "true"))
+    }
 
   /** Parse a DFASDL schema document. The record layout is the set of leaf
     * elements under the first `seq`; anything before it is preamble
@@ -194,6 +212,11 @@ object Dfasdl {
         if (flat.nonEmpty) (flat: Seq[Slot]) else top.flatMap(slotsUnder)
     }
     require(slots.nonEmpty, "DFASDL document defines no record fields")
+    require(slots.exists {
+      case f: Field => !f.anonymous
+      case _        => true
+    }, "DFASDL document defines only anonymous (id-less) skip elements; " +
+      "no record field is addressable")
     // the per-record wrapper's XML name: the first elem under the seq (the
     // reference's <elem id="row"> — XmlFileParser resolves names through
     // xml-element-name with the id as fallback, see getXmlElementName at
@@ -363,6 +386,7 @@ object Dfasdl {
     }
     val raw = Sources.readFixedWidth(spark, path, widths)
     bounded(raw.select(doc.slots.flatMap {
+      case f: Field if f.anonymous => Nil // consumed, never surfaced
       case f: Field      => Seq(coerce(f, col(f.id)).as(f.id))
       case c: ChoiceSlot => choiceCols(c, col(c.id))
     }: _*), doc)
@@ -544,6 +568,7 @@ object Dfasdl {
     * exact inverse.
     */
   def writeDelimited(df: DataFrame, doc: Doc, path: String): Unit = {
+    requireNoAnonymous(doc, "writeDelimited")
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
     val stopSigns = doc.slots.map(slotStopSign)
@@ -576,6 +601,7 @@ object Dfasdl {
     * sink, one file per partition.
     */
   def writeFixedWidth(df: DataFrame, doc: Doc, path: String): Unit = {
+    requireNoAnonymous(doc, "writeFixedWidth")
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
     val parts = doc.fields.map { f =>
@@ -589,6 +615,17 @@ object Dfasdl {
     }
     df.select(concat(parts: _*).as("value")).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
+
+  /** A document whose record interleaves anonymous skip tokens cannot be
+    * WRITTEN from a DataFrame: the discarded token values (the reference's
+    * vCard label positions) exist only in the original byte stream.
+    */
+  private def requireNoAnonymous(doc: Doc, op: String): Unit = {
+    val anon = doc.slots.collect { case f: Field if f.anonymous => f }
+    require(anon.isEmpty,
+      s"$op: the document holds ${anon.size} anonymous (id-less) skip " +
+        "element(s); every written slot must be bound to a DataFrame column")
   }
 
   /** Type coercion from an all-strings read (fixed-width) to the §3 types:
@@ -626,6 +663,7 @@ object Dfasdl {
     * the token iff ITS branch is the first whose parse succeeds.
     */
   private def slotCols(doc: Doc): Seq[Column] = doc.slots.flatMap {
+    case f: Field if f.anonymous => Nil // consumed, never surfaced
     case f: Field      => Seq(convert(f, col(f.id)).as(f.id))
     case c: ChoiceSlot => choiceCols(c, col(c.id))
   }

@@ -378,6 +378,30 @@ class DfasdlSpec extends AnyFunSuite {
     assert(d1.fields.map(_.id) == Seq("x"))
   }
 
+  test("anonymous (id-less) leaves are skip positions: consumed, never surfaced") {
+    // the reference's vCard schemas interleave id-less label tokens between
+    // value leaves (FileParsers/vCard/complex-01.xml:
+    // <str class="label" stop-sign=":"/> before every value)
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str class="label"/>
+        |  <str id="version"/>
+        |  <str class="label"/>
+        |  <num id="count"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    assert(d.fields.map(_.id) == Seq("version", "count"))
+    assert(d.slots.size == 4) // the skip positions still consume tokens
+    val path = tmpCsv("anon", "VERSION,3.0,COUNT,7\nVERSION,2.1,COUNT,9\n")
+    val rows = Dfasdl.readDelimited(spark, path, d).orderBy("count").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("3.0", 7L), ("2.1", 9L)))
+    // the discarded label values exist only in the source bytes — writes
+    // of such documents reject rather than fabricate tokens
+    val e = intercept[IllegalArgumentException](
+      Dfasdl.writeDelimited(Dfasdl.readDelimited(spark, path, d), d, "/tmp/x"))
+    assert(e.getMessage.contains("anonymous"))
+  }
+
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
     // Runs only where the reference checkout is present (test-time read;
     // nothing is copied into this repo). parseSchema must either produce a
