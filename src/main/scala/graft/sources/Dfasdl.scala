@@ -332,12 +332,77 @@ object Dfasdl {
     * csv read, so pruning and pushdown still apply.
     */
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
+    if (isLineChoiceDoc(doc)) return readChoiceLines(spark, path, doc)
     val raw = spark.read
       .option("header", doc.preamble.nonEmpty.toString)
       .option("sep", sepOf(doc))
       .schema(rawSchema(doc))
       .csv(path)
     bounded(raw.select(slotCols(doc): _*), doc)
+  }
+
+  // ------------------------------- line-shaped multi-leaf choice documents
+
+  /** Is this document the reference's token-stream choice shape — ONE choice
+    * as the whole record, with at least one multi-leaf branch? Its
+    * email-header / vCard schemas pair a `start-sign`-anchored label leaf
+    * (stop-sign `:`) with a value leaf per branch; each RECORD is one line
+    * and the branch's own stop-signs split it from within.
+    */
+  private def isLineChoiceDoc(doc: Doc): Boolean = doc.slots match {
+    case Seq(c: ChoiceSlot) => c.branches.exists(_.leaves.size > 1)
+    case _                  => false
+  }
+
+  /** Per-branch extraction regex over one raw record line: every leaf but
+    * the last captures up to its `stop-sign` (a regex fragment, exactly how
+    * the reference embeds it — FileParserFunctions.buildRegularExpression
+    * interpolates the stop sign into the pattern), anchored by the leaf's
+    * `start-sign` when declared; the last leaf captures the rest.
+    */
+  private def branchLinePattern(b: Branch): String = {
+    def startOf(f: Field) = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
+    val init = b.leaves.init.map { f =>
+      s"(${startOf(f)}.*?)(?:${f.attr("stop-sign").getOrElse(",")})"
+    }.mkString
+    val last = s"(${startOf(b.leaves.last)}.*)"
+    "(?s)^" + init + last + "$"
+  }
+
+  /** Read a line-per-record multi-leaf-choice document ([[isLineChoiceDoc]]):
+    * each line tries the branches in order and the first whose pattern
+    * matches wins (the reference's BaseParser choice state machine over the
+    * byte stream, with the line as the record scope — the parent seq's
+    * record stop-sign is the line break). Branch leaves surface as nullable
+    * columns; `trim` attributes apply; anonymous label leaves are consumed
+    * and dropped. One distributed text scan, all dispatch codegen'd.
+    */
+  private def readChoiceLines(spark: SparkSession, path: String,
+                              doc: Doc): DataFrame = {
+    val ch = doc.slots.head.asInstanceOf[ChoiceSlot]
+    val line = col("value")
+    val patterns = ch.branches.map(branchLinePattern)
+    val preds = patterns.map(p => line.rlike(p))
+    val cols = ch.branches.zipWithIndex.flatMap { case (b, i) =>
+      val firstMatch =
+        preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
+      b.leaves.zipWithIndex.collect {
+        case (f, j) if !f.anonymous =>
+          val v = applyTrim(f, regexp_extract(line, patterns(i), j + 1))
+          when(firstMatch, coerce(f, v)).as(f.id)
+      }
+    }
+    bounded(spark.read.text(path).select(cols: _*), doc)
+  }
+
+  /** The reference's `trim` attribute (trim="both"/"left"/"right") on a
+    * parsed value.
+    */
+  private def applyTrim(f: Field, c: Column): Column = f.attr("trim") match {
+    case Some("both")  => trim(c)
+    case Some("left")  => ltrim(c)
+    case Some("right") => rtrim(c)
+    case _             => c
   }
 
   /** Streaming twin of [[readDelimited]]: the same schema and format
@@ -568,6 +633,7 @@ object Dfasdl {
     * exact inverse.
     */
   def writeDelimited(df: DataFrame, doc: Doc, path: String): Unit = {
+    if (isLineChoiceDoc(doc)) return writeChoiceLines(df, doc, path)
     requireNoAnonymous(doc, "writeDelimited")
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
@@ -589,6 +655,36 @@ object Dfasdl {
       df.select(concat(parts: _*).as("value")).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
     }
+  }
+
+  /** Write side of [[readChoiceLines]]: each row renders its POPULATED
+    * branch as the branch's leaf values joined by their literal stop-sign
+    * text — exactly what the reference's writer emits (value bytes then the
+    * element's stop-sign string, uninterpreted; FileWriterActor.scala:
+    * 281-307). Branches are either/or by construction, so coalesce picks
+    * the one whose leaves are non-null.
+    */
+  private def writeChoiceLines(df: DataFrame, doc: Doc, path: String): Unit = {
+    val ch = doc.slots.head.asInstanceOf[ChoiceSlot]
+    val named = ch.branches.map { b =>
+      val addressable = b.leaves.filterNot(_.anonymous)
+      require(addressable.nonEmpty, s"choice ${ch.id} branch ${b.id} holds " +
+        "only anonymous leaves; nothing binds it to a DataFrame column")
+      (b, addressable)
+    }
+    val rendered = named.map { case (b, addressable) =>
+      val parts = b.leaves.zipWithIndex.flatMap { case (f, j) =>
+        val v: Column =
+          if (f.anonymous) lit("") // discarded label bytes are gone; see spec
+          else renderValue(f, col(f.id))
+        if (j == b.leaves.size - 1) Seq(v)
+        else Seq(v, lit(f.attr("stop-sign").getOrElse(",")))
+      }
+      when(addressable.map(f => col(f.id).isNotNull).reduce(_ || _),
+        concat(parts: _*))
+    }
+    df.select(coalesce((rendered :+ lit("")): _*).as("value")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
   }
 
   /** Write a DataFrame as the fixed-width flat file a DFASDL schema with
@@ -693,6 +789,17 @@ object Dfasdl {
     case _ => lit(true) // str / time / format / bin: the catch-all branches
   }
 
+  /** [[branchMatches]] plus the leaf's `start-sign` anchor when declared —
+    * the reference dispatches its email-header branches on exactly this
+    * (a branch whose start-sign doesn't begin the data is BROKEN and the
+    * next branch retries).
+    */
+  private def branchDispatch(f: Field, c: Column): Column =
+    f.attr("start-sign") match {
+      case Some(p) => c.rlike(s"(?s)^(?:$p)") && branchMatches(f, c)
+      case None    => branchMatches(f, c)
+    }
+
   /** First-match-wins dispatch of one raw choice token to its branch
     * columns — branch i gets the value when it matches AND no earlier
     * branch did (the in-order retry of the reference's choice state
@@ -700,7 +807,7 @@ object Dfasdl {
     */
   private def choiceCols(ch: ChoiceSlot, raw: Column): Seq[Column] = {
     val leaves = ch.singleLeafBranches
-    val preds = leaves.map(b => branchMatches(b, raw))
+    val preds = leaves.map(b => branchDispatch(b, raw))
     leaves.zipWithIndex.map { case (b, i) =>
       val firstMatch =
         preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
@@ -726,6 +833,7 @@ object Dfasdl {
         case _         => regexp_replace(raw, ",", "")
       }
       normalized.cast(DoubleType)
+    case "str" if f.attr("trim").isDefined => applyTrim(f, c)
     case "formatstr" =>
       // the reference applies the format regex to the raw token and yields
       // group(1) of the first match; a match without a capture group, or no

@@ -291,19 +291,49 @@ class DfasdlSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("str-v") == "hello" && rows(1).isNullAt(rows(1).fieldIndex("num-v")))
   }
 
-  test("choice: multi-leaf branches parse (email-header shape) but reject delimited reads") {
-    // the reference's email-01.xml pairs a label leaf with a value leaf per
-    // branch — a token-stream schema: it must MODEL, and the fixed-arity
-    // delimited reader must reject it with a typed error, not mis-read
-    val multiLeaf =
-      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s">
-        |  <choice id="c"><celem id="b"><num id="n"/><str id="t"/></celem></choice>
-        |</seq></dfasdl>""".stripMargin
-    val d = Dfasdl.parseSchema(multiLeaf)
-    assert(d.fields.map(_.id) == Seq("n", "t"))
-    val e1 = intercept[IllegalArgumentException](
-      Dfasdl.readDelimited(spark, "/dev/null", d))
-    assert(e1.getMessage.contains("exactly one leaf"))
+  test("choice: multi-leaf line records dispatch by start-sign (email-header shape)") {
+    // the reference's Email/email-01.xml: each RECORD is one "Label: value"
+    // line; every branch pairs a start-sign-anchored label leaf (stop-sign
+    // ":") with a trimmed value leaf, plus a generic catch-all branch last.
+    // Branches try in order; the first whose pattern matches the line wins.
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="headers">
+        |  <choice id="header">
+        |    <celem id="from">
+        |      <str id="fromLabel" start-sign="From" stop-sign=":"/>
+        |      <str id="fromValue" trim="both"/>
+        |    </celem>
+        |    <celem id="subject">
+        |      <str id="subjectLabel" start-sign="Subject" stop-sign=":"/>
+        |      <str id="subjectValue" trim="both"/>
+        |    </celem>
+        |    <celem id="generic">
+        |      <str id="genericLabel" stop-sign=":"/>
+        |      <str id="genericValue" trim="both"/>
+        |    </celem>
+        |  </choice>
+        |</seq></dfasdl>""".stripMargin)
+    assert(d.fields.map(_.id) == Seq("fromLabel", "fromValue", "subjectLabel",
+      "subjectValue", "genericLabel", "genericValue"))
+    val path = tmpCsv("email",
+      "From: alice@example.com\nSubject: greetings\nX-Custom: zzz\n")
+    val df = Dfasdl.readDelimited(spark, path, d)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val byLabel = rows.map { r =>
+      val vals = d.fields.map(f => Option(r.getAs[String](f.id)))
+      vals.flatten.mkString("|")
+    }.toSet
+    assert(byLabel == Set("From|alice@example.com", "Subject|greetings",
+      "X-Custom|zzz"))
+    // write side: the populated branch renders value + literal stop-sign
+    val out = Files.createTempDirectory("emailout").toString
+    Dfasdl.writeDelimited(df, d, out)
+    val back = Dfasdl.readDelimited(spark, out, d)
+    assert(back.orderBy("genericLabel", "fromLabel", "subjectLabel").collect()
+      .toSeq.map(_.toString).sorted ==
+      df.orderBy("genericLabel", "fromLabel", "subjectLabel").collect()
+      .toSeq.map(_.toString).sorted)
     val badBranch =
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s">
         |  <choice id="c"><str id="n"/></choice>
