@@ -1028,7 +1028,28 @@ object Dfasdl {
           "mapping sources from the source tree too); chain cookbooks " +
           "explicitly instead: applyCookbook(applyCookbook(df, first), second)")
     }
-    val cols = fms.map(m => m.build(m.sources.map(col)).as(m.target))
+    // target-element defaults (defaultnum / defaultstr): the reference's
+    // mapping workers substitute the TARGET element's declared default when
+    // the mapped source data is None or an empty string
+    // (processor/MappingOneToOneWorker.scala:291-296 via
+    // ProcessorHelpers.getDefaultValue; its DatabaseSchemaExtractor plants
+    // these from column DEFAULT clauses). Numeric targets parse the default
+    // driver-side so the column type is stable.
+    val targetFields: Map[String, Field] =
+      cb.target.map(_.fields.map(f => f.id -> f).toMap).getOrElse(Map.empty)
+    def withDefault(m: Pipeline.FieldMapping, c: Column): Column =
+      targetFields.get(m.target)
+        .flatMap(f => f.attr("defaultnum").orElse(f.attr("defaultstr")).map(f -> _))
+        .fold(c) { case (f, d) =>
+          val dLit = f.kind match {
+            case "num" => scala.util.Try(lit(d.trim.toLong)).getOrElse(lit(d))
+            case "formatnum" =>
+              scala.util.Try(lit(d.trim.toDouble)).getOrElse(lit(d))
+            case _ => lit(d)
+          }
+          when(c.isNull || c.cast(StringType) === lit(""), dLit).otherwise(c)
+        }
+    val cols = fms.map(m => withDefault(m, m.build(m.sources.map(col))).as(m.target))
     cb.target match {
       case Some(t) =>
         val pos = t.fields.map(_.id).zipWithIndex.toMap

@@ -342,6 +342,42 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("celem"))
   }
 
+  test("cookbook target defaults (defaultnum/defaultstr) fill empty mapped data") {
+    // reference: MappingOneToOneWorker substitutes the TARGET element's
+    // defaultnum/defaultstr when the mapped source value is None or empty
+    // (ProcessorHelpers.getDefaultValue); ~400 corpus attributes use this
+    val cb = Dfasdl.parseCookbook(
+      """<cookbook id="defaults">
+        |  <source><dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="src">
+        |    <seq id="rows"><elem id="row">
+        |      <str id="name"/><str id="qty"/><str id="status"/>
+        |    </elem></seq>
+        |  </dfasdl></source>
+        |  <target><dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="tgt">
+        |    <seq id="trows"><elem id="trow">
+        |      <str id="t_name"/>
+        |      <num id="t_qty" defaultnum="0"/>
+        |      <str id="t_status" defaultstr="open"/>
+        |    </elem></seq>
+        |  </dfasdl></target>
+        |  <recipe id="r" mode="one-to-one">
+        |    <mapping><sources>name</sources><targets>t_name</targets></mapping>
+        |    <mapping><sources>qty</sources><targets>t_qty</targets>
+        |      <transformation class="com.wegtam.tensei.agent.transformers.CastStringToLong"/>
+        |    </mapping>
+        |    <mapping><sources>status</sources><targets>t_status</targets></mapping>
+        |  </recipe>
+        |</cookbook>""".stripMargin)
+    val path = tmpCsv("defaults", "bob,7,done\nann,,\n")
+    val df = Dfasdl.applyCookbook(
+      Dfasdl.readDelimited(spark, path, cb.source), cb)
+    val rows = df.orderBy("t_name").collect()
+    assert(rows(0).getString(0) == "ann" && rows(0).getLong(1) == 0L &&
+      rows(0).getString(2) == "open") // empty source -> target defaults
+    assert(rows(1).getString(0) == "bob" && rows(1).getLong(1) == 7L &&
+      rows(1).getString(2) == "done") // populated source passes through
+  }
+
   test("formatstr extracts its format group; unmatched tokens are null") {
     // reference semantics (FileParserFunctions.scala:286-301): apply the
     // format regex, yield group(1) of the first match; a non-match, or a
