@@ -548,6 +548,64 @@ object SourceQueries {
       | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS v_str
       |FROM orders""".stripMargin
 
+  // --------------------------------------------------- q48_dfasdl_lines
+  // Line-shaped multi-leaf choice documents end-to-end (the reference's
+  // email-header / vCard shape — Email/email-01.xml: each record is one
+  // "Label: value" line; branches pair a start-sign-anchored label leaf
+  // with a value leaf, last branch the generic catch-all). Orders stage as
+  // three line shapes by orderkey mod 3; the schema dispatches each line
+  // to its first matching branch, the ORDER branch parses its value as
+  // num, the catch-all's value is a formatstr whose format regex extracts
+  // the digits (FileParserFunctions.scala:286 group(1) semantics). The
+  // oracle replays dispatch AND extraction with CASE + regexp_extract —
+  // a wrong branch, a lost trim, or a formatstr drift breaks the hash.
+  private def q48DfasdlLines(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("dfasdllines", dir) { out =>
+      Tables.orders(spark, dir).select(
+        when(col("o_orderkey") % 3 === 1,
+          concat(lit("ORDER: "), (col("o_orderkey") * 2).cast(StringType)))
+          .when(col("o_orderkey") % 3 === 2,
+            concat(lit("PRIO: "), col("o_orderkey").cast(StringType),
+              lit("-"), col("o_orderpriority")))
+          .otherwise(concat(lit("REF: R"), col("o_orderkey").cast(StringType),
+            lit("x"))).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(out)
+    }
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="ORDERLINES" semantic="niem">
+        |  <seq id="lines">
+        |    <choice id="line">
+        |      <celem id="order">
+        |        <str id="order_label" start-sign="ORDER" stop-sign=":"/>
+        |        <num id="order_value" trim="both"/>
+        |      </celem>
+        |      <celem id="prio">
+        |        <str id="prio_label" start-sign="PRIO" stop-sign=":"/>
+        |        <str id="prio_value" trim="both"/>
+        |      </celem>
+        |      <celem id="generic">
+        |        <str id="ref_label" stop-sign=":"/>
+        |        <formatstr id="ref_value" format="R(\d+)" trim="both"/>
+        |      </celem>
+        |    </choice>
+        |  </seq>
+        |</dfasdl>""".stripMargin)
+    Dfasdl.readDelimited(spark, tmp, doc)
+  }
+
+  private val q48DfasdlLinesSql =
+    """SELECT CASE WHEN o_orderkey % 3 = 1 THEN 'ORDER' END AS order_label,
+      | CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey * 2 END AS order_value,
+      | CASE WHEN o_orderkey % 3 = 2 THEN 'PRIO' END AS prio_label,
+      | CASE WHEN o_orderkey % 3 = 2
+      |   THEN o_orderkey || '-' || o_orderpriority END AS prio_value,
+      | CASE WHEN o_orderkey % 3 = 0 THEN 'REF' END AS ref_label,
+      | CASE WHEN o_orderkey % 3 = 0
+      |   THEN regexp_extract('R' || o_orderkey || 'x', 'R(\d+)', 1)
+      | END AS ref_value
+      |FROM orders""".stripMargin
+
   // ------------------------------------------------------------ q47_avro
   // Avro container round-trip (sources/Avro.scala — avro CORE container +
   // codec layer, graft sync-marker split plumbing): orders writes to
@@ -580,6 +638,7 @@ object SourceQueries {
     QueryDef("q45_dfasdl_write", q45DfasdlWrite, Some(q45DfasdlWriteSql)),
     QueryDef("q46_dfasdl_choice", q46DfasdlChoice, Some(q46DfasdlChoiceSql)),
     QueryDef("q47_avro", q47Avro, Some(q47AvroSql)),
+    QueryDef("q48_dfasdl_lines", q48DfasdlLines, Some(q48DfasdlLinesSql)),
     QueryDef("q41_jdbc", q41Jdbc, Some(q41JdbcSql)),
     QueryDef("q42_dfasdl", q42Dfasdl, Some(q42DfasdlSql)),
     QueryDef("q28_constraints", q28Constraints, Some(q28ConstraintsSql)),
