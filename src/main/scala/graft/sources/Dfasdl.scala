@@ -333,6 +333,7 @@ object Dfasdl {
     */
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
     if (isLineChoiceDoc(doc)) return readChoiceLines(spark, path, doc)
+    requireUniformSep(doc)
     val raw = spark.read
       .option("header", doc.preamble.nonEmpty.toString)
       .option("sep", sepOf(doc))
@@ -417,6 +418,7 @@ object Dfasdl {
     require(doc.rowLimit.isEmpty, "a fixseq-bounded document (LIMIT " +
       s"${doc.rowLimit.getOrElse(0L)}) cannot drive an unbounded stream; " +
       "use readDelimited for the bounded batch read")
+    requireUniformSep(doc)
     val raw = spark.readStream
       .option("header", doc.preamble.nonEmpty.toString)
       .option("sep", sepOf(doc))
@@ -733,6 +735,26 @@ object Dfasdl {
     case "datetime" if f.attr("format").isEmpty => c.cast(TimestampType)
     case "bin" | "bin64"                    => unbase64(c)
     case _                                  => convert(f, c)
+  }
+
+  /** A fixed-arity CSV read needs ONE separator between record positions.
+    * A document whose non-final slots declare MIXED stop-signs (the
+    * reference's vCard complex schemas alternate ":"-stopped labels with
+    * line-stopped values) is a token-stream layout: its byte-walking parser
+    * can honor per-element separators, a columnar CSV split cannot —
+    * reject with guidance instead of silently mis-splitting every row.
+    * (The final slot's stop-sign is the record terminator; ignored, as the
+    * csv source owns line termination.)
+    */
+  private def requireUniformSep(doc: Doc): Unit = {
+    val signs =
+      if (doc.slots.size <= 1) Nil
+      else doc.slots.init.map(s => slotStopSign(s).getOrElse(",")).distinct
+    require(signs.size <= 1,
+      s"record declares mixed stop-signs (${signs.mkString(" vs ")}) — not a " +
+        "uniform-separator delimited layout. Line-shaped choice documents " +
+        "dispatch per line; other token-stream layouts (e.g. the vCard " +
+        "label:value stream) have no fixed-arity CSV rendering")
   }
 
   private def sepOf(doc: Doc): String =

@@ -468,6 +468,22 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("anonymous"))
   }
 
+  test("mixed per-field stop-signs reject the CSV read instead of mis-splitting") {
+    // the reference's vCard complex-01.xml alternates ':'-stopped labels
+    // with line-stopped values — a token-stream layout the byte-walking
+    // parser can honor but a fixed-separator CSV split cannot
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str class="label" stop-sign=":"/>
+        |  <str id="version"/>
+        |  <str class="label" stop-sign=":"/>
+        |  <str id="name"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Dfasdl.readDelimited(spark, "/dev/null", d))
+    assert(e.getMessage.contains("mixed stop-signs"), e.getMessage)
+  }
+
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
     // Runs only where the reference checkout is present (test-time read;
     // nothing is copied into this repo). parseSchema must either produce a
