@@ -122,7 +122,7 @@ object Dfasdl {
       */
     def fields: Seq[Field] = slots.flatMap {
       case f: Field      => if (f.anonymous) Nil else Seq(f)
-      case c: ChoiceSlot => c.leaves
+      case c: ChoiceSlot => c.leaves.filterNot(_.anonymous)
     }
     def schema: StructType =
       StructType(fields.map(f => StructField(f.id, f.sparkType)))
@@ -170,17 +170,38 @@ object Dfasdl {
     * from a document.
     */
   private val AnonMarker = "graft:anonymous"
-  private val anonIds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Internal attrs marker on the 2..k copies of a nested-fixseq expansion
+    * — such fields are addressed by POSITION, which the keyed XML/JSON
+    * readers cannot resolve (see [[requireNoRepeatInstances]]).
+    */
+  private val FixseqInstanceMarker = "graft:fixseq-instance"
 
   private def fieldOf(e: XmlElement): Field =
     Option(e.getAttribute("id")).filter(_.nonEmpty) match {
       case Some(id) => Field(id, nameOf(e), attrsOf(e))
       case None =>
-        // an id-less leaf is a skip position (see [[Field.anonymous]]); the
-        // synthetic id only needs to be unique within the raw read schema
-        Field(s"_skip_${anonIds.incrementAndGet()}", nameOf(e),
-          attrsOf(e) + (AnonMarker -> "true"))
+        // an id-less leaf is a skip position (see [[Field.anonymous]]);
+        // [[parseSchema]] renumbers the placeholder deterministically by
+        // record position so two parses of one document agree on ids
+        Field("_skip_", nameOf(e), attrsOf(e) + (AnonMarker -> "true"))
     }
+
+  /** Deterministic ids for anonymous leaves: `_skip_1`..`_skip_n` in record
+    * order (a process-global counter would make two parses of the SAME
+    * document disagree on ids and break write-side column matching).
+    */
+  private def renumberAnon(slots: Seq[Slot]): Seq[Slot] = {
+    var i = 0
+    def renameF(f: Field): Field =
+      if (!f.anonymous) f
+      else { i += 1; f.copy(id = s"_skip_$i") }
+    slots.map {
+      case f: Field => renameF(f)
+      case c: ChoiceSlot =>
+        c.copy(branches = c.branches.map(b => b.copy(leaves = b.leaves.map(renameF))))
+    }
+  }
 
   /** Parse a DFASDL schema document. The record layout is the set of leaf
     * elements under the first `seq`; anything before it is preamble
@@ -233,8 +254,12 @@ object Dfasdl {
       case seq if nameOf(seq) == "fixseq" =>
         Option(seq.getAttribute("count")).filter(_.nonEmpty).map(_.toLong)
     }.flatten
+    rowLimit.foreach(n => require(n >= 0 && n <= Int.MaxValue,
+      s"fixseq count $n is outside the supported record bound [0, 2^31)"))
+    val renumbered = renumberAnon((preamble: Seq[Slot]) ++ slots)
+    val (pre2, slots2) = renumbered.splitAt(preamble.size)
     Doc(Option(root.getAttribute("id")).filter(_.nonEmpty).getOrElse("dfasdl"),
-      preamble, slots, rowName, rowLimit)
+      pre2.collect { case f: Field => f }, slots2, rowName, rowLimit)
   }
 
   /** Apply a top-level fixseq's record bound to a batch read (LIMIT count —
@@ -242,6 +267,28 @@ object Dfasdl {
     */
   private def bounded(df: DataFrame, doc: Doc): DataFrame =
     doc.rowLimit.fold(df)(n => df.limit(n.toInt))
+
+  /** A fixseq-bounded document cannot drive an unbounded stream — reject
+    * rather than silently dropping the declared LIMIT.
+    */
+  private def requireUnbounded(doc: Doc, op: String): Unit =
+    require(doc.rowLimit.isEmpty, s"$op: a fixseq-bounded document (LIMIT " +
+      s"${doc.rowLimit.getOrElse(0L)}) cannot drive an unbounded stream; " +
+      "use the batch reader for the bounded read")
+
+  /** Nested-fixseq repeat instances (the `_2`..`_k` expansion columns) are
+    * addressed by record POSITION; a keyed XML/JSON read would look up a
+    * key/element that never exists in the data (the data repeats ONE
+    * key) and return null for every record — reject instead.
+    */
+  private def requireNoRepeatInstances(doc: Doc, op: String): Unit = {
+    val inst = doc.fields.filter(_.attrs.contains(FixseqInstanceMarker))
+    require(inst.isEmpty,
+      s"$op: fields ${inst.map(_.id).mkString(", ")} are nested-fixseq " +
+        "repeat instances addressed by position; the keyed readers cannot " +
+        "resolve them — read positional layouts via readDelimited/" +
+        "readFixedWidth")
+  }
 
   private def xmlNameOfElem(e: XmlElement): String =
     Option(e.getAttribute("xml-element-name")).filter(_.nonEmpty)
@@ -275,10 +322,12 @@ object Dfasdl {
     require(n >= 1, s"fixseq ${Option(e.getAttribute("id")).getOrElse("?")} " +
       s"declares count=$n; a fixed sequence repeats at least once")
     def suffix(s: Slot, sfx: String): Slot = s match {
-      case f: Field => f.copy(id = f.id + sfx)
+      case f: Field => f.copy(id = f.id + sfx,
+        attrs = f.attrs + (FixseqInstanceMarker -> "true"))
       case c: ChoiceSlot => c.copy(id = c.id + sfx,
         branches = c.branches.map(b => b.copy(id = b.id + sfx,
-          leaves = b.leaves.map(l => l.copy(id = l.id + sfx)))))
+          leaves = b.leaves.map(l => l.copy(id = l.id + sfx,
+            attrs = l.attrs + (FixseqInstanceMarker -> "true"))))))
     }
     if (n == 1) inner
     else inner ++ (2 to n).flatMap(i => inner.map(s => suffix(s, s"_$i")))
@@ -359,15 +408,23 @@ object Dfasdl {
     * the last captures up to its `stop-sign` (a regex fragment, exactly how
     * the reference embeds it — FileParserFunctions.buildRegularExpression
     * interpolates the stop sign into the pattern), anchored by the leaf's
-    * `start-sign` when declared; the last leaf captures the rest.
+    * `start-sign` when declared; the last leaf captures the rest. Returns
+    * the pattern plus each leaf's CAPTURE-GROUP index — computed by
+    * counting the groups each fragment actually contributes, so a
+    * start-sign/stop-sign fragment carrying its own capture groups (a
+    * plain regex alternation like `(F|f)rom`) cannot shift which group a
+    * later leaf reads.
     */
-  private def branchLinePattern(b: Branch): String = {
+  private def branchLinePlan(b: Branch): (String, Seq[Int]) = {
     def startOf(f: Field) = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
-    val init = b.leaves.init.map { f =>
+    val frags = b.leaves.init.map { f =>
       s"(${startOf(f)}.*?)(?:${f.attr("stop-sign").getOrElse(",")})"
-    }.mkString
-    val last = s"(${startOf(b.leaves.last)}.*)"
-    "(?s)^" + init + last + "$"
+    } :+ s"(${startOf(b.leaves.last)}.*)"
+    def groupsIn(frag: String): Int =
+      try java.util.regex.Pattern.compile(frag).matcher("").groupCount()
+      catch { case _: java.util.regex.PatternSyntaxException => 1 }
+    val idxs = frags.map(groupsIn).scanLeft(0)(_ + _).init.map(_ + 1)
+    ("(?s)^" + frags.mkString + "$", idxs)
   }
 
   /** Read a line-per-record multi-leaf-choice document ([[isLineChoiceDoc]]):
@@ -382,18 +439,36 @@ object Dfasdl {
                               doc: Doc): DataFrame = {
     val ch = doc.slots.head.asInstanceOf[ChoiceSlot]
     val line = col("value")
-    val patterns = ch.branches.map(branchLinePattern)
-    val preds = patterns.map(p => line.rlike(p))
-    val cols = ch.branches.zipWithIndex.flatMap { case (b, i) =>
-      val firstMatch =
-        preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
-      b.leaves.zipWithIndex.collect {
-        case (f, j) if !f.anonymous =>
-          val v = applyTrim(f, regexp_extract(line, patterns(i), j + 1))
-          when(firstMatch, coerce(f, v)).as(f.id)
-      }
+    val plans = ch.branches.map(branchLinePlan)
+    // a branch matches when its line pattern matches AND every leaf's
+    // extracted token passes its typed-parse predicate — the reference's
+    // BROKEN-branch retry covers type failures, not just shape failures
+    // (and under ANSI mode an unguarded cast of a shape-matched but
+    // type-invalid token would kill the job instead of falling through)
+    val preds = ch.branches.zip(plans).map { case (b, (p, idxs)) =>
+      b.leaves.zip(idxs).map { case (f, g) =>
+        branchMatches(f, applyTrim(f, regexp_extract(line, p, g)))
+      }.foldLeft(line.rlike(p))(_ && _)
     }
-    bounded(spark.read.text(path).select(cols: _*), doc)
+    val cols = ch.branches.zip(plans).zipWithIndex.flatMap {
+      case ((b, (p, idxs)), i) =>
+        val firstMatch =
+          preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
+        b.leaves.zip(idxs).collect {
+          case (f, g) if !f.anonymous =>
+            val v = applyTrim(f, regexp_extract(line, p, g))
+            when(firstMatch, coerce(f, v)).as(f.id)
+        }
+    }
+    // a declared preamble means the first line of each file is a header:
+    // route through the csv source (separator that cannot occur, quoting
+    // off) purely for its per-file header skip — text() has none
+    val raw =
+      if (doc.preamble.isEmpty) spark.read.text(path)
+      else spark.read.option("header", "true").option("sep", "\u0001")
+        .option("quote", "")
+        .schema(StructType(Seq(StructField("value", StringType)))).csv(path)
+    bounded(raw.select(cols: _*), doc)
   }
 
   /** The reference's `trim` attribute (trim="both"/"left"/"right") on a
@@ -415,9 +490,7 @@ object Dfasdl {
     */
   def readDelimitedStream(spark: SparkSession, dirPath: String,
                           doc: Doc): DataFrame = {
-    require(doc.rowLimit.isEmpty, "a fixseq-bounded document (LIMIT " +
-      s"${doc.rowLimit.getOrElse(0L)}) cannot drive an unbounded stream; " +
-      "use readDelimited for the bounded batch read")
+    requireUnbounded(doc, "readDelimitedStream")
     requireUniformSep(doc)
     val raw = spark.readStream
       .option("header", doc.preamble.nonEmpty.toString)
@@ -485,6 +558,7 @@ object Dfasdl {
     */
   def readXml(spark: SparkSession, path: String, doc: Doc,
               rowTag: Option[String] = None): DataFrame = {
+    requireNoRepeatInstances(doc, "readXml")
     val (tag, rawSchema, cols) = xmlPlan(doc, rowTag)
     bounded(spark.read.format("xml").option("rowTag", tag).schema(rawSchema)
       .load(path).select(cols: _*), doc)
@@ -495,6 +569,8 @@ object Dfasdl {
     */
   def readXmlStream(spark: SparkSession, dirPath: String, doc: Doc,
                     rowTag: Option[String] = None): DataFrame = {
+    requireNoRepeatInstances(doc, "readXmlStream")
+    requireUnbounded(doc, "readXmlStream")
     val (tag, rawSchema, cols) = xmlPlan(doc, rowTag)
     spark.readStream.format("xml").option("rowTag", tag).schema(rawSchema)
       .load(dirPath)
@@ -560,6 +636,7 @@ object Dfasdl {
     */
   def readJson(spark: SparkSession, path: String, doc: Doc,
                multiline: Boolean = false): DataFrame = {
+    requireNoRepeatInstances(doc, "readJson")
     def jsonName(f: Field): String = f.attr("json-attribute-name").getOrElse(f.id)
     val raw = spark.read
       .option("multiLine", multiline.toString)
@@ -575,6 +652,8 @@ object Dfasdl {
     * unchanged.
     */
   def readJsonStream(spark: SparkSession, dirPath: String, doc: Doc): DataFrame = {
+    requireNoRepeatInstances(doc, "readJsonStream")
+    requireUnbounded(doc, "readJsonStream")
     def jsonName(f: Field): String = f.attr("json-attribute-name").getOrElse(f.id)
     val raw = spark.readStream
       .schema(StructType(doc.fields.map(f => StructField(jsonName(f), StringType))))
@@ -678,7 +757,7 @@ object Dfasdl {
       val parts = b.leaves.zipWithIndex.flatMap { case (f, j) =>
         val v: Column =
           if (f.anonymous) lit("") // discarded label bytes are gone; see spec
-          else renderValue(f, col(f.id))
+          else render(f, col(f.id)) // null-safe: concat is null-poisoning
         if (j == b.leaves.size - 1) Seq(v)
         else Seq(v, lit(f.attr("stop-sign").getOrElse(",")))
       }
@@ -757,8 +836,16 @@ object Dfasdl {
         "label:value stream) have no fixed-arity CSV rendering")
   }
 
-  private def sepOf(doc: Doc): String =
-    doc.fields.flatMap(_.attr("stop-sign")).headOption.getOrElse(",")
+  /** The record's field separator: the stop-sign of the NON-FINAL slots
+    * (the final slot's stop-sign is the record terminator — the csv source
+    * owns line termination). Same slot set [[requireUniformSep]] checks,
+    * anonymous skip slots included, so the guard and the read can never
+    * disagree.
+    */
+  private def sepOf(doc: Doc): String = {
+    val slots = if (doc.slots.size <= 1) doc.slots else doc.slots.init
+    slots.flatMap(slotStopSign).headOption.getOrElse(",")
+  }
 
   /** Fields whose parse needs their format pattern load as strings first;
     * a choice reads its ONE raw token as a string (typed dispatch happens

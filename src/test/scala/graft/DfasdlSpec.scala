@@ -468,6 +468,64 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("anonymous"))
   }
 
+  test("line-choice hardening: typed fallthrough, sign capture groups, header skip") {
+    // three regressions from the r8 review: (1) a line whose SHAPE matches
+    // a branch but whose value fails the leaf's typed parse must fall
+    // through to the next branch (ANSI cast would otherwise kill the job);
+    // (2) a start-sign carrying its own capture group must not shift which
+    // group the value leaf reads; (3) a declared preamble means the first
+    // line of the file is a header, not a record
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL">
+        |<str id="header"/>
+        |<seq id="lines">
+        |  <choice id="line">
+        |    <celem id="order">
+        |      <str id="order_label" start-sign="(O|o)rder" stop-sign=":"/>
+        |      <num id="order_value" trim="both"/>
+        |    </celem>
+        |    <celem id="generic">
+        |      <str id="gen_label" stop-sign=":"/>
+        |      <str id="gen_value" trim="both"/>
+        |    </celem>
+        |  </choice>
+        |</seq></dfasdl>""".stripMargin)
+    val path = tmpCsv("linehard",
+      "THE HEADER LINE\nOrder: 42\norder: nope\nMisc: x\n")
+    val rows = Dfasdl.readDelimited(spark, path, d).collect()
+    assert(rows.length == 3) // header line consumed, not dispatched
+    val asTuples = rows.map(r => (Option(r.getAs[String]("order_label")),
+      Option(r.getAs[Any]("order_value")),
+      Option(r.getAs[String]("gen_label")),
+      Option(r.getAs[String]("gen_value")))).toSet
+    assert(asTuples == Set(
+      (Some("Order"), Some(42L), None, None), // capture-group sign, right value
+      (None, None, Some("order"), Some("nope")), // typed fallthrough to generic
+      (None, None, Some("Misc"), Some("x"))))
+  }
+
+  test("anonymous leaves in choice branches and fixseq instances: typed guards") {
+    // a skip leaf inside a branch never surfaces, and two parses of the
+    // same document agree on synthetic ids (deterministic renumbering)
+    val xml =
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str/>
+        |  <str id="v"/>
+        |</elem></seq></dfasdl>""".stripMargin
+    val d1 = Dfasdl.parseSchema(xml)
+    val d2 = Dfasdl.parseSchema(xml)
+    assert(d1.slots.map(_.id) == d2.slots.map(_.id)) // deterministic
+    assert(d1.fields.map(_.id) == Seq("v"))
+    // nested-fixseq repeat instances are positional; keyed readers reject
+    val rep = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <fixseq id="cols" count="2"><str id="v"/></fixseq>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      Dfasdl.readJson(spark, "/dev/null", rep))
+    assert(e.getMessage.contains("repeat instances"), e.getMessage)
+  }
+
   test("mixed per-field stop-signs reject the CSV read instead of mis-splitting") {
     // the reference's vCard complex-01.xml alternates ':'-stopped labels
     // with line-stopped values — a token-stream layout the byte-walking
