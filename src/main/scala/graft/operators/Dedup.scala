@@ -366,8 +366,9 @@ object Dedup {
     //    than the block, so parallelism no longer caps at the block count.
     //    This unlocks the single-hot-block corpora the r7 scale harness
     //    flagged as the operator's limit.
-    val hottest = grouped.groupBy(blockCols.map(col): _*).count()
-      .agg(max(col("count"))).head.getLong(0)
+    val hottest = Option(grouped.groupBy(blockCols.map(col): _*).count()
+      .agg(max(col("count"))).head.get(0)).map(_.asInstanceOf[Long])
+      .getOrElse(0L) // empty input: max over zero groups is a null row
     val repPairs = if (hottest <= maxQuadraticBlock) {
       val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
       val gq = g.repartition(fanout, blockCols.map(col): _*)
@@ -393,8 +394,17 @@ object Dedup {
         .partitionBy(col("rep")).orderBy(col("df"), col("gram"))
       val pref = ex.join(dfreq.hint("shuffle_merge"), "gram" +: blockCols)
         .withColumn("rn", row_number().over(w))
+        .withColumn("__o0", ceil(col("sz") * threshold).cast("int"))
+        // minimal overlap o consistent with the FINAL filter's double
+        // comparison: double-ceil can overshoot by 1 ulp (e.g. 55*0.8 ->
+        // 44.000000000000004 -> 45) which would shorten the prefix and drop
+        // exact-threshold pairs the quadratic path keeps — step down while
+        // (o-1)/sz still passes the same comparison the jaccard filter runs
+        .withColumn("__omin", when(
+            (col("__o0") - 1).cast("double") / col("sz").cast("double")
+              >= threshold, col("__o0") - 1).otherwise(col("__o0")))
         .filter(col("rn") <= greatest(lit(1),
-          col("sz") - ceil(col("sz") * threshold).cast("int") + lit(1)))
+          col("sz") - col("__omin") + lit(1)))
         .select((col("rep") +: col("gram").as("pg") +: blockCols.map(col)): _*)
       val candidates = pref.toDF(("rep_a" +: "pg" +: blockCols): _*)
         .join(pref.toDF(("rep_b" +: "pg" +: blockCols): _*).hint("shuffle_merge"),

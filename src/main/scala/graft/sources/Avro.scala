@@ -240,15 +240,24 @@ object Avro {
     }
     val fieldTypes = schema.fields.map(_.dataType)
     val fieldNames = schema.fields.map(_.name)
+    // ship the SESSION's Hadoop conf to the tasks (object-store
+    // credentials/endpoints live there; a bare `new Configuration()` on the
+    // executor would drop them) — same carrier FixedWidthV2 uses
+    val sconf = new FixedWidthV2.SerializableConf(
+      spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
       .mapPartitions { it =>
-        val hconf = new Configuration()
+        val hconf = sconf.conf
         val reader = new GenericDatumReader[GenericRecord](
           new ASchema.Parser().parse(schemaJson))
         it.flatMap { sp =>
           val in = new FsInput(new Path(sp.file), hconf)
           val dfr = new DataFileReader[GenericRecord](in, reader)
+          // a partially-consumed read (limit/take) never exhausts the
+          // iterator, so hasNext's close would not run — close on task end
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => dfr.close()))
           dfr.sync(sp.start) // first block boundary at/after the range start
           new Iterator[Row] {
             private var closed = false
@@ -296,8 +305,10 @@ object Avro {
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
     val dir = out.toString
+    val sconf = new FixedWidthV2.SerializableConf(
+      spark.sessionState.newHadoopConf())
     df.rdd.mapPartitionsWithIndex { (idx, it) =>
-      val hconf = new Configuration()
+      val hconf = sconf.conf
       val as = new ASchema.Parser().parse(aschema)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](as))
       w.setCodec(codec match {
@@ -306,8 +317,22 @@ object Avro {
         case "snappy"    => CodecFactory.snappyCodec()
         case _           => CodecFactory.zstandardCodec(3)
       })
+      // write to a per-ATTEMPT temp name and rename into place on success:
+      // a speculative or zombie duplicate attempt writing the final name
+      // directly could interleave with the winner and corrupt the container
+      // (same task-commit shape as the fixed-width V2 writer)
+      val tc = org.apache.spark.TaskContext.get()
+      val attempt = Option(tc).map(_.taskAttemptId()).getOrElse(0L)
       val part = new Path(dir, f"part-$idx%05d.avro")
-      val os = part.getFileSystem(hconf).create(part, true)
+      val tmp = new Path(dir, f".part-$idx%05d-$attempt%d.avro.tmp")
+      val pfs = part.getFileSystem(hconf)
+      val os = pfs.create(tmp, true)
+      var committed = false
+      Option(tc).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        if (!committed) { // failed/superseded attempt: drop its temp file
+          try pfs.delete(tmp, false) catch { case _: Exception => () }
+        }
+      })
       w.create(as, os)
       var n = 0L
       it.foreach { row =>
@@ -315,6 +340,11 @@ object Avro {
         n += 1
       }
       w.close()
+      // rename is atomic on HDFS-like stores; last committer wins whole-file
+      pfs.delete(part, false)
+      if (!pfs.rename(tmp, part))
+        throw new java.io.IOException(s"failed to commit $tmp -> $part")
+      committed = true
       Iterator.single(n)
     }.count(): Unit
   }

@@ -69,11 +69,14 @@ private[sources] object AvroV2 {
     all.map(s => (s.getPath.toString, s.getLen))
   }
 
-  def writerSchema(paths: Seq[String]): ASchema = {
+  def writerSchema(paths: Seq[String]): ASchema =
+    writerSchemaOf(listFiles(paths).head._1)
+
+  /** Writer schema from one container file's header (metadata-only read). */
+  def writerSchemaOf(file: String): ASchema = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
-    val first = new Path(listFiles(paths).head._1)
-    val in = new FsInput(first, conf)
+    val in = new FsInput(new Path(file), conf)
     val r = new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
     try r.getSchema finally r.close()
   }
@@ -103,7 +106,14 @@ private[sources] object AvroV2 {
 
 private[sources] class AvroTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private lazy val writer = AvroV2.writerSchema(AvroV2.paths(options))
+  // list the directory and read the first header ONCE per table — every
+  // scan of this table reuses the pair (a per-query relisting of an
+  // object-store directory with thousands of part files costs seconds of
+  // driver latency; staleness scope is one table instance, the same
+  // contract Spark's own file-index caching has)
+  private lazy val listed: Seq[(String, Long)] =
+    AvroV2.listFiles(AvroV2.paths(options))
+  private lazy val writer = AvroV2.writerSchemaOf(listed.head._1)
 
   override def name(): String = s"graftavro(${options.get("path")})"
   override def schema(): StructType = AvroV2.sparkSchema(writer)
@@ -111,10 +121,11 @@ private[sources] class AvroTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(writer, o)
+    new AvroScanBuilder(writer, listed, o)
 }
 
 private[sources] class AvroScanBuilder(writer: ASchema,
+                                       files: Seq[(String, Long)],
                                        options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = AvroV2.sparkSchema(writer)
@@ -125,7 +136,7 @@ private[sources] class AvroScanBuilder(writer: ASchema,
   override def build(): Scan = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    val splits = AvroV2.listFiles(AvroV2.paths(options)).flatMap {
+    val splits = files.flatMap {
       case (f, len) =>
         val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
         (0L until n).map(i =>

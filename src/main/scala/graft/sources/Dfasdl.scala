@@ -360,8 +360,14 @@ object Dfasdl {
     val doc = try parseSchema(xml) catch {
       case e: Exception => return Seq(e.getMessage)
     }
-    val all = doc.preamble ++ doc.fields
-    all.groupBy(_.id).filter(_._2.size > 1).keys.foreach(id =>
+    val slotIds = doc.slots.flatMap {
+      // id-less celems DEFAULT their branch id to the choice id
+      // (choiceOf) — only user-declared distinct branch ids count
+      case c: ChoiceSlot => c.id +: c.branches.map(_.id).filter(_ != c.id)
+      case _             => Nil
+    }
+    val allIds = (doc.preamble ++ doc.fields).map(_.id) ++ slotIds
+    allIds.groupBy(identity).filter(_._2.size > 1).keys.foreach(id =>
       errs += s"duplicate element id: $id")
     doc.fields.filter(f => f.kind == "formattime" && f.attr("format").isEmpty)
       .foreach(f => errs += s"formattime ${f.id} has no format attribute")
@@ -781,13 +787,26 @@ object Dfasdl {
     requireNoAnonymous(doc, "writeFixedWidth")
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
-    val parts = doc.fields.map { f =>
-      val w = f.attr("length").map(_.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
-      val v = render(f, col(f.id))
+    def widthOf(f: Field): Int = f.attr("length").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"fixed-width DFASDL needs a length attribute on every field; ${f.id} has none"))
+    // one padded column per record SLOT — a choice occupies ONE position
+    // (its single populated branch renders, exactly like readFixedWidth
+    // reads one width per choice slot); emitting every branch leaf would
+    // shift every later field in the record
+    val parts = doc.slots.map { slot =>
+      val (w, v) = slot match {
+        case f: Field => (widthOf(f), render(f, col(f.id)))
+        case c: ChoiceSlot =>
+          val ws = c.singleLeafBranches.map(widthOf).distinct
+          require(ws.size == 1,
+            s"fixed-width choice ${c.id}: branches declare differing lengths " +
+              s"(${ws.mkString(", ")}); all branches must share one width")
+          (ws.head, coalesce((c.singleLeafBranches.map(b =>
+            renderValue(b, col(b.id))) :+ lit("")): _*))
+      }
       when(length(v) > w,
-        raise_error(concat(lit(s"value too wide for fixed-width field ${f.id} (width $w): "), v)))
+        raise_error(concat(lit(s"value too wide for fixed-width slot ${slot.id} (width $w): "), v)))
         .otherwise(rpad(v, w, " "))
     }
     df.select(concat(parts: _*).as("value")).write

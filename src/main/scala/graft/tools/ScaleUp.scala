@@ -52,15 +52,22 @@ object ScaleUp {
       if (name == "events") Tables.events(spark, src) // normalize ts
       else Tables.load(spark, src, name)
 
+    // max id per (table, column), computed once — stride and the
+    // fixture-collision assert below share it (one full scan, not two)
+    val maxIds = scala.collection.mutable.Map.empty[(String, String), Long]
+    def maxId(name: String, idCol: String): Long =
+      maxIds.getOrElseUpdate((name, idCol),
+        Option(table(name).agg(max(col(idCol))).head.get(0)) match {
+          case Some(m: Long) => m
+          case Some(other) => sys.error(
+            s"ScaleUp: $name.$idCol is ${other.getClass.getSimpleName}, expected Long")
+          case None => sys.error(
+            s"ScaleUp: $name is empty — cannot derive an id stride for $idCol")
+        })
+
     // next power of ten above the table's max id — the per-copy id stride
     def stride(name: String, idCol: String): Long = {
-      val mx = Option(table(name).agg(max(col(idCol))).head.get(0)) match {
-        case Some(m: Long) => m
-        case Some(other) => sys.error(
-          s"ScaleUp: $name.$idCol is ${other.getClass.getSimpleName}, expected Long")
-        case None => sys.error(
-          s"ScaleUp: $name is empty — cannot derive an id stride for $idCol")
-      }
+      val mx = maxId(name, idCol)
       var s = 1L
       while (s <= mx) s *= 10
       s
@@ -73,7 +80,7 @@ object ScaleUp {
     // the oracle (the bug class the +1e6→+1e10 shift fix addressed), so
     // fail fast instead.
     def assertBelow(name: String, idCol: String, s: Long, base: Long): Unit = {
-      val mx = table(name).agg(max(col(idCol))).head.getLong(0)
+      val mx = maxId(name, idCol)
       val top = (factor - 1).toLong * s + mx
       require(top < base,
         s"ScaleUp: scaled $name.$idCol would reach $top >= planted-fixture " +

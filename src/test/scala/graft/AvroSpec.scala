@@ -72,6 +72,22 @@ class AvroSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).as[Long].head() == 19999L * 20000L / 2)
   }
 
+  test("partially-consumed reads and re-writes stay clean (commit + close)") {
+    // r8 review hardening: limit() never exhausts the split iterator (the
+    // task-completion listener closes the reader), and writeAvro commits
+    // via temp-rename so the directory holds only final part files
+    val df = (0L until 5000L).toDF("id").repartition(4)
+    val path = tmp("avro_partial")
+    Avro.writeAvro(df, path, codec = "null")
+    assert(Avro.readAvro(spark, path).limit(7).count() == 7L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).toSeq
+    assert(names.nonEmpty && names.forall(n =>
+      n.startsWith("part-") && n.endsWith(".avro")), names.mkString(", "))
+  }
+
   test("parquet -> avro -> parquet round-trip over a real table") {
     val sf = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, sf)

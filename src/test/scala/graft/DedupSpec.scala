@@ -88,6 +88,14 @@ class DedupSpec extends AnyFunSuite {
     assert(pairSet(0) == pairSet(8192))
   }
 
+  test("ngram jaccard pairs over an EMPTY input return empty, not NPE") {
+    // regression (r8 review): the hottest-block probe aggregated max over
+    // zero groups — a single null row — and .getLong(0) NPE'd eagerly
+    val empty = docsWithNearDups.filter(col("doc_id") < 0)
+    assert(Dedup.ngramJaccardPairs(empty, "text", "doc_id",
+      blockCols = Seq("lang", "source"), n = 4, threshold = 0.8).count() == 0L)
+  }
+
   test("embedding LSH multi-probe finds all planted PERTURBED near-duplicates") {
     // perturbed (cos ≈ 0.9997, not 1.0) copies CAN land in a different
     // hyperplane bucket; 100% recall here is earned by multi-probe bucketing

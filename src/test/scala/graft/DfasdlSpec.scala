@@ -776,6 +776,43 @@ class DfasdlSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("too wide")), err.getMessage)
   }
 
+  test("writeFixedWidth renders a choice as ONE slot and round-trips") {
+    // regression (r8 review): the write side emitted one padded column per
+    // branch LEAF while readFixedWidth reads one width per choice SLOT —
+    // round-trips of choice schemas shifted every field after the choice
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="FWCH">
+        |  <seq id="s"><elem id="e">
+        |    <num id="id" length="4"/>
+        |    <choice id="v">
+        |      <celem id="a"><num id="v_num" length="8"/></celem>
+        |      <celem id="b"><str id="v_str" length="8"/></celem>
+        |    </choice>
+        |    <str id="tail" length="5"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    val path = tmpCsv("fwch_src", "1,77,end1\n2,hello,end2\n")
+    val srcDoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="e">
+        |  <num id="id"/>
+        |  <choice id="v">
+        |    <celem id="a"><num id="v_num"/></celem>
+        |    <celem id="b"><str id="v_str"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val df = Dfasdl.readDelimited(spark, path, srcDoc)
+    val out = Files.createTempDirectory("dfasdl_fwch").toString + "/data"
+    Dfasdl.writeFixedWidth(df, doc, out)
+    val back = Dfasdl.readFixedWidth(spark, out, doc).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L && back(0).getAs[Long]("v_num") == 77L &&
+      back(0).isNullAt(back(0).fieldIndex("v_str")) &&
+      back(0).getAs[String]("tail") == "end1") // tail NOT shifted
+    assert(back(1).getLong(0) == 2L && back(1).getAs[String]("v_str") == "hello" &&
+      back(1).getAs[String]("tail") == "end2")
+  }
+
   test("writeDelimited with heterogeneous stop-signs writes value+sign text lines") {
     val doc = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="HET">
