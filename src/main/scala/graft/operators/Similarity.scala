@@ -29,6 +29,14 @@ import org.apache.spark.storage.StorageLevel
   * k×|queries| rows and the rank column is a window over that survivor set.
   */
 object Similarity {
+  // PRECONDITION shared by every ANN path here: queries and corpus draw
+  // their ids from ONE id space (the usual probe-the-corpus-with-its-own-
+  // members shape). Self-matches are excluded with corpus_id =!= query_id,
+  // so a query table whose ids numerically collide with UNRELATED corpus
+  // ids would silently lose those candidates — remap query ids (e.g.
+  // negate) before probing with a foreign id space. Null ids are not
+  // supported (the inequality drops the pair).
+
 
   /** Exact per-query top-k + rank over pre-scored candidates
     * (query_id, corpus_id, cos). See class doc for why this is not a plain
@@ -88,14 +96,9 @@ object Similarity {
     * candidates are ≤ k×oversample per query by construction, so the
     * window sorts a bounded survivor set, never the corpus.
     */
-  private def exactRerank(candidates: DataFrame, k: Int): DataFrame = {
-    val exact = candidates
-      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    exact.withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-  }
+  private def exactRerank(candidates: DataFrame, k: Int): DataFrame =
+    rankTail(candidates.select(col("query_id"), col("corpus_id"),
+      cosineSim(col("qv"), col("cv")).as("cos")), k)
 
   // ------------------------------------------------------------------- PQ
 
@@ -131,6 +134,11 @@ object Similarity {
       .sample(withReplacement = false, frac, seed = 42L).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val dim = train.headOption.map(_.length).getOrElse(m)
+    require(dim % m == 0,
+      s"PQ needs the vector dimension ($dim) divisible by m ($m): a " +
+        "truncating split would silently drop the trailing dim % m " +
+        "dimensions from every code and ADC score, costing recall with " +
+        "no error — pick m from the divisors of the embedding dimension")
     val sub = math.max(1, dim / m)
     val books = (0 until m).map { mi =>
       val pts = train.map { v =>

@@ -64,9 +64,14 @@ object Streams {
 
   /** Streaming dedup on event_id within the watermark horizon — the
     * streaming form of processor/UniqueValueBuffer.scala.
+    * `dropDuplicatesWithinWatermark` is what makes the horizon real: plain
+    * dropDuplicates only evicts state when the event-time column is part
+    * of the key set, so keying on event_id alone would grow state forever
+    * despite the watermark (r8 review).
     */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Declarative sessionization: gap-based session windows per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
@@ -111,9 +116,13 @@ object Streams {
     val benchShingles = bench.select(col(idCol).as("bench_id"),
       explode(graft.functions.ShingleHash.wordShingleHashes(col(textCol), k)).as("sh"))
     // distinct aggregations aren't supported on streams: dedup the
-    // (doc, bench, shingle) triples first (state bounded by matched shingle
-    // pairs; add a watermark upstream to bound it by time at scale), then a
-    // plain count
+    // (doc, bench, shingle) triples first, then a plain count. HONEST
+    // state note (r8 review): the dedup AND the aggregation are stateful
+    // and grow with every matched (doc, bench) pair — documents carry no
+    // event time, so no watermark can bound them. Right shape for a
+    // screening RUN over an arriving corpus (Update/Complete mode);
+    // a forever-on gate should periodically restart the query or screen
+    // in bounded windows.
     streamShingles.join(benchShingles, "sh")
       .filter(col("corpus_id") =!= col("bench_id"))
       .dropDuplicates("corpus_id", "bench_id", "sh")
@@ -137,7 +146,13 @@ object Streams {
     // 256-bit digest for the same reason as Dedup.crossDedup: a deletion
     // key must not collide at reference-corpus scale.
     import graft.functions.TextFunctions.contentDigest
-    val refHashes = reference.select(contentDigest(col(textCol)).as("__h")).distinct()
+    // persist the digested reference: the static side of a stream-static
+    // join re-evaluates EVERY micro-batch, and re-digesting a historical
+    // corpus per batch would dominate gate latency (cache materializes on
+    // the first batch; lifecycle belongs to the query — unpersist via
+    // spark.catalog.clearCache() or a caller-held handle when stopping)
+    val refHashes = reference.select(contentDigest(col(textCol)).as("__h"))
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.withColumn("__h", contentDigest(col(textCol)))
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
@@ -175,8 +190,11 @@ object Streams {
     * SimHash signature (Hamming-0 near-dups — whitespace/case/token-order
     * jitter collapses to the same signature). The signature computes
     * map-side in the same fused codegen pass as the batch operator; state
-    * is one 8-byte key per distinct surviving document, bounded by the
-    * event-time watermark when `tsCol` is set. The streaming form of
+    * is one 8-byte key per distinct surviving document — bounded by the
+    * event-time watermark when `tsCol` is set (via
+    * dropDuplicatesWithinWatermark; keying on the signature alone would
+    * never evict) and UNBOUNDED without one, so a forever-on gate must
+    * supply `tsCol`. The streaming form of
     * Dedup.simhash + exact-signature grouping — candidate-PAIR near-dup
     * (banded LSH joins) stays a batch/backfill concern; this is the cheap
     * in-flight pass that runs on ingest.
@@ -187,8 +205,11 @@ object Streams {
     val sig = docs.withColumn("__simhash",
       graft.functions.SimHashExprApi.simhashOf(
         graft.functions.ShingleHash.tokenHashes(col(textCol))))
-    val bounded = tsCol.fold(sig)(t => sig.withWatermark(t, watermark))
-    bounded.dropDuplicates("__simhash").drop("__simhash")
+    tsCol match {
+      case Some(t) => sig.withWatermark(t, watermark)
+        .dropDuplicatesWithinWatermark("__simhash").drop("__simhash")
+      case None => sig.dropDuplicates("__simhash").drop("__simhash")
+    }
   }
 
   /** Streaming quality gate: per-document scoring + threshold filtering is
@@ -341,6 +362,15 @@ object Streams {
           .agg(max_by(struct(batch.columns.map(col): _*), col(seqCol)).as("__w"))
           .select(col("__w.*"))
         val dir = new java.io.File(outDir)
+        val staged = new java.io.File(outDir + ".old")
+        // CRASH RECOVERY (r8 review): a previous attempt may have renamed
+        // the table aside (dir -> .old) and died before publishing its tmp
+        // — .old is then the ONLY copy of the accumulated table. Restore
+        // it before merging; deleting it here would destroy the table and
+        // republish just the replayed batch.
+        if (staged.exists() && !dir.exists() && !staged.renameTo(dir))
+          throw new java.io.IOException(
+            s"cannot restore staged table $staged -> $outDir")
         val merged =
           if (dir.exists()) {
             val target = spark.read.parquet(outDir)

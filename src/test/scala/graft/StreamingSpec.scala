@@ -256,6 +256,31 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
   }
 
+  test("toUpsertSink restores a staged-aside table after a mid-swap crash") {
+    // regression (r8 review): the swap is dir -> .old, tmp -> dir, delete
+    // .old. A crash between the renames leaves .old as the ONLY copy of
+    // the table; the replayed batch must restore it, not delete it and
+    // republish just its own rows.
+    val in = Files.createTempDirectory("upsc_in").toString
+    val base = Files.createTempDirectory("upsc_sink").toString
+    val out = base + "/t"
+    val ckpt = Files.createTempDirectory("upsc_ckpt").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq")
+      .write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toUpsertSink(stream, out, ckpt, keys = Seq("k"), seqCol = "seq")
+    q1.processAllAvailable(); q1.stop()
+    // simulate the crash window: table staged aside, publish never happened
+    assert(new java.io.File(out).renameTo(new java.io.File(out + ".old")))
+    Seq((3L, "c", 1L)).toDF("k", "v", "seq").write.mode("append").parquet(in)
+    val q2 = Streams.toUpsertSink(stream, out, ckpt, keys = Seq("k"), seqCol = "seq")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(out).as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))) // history survived
+    assert(!new java.io.File(out + ".old").exists())
+  }
+
   test("crossNearDedupStream: conservative vs batch; novel docs pass the gate") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val mutated = docs.filter(col("doc_id") < 30)
