@@ -59,7 +59,17 @@ object Corpus {
     * prime — every current dataset — select identically.
     */
   def hashModKeep(id: Column, perMille: Column): Column =
-    (id.cast(LongType) % lit(1000003L) * lit(2654435761L) % lit(1000003L)) % lit(1000L) < perMille
+    hashBucket(id) < perMille
+
+  /** The shared per-mille hash bucket. pmod, not %: Spark's % keeps the
+    * dividend's sign, so a NEGATIVE id (xxhash64-derived ids are negative
+    * half the time) would land in [-999, 0] — always kept by any rate >= 1
+    * and always 'train' in [[splitAssign]]. The oracle replays the same
+    * non-negative form as ((x % p + p) % p ...).
+    */
+  private def hashBucket(id: Column): Column =
+    pmod(pmod(id.cast(LongType), lit(1000003L)) * lit(2654435761L),
+      lit(1000003L)) % lit(1000L)
 
   /** Deterministic train/val/test assignment by hash range — the split
     * must be a pure function of the row id (not of partitioning, run, or
@@ -70,7 +80,7 @@ object Corpus {
     */
   def splitAssign(id: Column, trainPm: Int = 800, valPm: Int = 900): Column = {
     require(0 <= trainPm && trainPm <= valPm && valPm <= 1000)
-    val bucket = (id.cast(LongType) % lit(1000003L) * lit(2654435761L) % lit(1000003L)) % lit(1000L)
+    val bucket = hashBucket(id)
     when(bucket < trainPm, "train").when(bucket < valPm, "val").otherwise("test")
   }
 
@@ -99,6 +109,7 @@ object Corpus {
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCol)).over(w))
@@ -124,9 +135,14 @@ object Corpus {
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     import graft.functions.ShingleHash
+    // persisted: BOTH the boundary collect and the candidates side of the
+    // final join consume this aggregate — without the persist the full
+    // corpus tokenize+hash+shuffle runs twice (the (h, cnt) frame is tiny
+    // next to the corpus)
     val hashes = df.select(
       explode(ShingleHash.positionShingleHashes(col(textCol), n)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // boundary: the count of the k-th most frequent hash (one scalar back
     // to the driver; ties at the boundary are all admitted as candidates
     // so the text tie-break below sees every contender)
@@ -142,6 +158,8 @@ object Corpus {
     // when the cutoff actually bounds the candidates; at cutoff 1 let the
     // planner pick (it will shuffle-join, which is the right plan for an
     // unbounded build side).
+    // NOTE hashes stays persisted while the returned report is consumed
+    // (the candidates side references it); report-shaped lifecycle
     val candSide = if (cutoff > 1) broadcast(candidates) else candidates
     val grams = df.select(explode(ShingleHash.ngramTexts(col(textCol), n)).as("ngram"))
     grams.join(candSide, xxhash64(col("ngram")) === col("h"), "left_semi")
@@ -166,6 +184,11 @@ object Corpus {
   def chunkSliding(df: DataFrame, idCol: String, textCol: String,
                    chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would drop the tokens " +
+        "between consecutive chunks — the documented contract is that no " +
+        "token is ever dropped; use stride <= chunkSize (or slice gaps " +
+        "upstream explicitly)")
     val toks = filter(split(lower(col(textCol)), "\\s+"),
       t => length(t) > lit(0))
     df.select(col(idCol), toks.as("__toks"))
@@ -406,7 +429,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("__bf") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
         sum(col("__bf")).as("__fsum"))
-      .withColumn("mean_bf_pm", expr("__fsum * 1000 div n_bigrams"))
+      // quotient/remainder split: __fsum * 1000 overflows int64 once a
+      // long document's bigrams are corpus-common at ~1e13-token scale
+      // (fsum ~ 1e16); floor((a*1000)/n) == (a div n)*1000 +
+      // ((a mod n)*1000) div n exactly for non-negative a
+      .withColumn("mean_bf_pm",
+        expr("(__fsum div n_bigrams) * 1000 + ((__fsum % n_bigrams) * 1000) div n_bigrams"))
       .drop("__fsum")
   }
 

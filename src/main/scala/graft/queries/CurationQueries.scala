@@ -66,7 +66,7 @@ object CurationQueries {
 
   private val dWeightedSampleSql =
     """SELECT doc_id, source, n_chars FROM documents
-      |WHERE (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < least(n_chars // 2, 900)""".stripMargin
+      |WHERE (((doc_id % 1000003 + 1000003) % 1000003 * 2654435761 % 1000003 + 1000003) % 1000003) % 1000 < least(n_chars // 2, 900)""".stripMargin
 
   // ------------------------------------------------- d_substring_dedup
   // Cross-document duplicated-span coverage (the substring-level dedup
@@ -291,7 +291,8 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
       |f AS (SELECT bg, COUNT(*) AS bf FROM b GROUP BY bg)
       |SELECT b.doc_id, COUNT(*) AS n_bigrams,
       | CAST(SUM(CASE WHEN f.bf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-      | CAST(SUM(f.bf) AS BIGINT) * 1000 // COUNT(*) AS mean_bf_pm
+      | (CAST(SUM(f.bf) AS BIGINT) // COUNT(*)) * 1000
+      |   + ((CAST(SUM(f.bf) AS BIGINT) % COUNT(*)) * 1000) // COUNT(*) AS mean_bf_pm
       |FROM b JOIN f USING (bg)
       |GROUP BY b.doc_id""".stripMargin
 
@@ -488,8 +489,8 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 
   private val dSplitSql =
-    """SELECT CASE WHEN (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < 800 THEN 'train'
-      |            WHEN (doc_id % 1000003 * 2654435761 % 1000003) % 1000 < 900 THEN 'val'
+    """SELECT CASE WHEN (((doc_id % 1000003 + 1000003) % 1000003 * 2654435761 % 1000003 + 1000003) % 1000003) % 1000 < 800 THEN 'train'
+      |            WHEN (((doc_id % 1000003 + 1000003) % 1000003 * 2654435761 % 1000003 + 1000003) % 1000003) % 1000 < 900 THEN 'val'
       |            ELSE 'test' END AS split,
       | COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
       | CAST(MAX(doc_id) AS BIGINT) AS max_id

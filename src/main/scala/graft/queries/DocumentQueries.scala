@@ -964,7 +964,7 @@ object DocumentQueries {
 
   private val dStratifiedSampleSql =
     """SELECT doc_id, source FROM documents
-      |WHERE (doc_id % 1000003 * 2654435761 % 1000003) % 1000 <
+      |WHERE (((doc_id % 1000003 + 1000003) % 1000003 * 2654435761 % 1000003 + 1000003) % 1000003) % 1000 <
       |      CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 250 ELSE 600 END""".stripMargin
 
   // d_token_pack: pack each source's documents (doc_id order) into

@@ -71,8 +71,14 @@ object Sinks {
       if (new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(path))) {
-        val existing = spark.read.parquet(path).select(keys.map(col): _*)
-        fresh.join(existing, keys, "left_anti")
+        val existing = spark.read.parquet(path).select(
+          keys.map(k => col(k).as(s"__x_$k")): _*)
+        // null-SAFE key equality: a plain anti-join never matches null
+        // keys (null = null is not true), so a null-keyed row would
+        // re-append every batch — while dropDuplicates above treats nulls
+        // as equal. <=> keeps the two consistent.
+        val cond = keys.map(k => col(k) <=> col(s"__x_$k")).reduce(_ && _)
+        fresh.join(existing, cond, "left_anti")
       } else fresh
     val n = novel.cache().count()
     if (n > 0) novel.write.mode(SaveMode.Append).parquet(path)
@@ -196,10 +202,15 @@ object Sinks {
     }
     val x = scaled(xCol, xLo.asInstanceOf[Double], xHi.asInstanceOf[Double])
     val y = scaled(yCol, yLo.asInstanceOf[Double], yHi.asInstanceOf[Double])
-    val z = (0 until 16).map { i =>
+    val zBits = (0 until 16).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i)
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    // rows with a null coordinate sort FIRST into their own leading files
+    // (least() would otherwise plant them at cell 65535 — the max corner —
+    // stretching exactly the per-file min/max spans the layout tightens)
+    val z = when(col(xCol).isNull || col(yCol).isNull, lit(-1L))
+      .otherwise(zBits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -61,6 +61,13 @@ object Sources {
       .option("dbtable", table)
     val withProps = props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
     partitionColumn.fold(withProps) { c =>
+      // equal bounds make Spark silently collapse to ONE whole-table
+      // partition (just a log warning) — the parallel read the caller
+      // asked for never engages; demand real bounds instead
+      require(lowerBound < upperBound,
+        s"readJdbc: partitionColumn=$c needs lowerBound < upperBound " +
+          s"(got $lowerBound, $upperBound) — with equal bounds Spark " +
+          "falls back to a single-partition whole-table read")
       withProps.option("partitionColumn", c)
         .option("lowerBound", lowerBound.toString)
         .option("upperBound", upperBound.toString)
@@ -168,13 +175,23 @@ object Sources {
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .connectTimeout(timeout).build()
-    val req = HttpRequest.newBuilder(u).timeout(timeout).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
-    if (resp.statusCode() / 100 != 2) {
-      java.nio.file.Files.deleteIfExists(tmp)
-      throw new java.io.IOException(s"GET $uri returned HTTP ${resp.statusCode()}")
+    try {
+      val req = HttpRequest.newBuilder(u).timeout(timeout).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+      if (resp.statusCode() / 100 != 2) {
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new java.io.IOException(s"GET $uri returned HTTP ${resp.statusCode()}")
+      }
+      tmp.toString
+    } catch {
+      case e: Throwable =>
+        // a timed-out/failed send otherwise leaves the partial temp file
+        // behind — and a retrying caller accumulates one per attempt
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw e
     }
-    tmp.toString
+    // (HttpClient gains close() only in JDK 21; on 17 the selector thread
+    // winds down with GC — the temp-file cleanup above is the real leak)
   }
 
   /** Schema extraction report (SchemaExtractor.scala): inferred schema as a
