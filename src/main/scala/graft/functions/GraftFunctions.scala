@@ -16,21 +16,23 @@ object GraftFunctions {
     "cosine_sim" -> (exprs => CosineSimExpr(exprs(0), exprs(1))),
     "jaccard_sorted" -> (exprs => JaccardSortedExpr(exprs(0), exprs(1))),
     "regexp_replace_some" -> (exprs => RegexpReplaceSomeExpr(exprs(0),
-      exprs(1).eval().toString, exprs(2).eval().toString,
-      exprs(3).eval().asInstanceOf[Int])),
+      strLiteral(exprs(1), "regexp_replace_some", "pattern"),
+      strLiteral(exprs(2), "regexp_replace_some", "replacement"),
+      intLiteral(exprs(3), "regexp_replace_some", "n"))),
     // round-3 fused text/vector expressions
     "word_shingle_hashes" -> (exprs => WordShingleHashExpr(exprs(0),
-      exprs(1).eval().asInstanceOf[Int], distinct = true, sorted = false)),
+      intLiteral(exprs(1), "word_shingle_hashes", "k"),
+      distinct = true, sorted = false)),
     "token_hashes" -> (exprs =>
       WordShingleHashExpr(exprs(0), 1, distinct = false, sorted = false)),
     "ngram_hashes" -> (exprs =>
-      NGramHashExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      NGramHashExpr(exprs(0), intLiteral(exprs(1), "ngram_hashes", "n"))),
     "minhash_sig" -> (exprs =>
-      MinHashSigExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      MinHashSigExpr(exprs(0), intLiteral(exprs(1), "minhash_sig", "n"))),
     "sig_agree" -> (exprs => SigAgreeExpr(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHashExpr(exprs(0))),
     "lsh_bucket" -> (exprs =>
-      LshBucketExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      LshBucketExpr(exprs(0), intLiteral(exprs(1), "lsh_bucket", "nBits"))),
     // round-4: int8 scalar quantization for embedding columns
     "sq8_encode" -> (exprs => Sq8EncodeExpr(exprs(0))),
     "sq8_cosine" -> (exprs => Sq8CosineExpr(exprs(0), exprs(1))),
@@ -61,6 +63,18 @@ object GraftFunctions {
     * work while a column reference fails at plan time with a clear error
     * instead of a ClassCastException.
     */
+  /** String twin of [[intLiteral]] — same foldability + null guarding. */
+  private def strLiteral(e: Expression, fn: String, arg: String): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant string, got non-foldable ${e.sql}")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a constant string, got NULL")
+      case v => v.toString
+    }
+  }
+
   private def intLiteral(e: Expression, fn: String, arg: String): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(

@@ -136,6 +136,12 @@ case class PcaProjectExpr(child: Expression,
 
   private def project(arr: ArrayData): GenericArrayData = {
     val d = mean.length
+    // array<float> schemas carry no fixed dimension: a shorter vector
+    // would read past the row buffer (garbage projections, no error)
+    if (arr.numElements() < d)
+      throw new IllegalArgumentException(
+        s"pca_project: input vector has ${arr.numElements()} dims, " +
+          s"model expects $d")
     val centered = new Array[Double](d)
     var i = 0
     while (i < d) { centered(i) = arr.getFloat(i).toDouble - mean(i); i += 1 }

@@ -154,16 +154,19 @@ object TextFunctions {
     */
   def fingerprintHex(text: Column, k: Int = 3, take: Int = 8): Column = {
     val toks = tokens(text)
+    // sub-k documents sketch as ONE whole-run shingle — the same rule the
+    // fused xxhash64 path applies (ShingleHashExprs.wordShingleHashes:
+    // n = max(len - k, 0) + 1), so the two 'equivalent' fingerprints agree
+    // on short docs instead of collapsing every sub-k doc to one empty key
     val shingles = when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+      .otherwise(array(concat_ws(" ", toks)))
     slice(array_sort(array_distinct(transform(shingles, s => md5(s)))), 1, take)
   }
 
   /** Single 64-bit content fingerprint of normalized text. */
-  def contentHash(text: Column): Column =
-    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+  def contentHash(text: Column): Column = xxhash64(normalizeWs(text))
 
   /** 256-bit content digest of the same normalization — for anti-join keys
     * where a 64-bit collision would silently DROP a non-duplicate document
@@ -171,8 +174,7 @@ object TextFunctions {
     * with 64 bits (a collision only merges two count buckets); deletion
     * keys cannot.
     */
-  def contentDigest(text: Column): Column =
-    sha2(regexp_replace(lower(text), "\\s+", " "), 256)
+  def contentDigest(text: Column): Column = sha2(normalizeWs(text), 256)
 
   /** Strip HTML/XML markup from crawled text: tags become spaces, the five
     * predefined character entities unescape, whitespace collapses. The tag
@@ -239,7 +241,13 @@ object TextFunctions {
   def canonicalizeUrl(url: Column): Column = {
     val stripped = substring_index(substring_index(url, "#", 1), "?", 1)
     val proto = substring_index(stripped, "://", 1)
-    val rest = substring_index(stripped, "://", -1)
+    // everything after the FIRST "://" — substring_index(.., -1) splits on
+    // the LAST occurrence, so an archive/redirect URL with an embedded
+    // scheme ("http://archive.org/web/https://x.com/p") would collapse to
+    // the embedded host and dedup under the wrong key (r8 review; the
+    // DuckDB oracle computes the first-occurrence form)
+    val rest = stripped.substr(locate("://", stripped) + lit(3),
+      length(stripped))
     val host = substring_index(rest, "/", 1)
     val path = regexp_replace(rest.substr(length(host) + lit(1), length(rest)),
       "/$", "")

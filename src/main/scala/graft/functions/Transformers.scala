@@ -115,10 +115,15 @@ object Transformers {
   private def parseArith(x: Column, s: String): Column = {
     val rhs = if (s.contains("=")) s.split("=", 2)(1) else s
     val ops = Seq("+", "-", "*", "/")
-    ops.find(o => rhs.contains(o)) match {
+    // a leading '-' is a SIGN, not the subtraction operator: find the
+    // operator from position 1 so constant branches like "-1" (and
+    // "x=-1") parse as negative literals instead of crashing on an empty
+    // left operand (r8 review)
+    ops.find(o => rhs.indexOf(o, 1) > 0) match {
       case None => operand(x, rhs)
       case Some(op) =>
-        val Array(l, r) = rhs.split(java.util.regex.Pattern.quote(op), 2)
+        val idx = rhs.indexOf(op, 1)
+        val (l, r) = (rhs.substring(0, idx), rhs.substring(idx + 1))
         val (lc, rc) = (operand(x, l), operand(x, r))
         op match {
           case "+" => lc + rc
@@ -164,7 +169,10 @@ object Transformers {
     */
   def timestampCalibrate(c: Column, perform: String): Column = perform match {
     case "add"    => (c.cast(LongType) * 1000).cast(LongType)
-    case "reduce" => floor(c.cast(LongType) / 1000).cast(LongType)
+    // integral `div`, not floor(double /): the reference divides LONGS
+    // (truncation toward zero), so -1500 ms must give -1 s, not floor's
+    // -2 — and double division loses precision past 2^53 (r8 review)
+    case "reduce" => call_function("div", c.cast(LongType), lit(1000L))
     case other    => throw new IllegalArgumentException(s"unknown perform: $other")
   }
 

@@ -81,6 +81,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
   */
 case class LshBucketExpr(child: Expression, nBits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // the bucket is one 64-bit word of sign bits; nBits > 64 would silently
+  // alias planes through the shift's mod-64 wrap (two planes ORing into
+  // one bit -> corrupted buckets), nBits <= 0 a constant bucket (the
+  // downstream self-join degenerates to a cross join)
+  require(nBits >= 1 && nBits <= 64,
+    s"lsh_bucket: nBits must be in [1, 64], got $nBits")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 

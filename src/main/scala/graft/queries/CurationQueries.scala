@@ -329,7 +329,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
       | SELECT doc_id, split_part(split_part(url, '#', 1), '?', 1) AS stripped FROM u),
       |p AS (
       | SELECT doc_id, split_part(stripped, '://', 1) AS proto,
-      |  split_part(stripped, '://', 2) AS rest FROM s),
+      |  substring(stripped, strpos(stripped, '://') + 3) AS rest FROM s),
       |h AS (
       | SELECT doc_id, proto, split_part(rest, '/', 1) AS host,
       |  regexp_replace(substring(rest, length(split_part(rest, '/', 1)) + 1), '/$', '') AS path

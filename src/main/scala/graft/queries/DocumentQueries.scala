@@ -766,7 +766,7 @@ object DocumentQueries {
       | SELECT doc_id, text,
       |  CASE WHEN len(toks) >= 3 THEN
       |   list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-      |  ELSE CAST([] AS VARCHAR[]) END AS shingles
+      |  ELSE [array_to_string(toks, ' ')] END AS shingles
       | FROM t)
       |SELECT doc_id,
       | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
