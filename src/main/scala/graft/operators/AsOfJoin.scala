@@ -21,14 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def backward(left: DataFrame, right: DataFrame,
-               leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+  /** Shared prep of both directions: tag and union the two inputs on
+    * (__key, __t, __is_right, __pay). Right rows with a NULL key or NULL
+    * time are dropped UP FRONT — under the window formulation a null-time
+    * right row sorts first (nulls-first asc) and would act as
+    * time = -infinity, matching left rows that have no true predecessor;
+    * and a null KEY would pair null-key left rows with null-key right rows,
+    * the opposite of equi-join semantics. Left null-key/time rows stay and
+    * simply match nothing (asof = null), like an unmatched outer row.
+    */
+  private def prepped(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String]): (DataFrame, Seq[String]) = {
     val payload = struct(rightPayload.map(col): _*)
     val r = right.select(
       col(rightKey).as("__key"), col(rightTime).cast("timestamp").as("__t"),
       lit(1).as("__is_right"), payload.as("__pay"))
+      .filter(col("__key").isNotNull && col("__t").isNotNull)
     val leftCols = left.columns.toSeq
     val l = left.select(
       (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t") +:
@@ -37,7 +47,16 @@ object AsOfJoin {
     val unioned = r
       .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
       .unionByName(l)
-    // right rows sort before left rows at equal time → inclusive match
+    (unioned, leftCols)
+  }
+
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val (unioned, leftCols) = prepped(left, right, leftKey, rightKey,
+      leftTime, rightTime, rightPayload)
+    // right rows sort before left rows at equal time -> inclusive match
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -57,19 +76,9 @@ object AsOfJoin {
               leftKey: String, rightKey: String,
               leftTime: String, rightTime: String,
               rightPayload: Seq[String]): DataFrame = {
-    val payload = struct(rightPayload.map(col): _*)
-    val r = right.select(
-      col(rightKey).as("__key"), col(rightTime).cast("timestamp").as("__t"),
-      lit(1).as("__is_right"), payload.as("__pay"))
-    val leftCols = left.columns.toSeq
-    val l = left.select(
-      (col(leftKey).as("__key") +: col(leftTime).cast("timestamp").as("__t") +:
-        lit(0).as("__is_right") +: lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
-        leftCols.map(col)): _*)
-    val unioned = r
-      .withColumns(leftCols.map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-      .unionByName(l)
-    // left rows sort before right rows at equal time → inclusive match when
+    val (unioned, leftCols) = prepped(left, right, leftKey, rightKey,
+      leftTime, rightTime, rightPayload)
+    // left rows sort before right rows at equal time -> inclusive match when
     // scanning toward the future
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__is_right").asc)

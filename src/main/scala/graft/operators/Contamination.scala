@@ -19,15 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** `excludeSelfPairs` — drop pairs whose ids are equal. Correct ONLY
+    * when the benchmark rows are drawn from the corpus id space (the
+    * screening-your-own-snapshot shape this operator's queries use); with
+    * INDEPENDENT id domains a coincidental id collision would silently
+    * hide a true contamination pair — pass false there. Null ids never
+    * pair either way (the comparison is null-propagating).
+    */
   def sharedShingles(corpus: DataFrame, bench: DataFrame,
                      textCol: String, idCol: String,
-                     k: Int = 3, minShared: Int = 3): DataFrame = {
+                     k: Int = 3, minShared: Int = 3,
+                     excludeSelfPairs: Boolean = true): DataFrame = {
     // canonical distinct-sorted shingle-hash set per document (map-side,
-    // one fused pass — no text or token array ever crosses the wire)
+    // one fused pass — the builder emits SORTED DISTINCT hashes itself; no
+    // text or token array ever crosses the wire)
     def sets(df: DataFrame, side: String) =
       df.select(col(idCol).as(s"${side}_id"),
-        array_sort(array_distinct(
-          graft.functions.ShingleHash.wordShingleHashes(col(textCol), k))).as("set"))
+        graft.functions.ShingleHash
+          .wordShingleHashes(col(textCol), k, sorted = true).as("set"))
     // no checkpoints: the grouping exchange canonicalizes identically for
     // every consumer, so ReuseExchange materializes it once per side
     def collapse(s: DataFrame, side: String): (DataFrame, DataFrame) = {
@@ -44,14 +53,17 @@ object Contamination {
     val repPairs = cReps.select(col("corpus_rep"), explode(col("set")).as("sh"))
       .join(bReps.select(col("bench_rep"), explode(col("set")).as("sh")), "sh")
       .groupBy(col("corpus_rep"), col("bench_rep"))
-      .agg(countDistinct(col("sh")).as("n_shared"))
+      // plain count: each rep's set is distinct by construction, so
+      // (corpus_rep, bench_rep, sh) rows are already unique
+      .agg(count(col("sh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
     // expand to document pairs — output-sized; the self-pair exclusion
     // applies at the MEMBER level, exactly like the uncollapsed join did
-    repPairs
+    val expanded = repPairs
       .join(cMembers, "corpus_rep")
       .join(bMembers, "bench_rep")
-      .filter(col("corpus_id") =!= col("bench_id"))
+    (if (excludeSelfPairs) expanded.filter(col("corpus_id") =!= col("bench_id"))
+     else expanded)
       .select(col("corpus_id"), col("bench_id"), col("n_shared"))
   }
 }

@@ -32,7 +32,10 @@ object Embeddings {
   def centroidsFixedPoint(df: DataFrame, vecCol: String, groupCol: String,
                           scaleBits: Int = 20): DataFrame = {
     val scale = math.pow(2.0, scaleBits)
-    df.select(col(groupCol).cast(LongType).as(groupCol),
+    // group on the column AS IS — a LongType cast here silently nulled
+    // every non-numeric label and merged all groups into one NULL centroid
+    // (the numeric cast for oracle parity belongs at the query site)
+    df.select(col(groupCol).as(groupCol),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(groupCol), col("pos").cast(LongType).as("pos"))
       .agg(count(lit(1)).as("n"),
@@ -140,7 +143,14 @@ object Embeddings {
         while (q < d) {
           if (math.abs(a(p)(q)) > 1e-18) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // sign(0) must be +1, not 0: math.signum(0.0) == 0 would make
+            // the rotation a NO-OP whenever the two diagonal entries are
+            // equal (theta == 0 wants t == 1, a 45-degree rotation), and
+            // equal-variance pairs would never diagonalize — wrong
+            // eigenvalues with no error (r8 review; spec pins the 2x2
+            // equal-diagonal case)
+            val sign = if (theta >= 0.0) 1.0 else -1.0
+            val t = sign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0

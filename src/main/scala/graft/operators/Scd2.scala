@@ -49,14 +49,24 @@ object Scd2 {
     val closed = scd.filter(col("valid_to").isNotNull)
     val diff = Validators.snapshotDiff(
       open.select(dataCols.map(col): _*), snap, keys, compareCols)
+    // null-safe key joins: equi-joins never match NULL keys, so an open
+    // null-keyed row would land in NEITHER keep nor close and silently
+    // vanish from the history (r8 review). The diff side's keys are
+    // RENAMED (__d_*) before joining — diff derives from open/snap, so
+    // unrenamed columns would trip the ambiguous-self-join detector.
     def ofStatus(statuses: String*) =
-      diff.filter(col("status").isin(statuses: _*)).select(keys.map(col): _*)
-    val keep = open.join(ofStatus("same"), keys)
+      diff.filter(col("status").isin(statuses: _*))
+        .select(keys.map(k => col(k).as(s"__d_$k")): _*)
+    // bare-name resolution on the left (dataset-addressed open(k)/snap(k)
+    // columns would trip the ambiguous-self-join detector, since the diff
+    // side's plan descends from the same datasets)
+    val keyCond = keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    val keep = open.join(ofStatus("same"), keyCond)
       .select(scd.columns.map(col): _*)
-    val close = open.join(ofStatus("changed", "removed"), keys)
+    val close = open.join(ofStatus("changed", "removed"), keyCond)
       .withColumn("valid_to", lit(ts))
       .select(scd.columns.map(col): _*)
-    val opened = snap.join(ofStatus("changed", "added"), keys)
+    val opened = snap.join(ofStatus("changed", "added"), keyCond)
       .withColumn("valid_from", lit(ts))
       .withColumn("valid_to", lit(null).cast("string"))
       .select(scd.columns.map(col): _*)

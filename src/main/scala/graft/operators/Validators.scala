@@ -141,15 +141,28 @@ object Validators {
   def checkSyntax(spark: SparkSession, path: String, format: String,
                   schema: Option[StructType] = None): SyntaxReport =
     Try {
+      // the corrupt-record column only EXISTS when it is part of the read
+      // schema — CSV schema inference never adds it and caller schemas
+      // rarely do, in which case PERMISSIVE silently null-pads malformed
+      // rows and the report would claim ok=true over a dirty file. Resolve
+      // the data schema first (infer if absent), then append _corrupt.
+      def withCorrupt(s: StructType): StructType =
+        if (s.fieldNames.contains("_corrupt")) s
+        else s.add(org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType))
       val reader = format match {
         case "csv" =>
           val r = spark.read.option("header", "true").option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
-          schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+          val dataSchema = schema.getOrElse(
+            spark.read.option("header", "true").option("inferSchema", "true")
+              .csv(path).schema)
+          r.schema(withCorrupt(dataSchema)).csv(path)
         case "json" =>
           val r = spark.read.option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
-          schema.fold(r)(s => r.schema(s)).json(path)
+          val dataSchema = schema.getOrElse(spark.read.json(path).schema)
+          r.schema(withCorrupt(dataSchema)).json(path)
         case "parquet" => spark.read.parquet(path)
         case "xml" => spark.read.format("xml").option("rowTag", "row").load(path)
         case other => throw new IllegalArgumentException(s"unknown format: $other")
@@ -190,12 +203,25 @@ object Validators {
     */
   def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
-    val ha = a.select((keys.map(col) :+
-      xxhash64(compareCols.map(col): _*).as("__ha")): _*)
-    val hb = b.select((keys.map(col) :+
-      xxhash64(compareCols.map(col): _*).as("__hb")): _*)
-    ha.join(hb, keys, "full_outer")
-      .select((keys.map(col) :+
+    // xxhash64 SKIPS null inputs, so a value shifting between adjacent
+    // columns around a NULL would hash identically (a deterministic
+    // collision class, not a random 64-bit one) and a real change would
+    // report 'same'. Hash a per-column (null-flag, rendered value) pair so
+    // null position is part of the digest.
+    def rowHash(alias: String) = xxhash64(compareCols.flatMap(c => Seq(
+      col(c).isNull.cast("int"), coalesce(col(c).cast("string"), lit("")))): _*)
+      .as(alias)
+    val ha = a.select((keys.map(col) :+ rowHash("__ha")): _*)
+    // b's keys renamed: both snapshots typically derive from one source
+    // table, and dataset-addressed join columns over shared lineage trip
+    // the ambiguous-self-join detector
+    val hb = b.select((keys.map(k => col(k).as(s"__b_$k")) :+ rowHash("__hb")): _*)
+    // null-SAFE key match: the Seq-keys join form uses plain equality, so
+    // a null-keyed row present in both snapshots would surface as a
+    // spurious removed+added pair instead of same/changed
+    val cond = keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
+    ha.join(hb, cond, "full_outer")
+      .select((keys.map(k => coalesce(col(k), col(s"__b_$k")).as(k)) :+
         when(col("__ha").isNull, lit("added"))
           .when(col("__hb").isNull, lit("removed"))
           .when(col("__ha") =!= col("__hb"), lit("changed"))

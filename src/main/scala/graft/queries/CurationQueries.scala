@@ -110,7 +110,11 @@ object CurationQueries {
   // engines and partitionings.
   private def dEmbedCentroid(spark: SparkSession, dir: String): DataFrame =
     Embeddings.centroidsFixedPoint(
-      Tables.embeddings(spark, dir), "embedding", "label", scaleBits = 20)
+      // BIGINT label for oracle schema parity — the cast lives HERE, not
+      // in the operator (which must group arbitrary label types as-is)
+      Tables.embeddings(spark, dir)
+        .withColumn("label", col("label").cast("long")),
+      "embedding", "label", scaleBits = 20)
 
   private val dEmbedCentroidSql =
     """WITH e AS (

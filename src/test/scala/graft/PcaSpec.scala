@@ -25,6 +25,20 @@ class PcaSpec extends AnyFunSuite {
     }, vals.toSeq.toString)
   }
 
+  test("jacobiEigen diagonalizes equal-diagonal matrices (theta = 0 rotation)") {
+    // regression (r8 review): math.signum(0.0) == 0 made the rotation a
+    // NO-OP whenever the two diagonal entries were equal — [[1,.5],[.5,1]]
+    // (any standardized pair) returned eigenvalues {1,1} instead of
+    // {1.5, 0.5} with no error
+    val (vals, vecs) = Embeddings.jacobiEigen(
+      Array(Array(1.0, 0.5), Array(0.5, 1.0)))
+    assert(vals.sorted.zip(Array(0.5, 1.5)).forall {
+      case (got, want) => math.abs(got - want) < 1e-12
+    }, vals.toSeq.toString)
+    // eigenvectors are the +-45-degree directions
+    assert(vecs.forall(v => math.abs(math.abs(v(0)) - math.sqrt(0.5)) < 1e-12))
+  }
+
   test("pcaTrain finds planted principal directions; basis orthonormal; eigvals ordered") {
     val rnd = new scala.util.Random(5)
     // variance 9 along axis0, 1 along axis1, ~0.01 along axis2/3
