@@ -107,6 +107,10 @@ object Corpus {
     * greedy packer is a sequential fold — not expressible as a window —
     * and changes bin totals by at most one document either way.
     */
+  /** `orderCol` must totally order each group (a unique id/offset): the
+    * running-sum ROWS frame over tied values depends on shuffle order, so
+    * ties would make bin membership nondeterministic across runs.
+    */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
@@ -189,8 +193,7 @@ object Corpus {
         "between consecutive chunks — the documented contract is that no " +
         "token is ever dropped; use stride <= chunkSize (or slice gaps " +
         "upstream explicitly)")
-    val toks = filter(split(lower(col(textCol)), "\\s+"),
-      t => length(t) > lit(0))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     df.select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), col("__toks"),

@@ -25,9 +25,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("__h")
 
-  /** Exact dedup returning the surviving rows (all columns). */
+  /** Exact dedup returning the surviving rows (all columns). This path
+    * DELETES rows, so the grouping key is the 256-bit contentDigest, not
+    * [[exact]]'s 64-bit report hash — at billions of documents an xxhash64
+    * birthday collision would merge two different documents into one group
+    * and silently drop the non-minimum one (the crossDedup rule).
+    */
   def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = exact(df, textCol, idCol).select(col("keep_id"))
+    val keep = df
+      .select(contentDigest(col(textCol)).as("__d"), col(idCol))
+      .groupBy(col("__d")).agg(min(col(idCol)).as("keep_id"))
+      .select(col("keep_id"))
     df.join(keep, df(idCol) === col("keep_id"), "left_semi")
   }
 
@@ -83,6 +91,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleK: Int = 3, nHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7): DataFrame = {
+    // bands > nHashes makes every band slice EMPTY (all docs share every
+    // band key — a full quadratic join); a non-dividing bands silently
+    // ignores the signature's tail hashes, weakening the LSH guarantee
+    require(bands > 0 && nHashes % bands == 0,
+      s"minhashPairs: bands ($bands) must divide nHashes ($nHashes)")
     val rows = nHashes / bands
     // shingle hashes map-side, then one (id, hashes) exchange; the MinHash
     // signature computes post-exchange in parallel. The signature table is
@@ -162,7 +175,9 @@ object Dedup {
       .filter(graft.functions.MinHashExpr.sigAgree(col("sig_in"), col("sig_ref"))
         >= threshold)
       .select(col("id")).distinct()
-    incoming.join(doomed, col(idCol) === doomed("id"), "left_anti")
+    // qualified left reference: with idCol == "id" a bare col(idCol) is
+    // ambiguous against doomed's own "id"
+    incoming.join(doomed, incoming(idCol) === doomed("id"), "left_anti")
   }
 
   /** LSH band keys of a text column as ONE array<long> per row — each key
@@ -223,6 +238,13 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // maxDist 0 would make width 64 and (1L << 64) wrap to mask 0 — every
+    // signature in ONE bucket, a full quadratic join (intra already covers
+    // hamming 0); past 31 the chunk width collapses below 2 bits and the
+    // pigeonhole blocks stop pruning
+    require(maxDist >= 1 && maxDist <= 31,
+      s"simhashPairs: maxDist must be in [1, 31], got $maxDist " +
+        "(exact-signature dedup is the within-group intra path)")
     val chunks = maxDist + 1
     val width = 64 / chunks
     val sig = simhash(df, textCol, idCol)
@@ -455,7 +477,10 @@ object Dedup {
     val lines = df
       .select(col(idCol).as("id"), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF("id", "pos", "line")
-      .withColumn("lh", xxhash64(col("line")))
+      // 256-bit digest: this key DELETES lines corpus-wide (the crossDedup
+      // rule) — at ~1e12 distinct lines an xxhash64 birthday collision
+      // would strip an innocent line from every document
+      .withColumn("lh", sha2(col("line"), 256))
     val boilerplate = lines.groupBy(col("lh"))
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
@@ -532,6 +557,13 @@ object Dedup {
     */
   def components(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                  maxIters: Int = 20): DataFrame = {
+    // the decimal-sum convergence witness needs numeric labels: a string
+    // id would crash the cast under ANSI mode — or, with ANSI off, null
+    // every sum and fake convergence after two rounds (split clusters,
+    // silent under-deletion). Hash string ids to int64 first.
+    require(pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"components: $aCol must be numeric (got " +
+        s"${pairs.schema(aCol).dataType.simpleString}); xxhash64 string ids first")
     // each round references the previous labels TWICE (union + join), so
     // without lineage truncation the logical plan doubles per round and
     // blows up after ~10 iterations; localCheckpoint materializes the round
@@ -565,6 +597,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: iteration cap $maxIters reached before convergence — " +
+          "a component with diameter > maxIters is returned SPLIT; raise " +
+          "maxIters for long near-dup chains")
     labels
   }
 
