@@ -58,7 +58,16 @@ object Metrics {
     private def rowsAt(qe: QueryExecution): (Long, Long) = {
       val read = deepLeaves(qe.executedPlan)
         .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
-      val out = qe.executedPlan.metrics.get("numOutputRows")
+      // the ROOT needs the same AQE unwrap the leaves get: under adaptive
+      // execution (default on) executedPlan is AdaptiveSparkPlanExec,
+      // which carries no numOutputRows of its own — without the unwrap
+      // every report's output count read -1
+      val root = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val out = root.metrics.get("numOutputRows")
         .map(_.value).getOrElse(-1L)
       (read, out)
     }
@@ -77,7 +86,13 @@ object Metrics {
     /** Snapshot of captured reports, oldest first. */
     def reports: Seq[QueryReport] = buf.iterator().asScala.toSeq
 
-    def clear(): Unit = buf.clear()
+    def clear(): Unit = {
+      buf.clear()
+      // reset the counter WITH the queue: a stale count at capacity would
+      // make every later record() evict the element it just added, and
+      // reports would stay empty forever
+      bufSize.set(0)
+    }
   }
 
   /** Register a reporter on the session and return it. */

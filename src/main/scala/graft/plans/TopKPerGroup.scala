@@ -45,7 +45,12 @@ object TopKPartitionFn {
   def topKWithinPartition(groupBy: Seq[Expression], order: Seq[SortOrder], k: Int,
                           childOutput: Seq[Attribute])(
                           it: Iterator[InternalRow]): Iterator[InternalRow] = {
-    val groupProj = UnsafeProjection.create(groupBy, childOutput)
+    // NORMALIZED float group keys: raw UnsafeRow bytes would put -0.0 and
+    // 0.0 (and distinct NaN bit patterns) in separate groups, diverging
+    // from the window-function semantics this operator replaces
+    val normalizedKeys = groupBy.map(
+      org.apache.spark.sql.graft.DatasetBridge.normalizeFloats)
+    val groupProj = UnsafeProjection.create(normalizedKeys, childOutput)
     val rowOrd = GenerateOrdering.generate(order, childOutput)
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     it.foreach { row =>
@@ -121,14 +126,18 @@ object TopK {
     */
   def perGroup(df: DataFrame, groupBy: Seq[String], orderBy: Seq[SortSpec],
                k: Int): DataFrame = {
+    require(k > 0, s"TopK.perGroup: k must be positive, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
     val analyzed = df.queryExecution.analyzed
+    // resolve names with the SESSION's resolver (case-insensitive by
+    // default), like every built-in API — not exact string equality
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
+      analyzed.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
     val orders = orderBy.map { s =>

@@ -160,12 +160,15 @@ object Excel {
     val r = xmlReader(ss)
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
-    var inSi = false; var inT = false
+    var inSi = false; var inT = false; var inRph = false
     try while (r.hasNext) r.next() match {
       case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
         r.getLocalName match {
           case "si" => inSi = true; cur.clear()
-          case "t" if inSi => inT = true
+          // phonetic guide runs (<rPh>, furigana in Japanese workbooks)
+          // carry their own <t> children that are NOT part of the value
+          case "rPh" => inRph = true
+          case "t" if inSi && !inRph => inT = true
           case _ => ()
         }
       case javax.xml.stream.XMLStreamConstants.CHARACTERS |
@@ -174,6 +177,7 @@ object Excel {
       case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
         r.getLocalName match {
           case "t" => inT = false
+          case "rPh" => inRph = false
           case "si" => inSi = false; out += cur.toString
           case _ => ()
         }
@@ -309,32 +313,31 @@ object Excel {
     // fs.defaultFS, endpoint overrides); a bare `new Configuration()` there
     // would silently resolve a differently-configured filesystem.
     val confBc = df.sparkSession.sparkContext.broadcast(
-      new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration))
+      new FixedWidthV2.SerializableConf(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.foreachPartition { (it: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
-      val fs = path.getFileSystem(confBc.value.conf)
-      val os = fs.create(path, true)
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      // per-ATTEMPT temp + rename on success: a speculative or retried
+      // duplicate attempt writing the final name directly could interleave
+      // into a corrupt ZIP (same task-commit shape as the Avro writer)
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f".part-$pid%05d-${tc.taskAttemptId()}%d.xlsx.tmp")
+      val fs = fin.getFileSystem(confBc.value.conf)
+      var committed = false
+      tc.addTaskCompletionListener[Unit] { _ =>
+        if (!committed) {
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+        }
+      }
+      val os = fs.create(tmp, true)
       try writeWorkbook(schema, it, os, sheetName)
       finally os.close()
-    }
-  }
-
-  /** Java-serializable carrier for a Hadoop `Configuration` (which is only
-    * `Writable`-serializable itself) — the same shape Spark's own file sinks
-    * use to move the driver conf into tasks.
-    */
-  private final class SerializableHadoopConf(
-      @transient var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
+      fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"failed to commit $tmp -> $fin")
+      committed = true
     }
   }
 

@@ -64,13 +64,47 @@ private[sources] object FixedWidthV2 {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      else Seq(p)
+      def visible(s: org.apache.hadoop.fs.FileStatus) =
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+      // glob patterns resolve like every built-in file source
+      // (load("/data/*.dat")); each match then lists as below
+      val roots: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (p.exists("*?[{".contains(_))) {
+          val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+          require(matches.nonEmpty, s"no files match glob $p")
+          matches
+        } else Seq(fs.getFileStatus(path))
+      roots.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && visible(s))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
     }
+
+  /** Render one InternalRow value as the string the fixed-width layout
+    * writes — matching Sinks.writeFixedWidth's `cast(string)` bytes.
+    * Date/timestamp live as internal epoch numbers in an InternalRow, so
+    * `String.valueOf(row.get(...))` would write '20679' for 2026-08-14
+    * and micros-since-epoch for timestamps (timestamps render in UTC,
+    * the engine's session zone).
+    */
+  private[sources] def renderValue(row: org.apache.spark.sql.catalyst.InternalRow,
+                                   idx: Int, dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.DateType => java.time.LocalDate.ofEpochDay(row.getInt(idx).toLong).toString
+    case org.apache.spark.sql.types.TimestampType =>
+      val micros = row.getLong(idx)
+      val secs = java.lang.Math.floorDiv(micros, 1000000L)
+      val frac = java.lang.Math.floorMod(micros, 1000000L)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(secs, 0,
+        java.time.ZoneOffset.UTC)
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+        f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (frac == 0L) base
+      else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+    case _ => String.valueOf(row.get(idx, dt))
+  }
 
   /** Java-serializable Hadoop conf carrier (Configuration is only
     * Writable-serializable) — same shape as Spark's own file sources use.
@@ -272,7 +306,8 @@ private[sources] class FixedWidthWriterFactory(
       override def write(row: InternalRow): Unit = {
         val sb = new java.lang.StringBuilder
         picks.foreach { case (idx, w, dt) =>
-          val v = if (row.isNullAt(idx)) "" else String.valueOf(row.get(idx, dt))
+          val v = if (row.isNullAt(idx)) ""
+                  else FixedWidthV2.renderValue(row, idx, dt)
           if (v.length >= w) sb.append(v, 0, w)
           else {
             sb.append(v)
