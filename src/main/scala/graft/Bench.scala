@@ -80,17 +80,26 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a THROWING query must not masquerade as a fast success — record it
+      // (stderr + the JSON's failed list) so a regression can't read as a
+      // speedup in the artifact
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       val cpu = (osBean.getProcessCpuTime - c0) / 1e9
       reclaimBlocks()
       (sec, cpu)
     }
     val timed = picked.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => timeOnce(fn))
+      val runs = (1 to reps).map(_ => timeOnce(name, fn))
       // min wall; CPU from the min-wall run (the least-contended sample)
       name -> runs.minBy(_._1)
     }.toMap +
@@ -119,7 +128,10 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"cpu_total_s":${f(cpuTotal)},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.distinct.map(n => s"\"$n\"").mkString(",")}]"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"cpu_total_s":${f(cpuTotal)},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest$failedJson,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,11 +17,13 @@ import org.apache.spark.sql.types.LongType
   * The distributed equivalent keeps every stage parallel and entirely
   * inside the DataFrame world (Tungsten rows + whole-stage codegen,
   * no RDD round-trip):
-  *   1. range-repartition on the key — one full-data exchange. The
-  *      counting branch below consumes the same exchange (AQE stage reuse
-  *      emits a `ReusedExchange`; with a wide input, column pruning instead
-  *      reduces that branch to a key-only shuffle), so the table's data
-  *      crosses the wire once;
+  *   1. range-repartition on the key — one full-data exchange,
+  *      materialized once (lazy localCheckpoint) so the counting branch
+  *      and the numbering branch read the SAME partitioning. Two separate
+  *      physical exchanges would each sample their own range boundaries
+  *      (column pruning makes them non-identical for wide inputs, so
+  *      exchange reuse cannot be relied on) and counts from one boundary
+  *      set applied under another would duplicate or skip ids;
   *   2. count rows per shuffle partition with a tiny aggregation (at most
   *      `numPartitions` groups) and prefix-sum the counts into partition
   *      offsets — the one empty-partition-spec window in the plan runs
@@ -34,9 +36,10 @@ import org.apache.spark.sql.types.LongType
   *      no extra job. The offsets reach the data via a broadcast join.
   *
   * The result is identical to the global window: the i-th row in key
-  * order gets `startAt + i`. The whole computation is ONE lazy query —
-  * nothing executes at construction time, the full table crosses the wire
-  * exactly once, and every operator is codegen-friendly.
+  * order gets `startAt + i`. Construction is lazy (the checkpoint
+  * materializes at first use); the full table crosses the wire exactly
+  * once and every operator around the materialized scan is
+  * codegen-friendly.
   *
   * Limits: assumes < 2^33 rows per shuffle partition (the bit budget of
   * `monotonically_increasing_id`'s per-task counter) — size `numPartitions`
@@ -59,11 +62,19 @@ object DenseId {
     val off = "__graft_off"
     val loc = "__graft_local"
 
-    // explicit numPartitions pins the shuffle (REPARTITION_BY_NUM), so AQE
-    // cannot coalesce the two consumers of the exchange differently — the
-    // partition ids seen by the counting branch and the numbering branch
-    // are guaranteed to line up.
+    // explicit numPartitions pins the shuffle (REPARTITION_BY_NUM) so AQE
+    // cannot coalesce the two consumers differently — and the LAZY
+    // localCheckpoint pins the range BOUNDARIES: without it the counting
+    // branch column-prunes to a key-only plan, the two physical exchanges
+    // are no longer identical (no ReuseExchange), and each runs its OWN
+    // RangePartitioner boundary sampling — per-partition counts from one
+    // boundary set applied as offsets under another duplicates/skips ids
+    // (r8 review). The checkpoint materializes once at first use; both
+    // branches then read the same blocks, so pids and counts line up by
+    // construction. (Cost: one local materialization of the ranged table —
+    // the price of a deterministic two-consumer partitioning.)
     val ranged = df.repartitionByRange(parts, col(orderCol))
+      .localCheckpoint(eager = false)
 
     // ≤ `parts` groups: the prefix-sum window below is bounded by the
     // partition count, not the data size.

@@ -25,7 +25,13 @@ object ForeignKey {
   def fetch(df: DataFrame, fkCol: String,
             mapping: DataFrame, keyCol: String, valueCol: String,
             outCol: String): DataFrame = {
-    val m = mapping.select(col(keyCol).as("__fk_key"), col(valueCol).as(outCol))
+    // one value per key, deterministically (min): a duplicated key in the
+    // mapping snapshot (re-run extract) would otherwise MULTIPLY matching
+    // fact rows through the join — the reference's per-row lookup returns
+    // exactly one value
+    val m = mapping
+      .groupBy(col(keyCol).as("__fk_key"))
+      .agg(min(col(valueCol)).as(outCol))
     df.join(m, df(fkCol) === col("__fk_key"), "left").drop("__fk_key")
   }
 }

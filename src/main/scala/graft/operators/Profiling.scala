@@ -98,12 +98,17 @@ object Profiling {
   def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     // DECIMAL(18,6) inputs keep every product at DECIMAL(37,12) — inside
     // the 38-digit cap, so no precision-loss rescale (whose HALF_UP ties
-    // are not engine-portable) ever fires; all five sums stay EXACT
+    // are not engine-portable) ever fires; the sums stay exact for
+    // |x| < 10¹² (the 18,6 integral capacity — beyond it the cast nulls
+    // the row out of n AND the moments together, see the count below)
     def d(c: Column) = c.cast(DecimalType(18, 6))
     val x = col(xCol); val y = col(yCol)
     val in = df.filter(x.isNotNull && y.isNotNull)
     in.agg(
-        count(lit(1)).as("n"),
+        // count the rows the decimal casts KEPT: a value past the
+        // DECIMAL(18,6) capacity nulls out of the sums (non-ANSI), and a
+        // raw count would then silently disagree with the moments
+        count(d(x) + d(y)).as("n"),
         sum(d(x)).as("sx"),
         sum(d(y)).as("sy"),
         sum(d(x) * d(x)).as("sxx"),
@@ -132,19 +137,34 @@ object Profiling {
       // decimal sum: commutative and overflow-free at any row count (ANSI
       // mode rejects a wrapping long sum)
       sum(h.cast(DecimalType(38, 0))).as("sum_hash"),
-      expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("xor_hash"),
+      expr(s"bit_xor(xxhash64(${cols.map(c => s"`$c`").mkString(", ")}))")
+        .as("xor_hash"),
       count(lit(1)).as("n_rows"))
   }
 
-  /** Per-value digest column (ChecksumValidator's md5/sha over one field). */
-  def columnDigest(c: Column, algo: String = "sha256"): Column = algo match {
-    case "md5"    => md5(c.cast(org.apache.spark.sql.types.BinaryType))
-    case "sha256" => sha2(c.cast(org.apache.spark.sql.types.BinaryType), 256)
-    case "crc32"  => crc32(c.cast(org.apache.spark.sql.types.BinaryType))
-    case other    => throw new IllegalArgumentException(s"unknown algo: $other")
+  /** Per-value digest column (ChecksumValidator's md5/sha over one field).
+    * Non-binary inputs digest their STRING rendering (Spark only permits
+    * string/binary → binary casts, so a direct binary cast of a
+    * numeric/date field fails analysis); pass `raw = true` for a BINARY
+    * column to digest its bytes directly — routing bytes through a string
+    * cast would corrupt non-UTF8 payloads.
+    */
+  def columnDigest(c: Column, algo: String = "sha256",
+                   raw: Boolean = false): Column = {
+    val bin =
+      if (raw) c
+      else c.cast(org.apache.spark.sql.types.StringType)
+        .cast(org.apache.spark.sql.types.BinaryType)
+    algo match {
+      case "md5"    => md5(bin)
+      case "sha256" => sha2(bin, 256)
+      case "crc32"  => crc32(bin)
+      case other    => throw new IllegalArgumentException(s"unknown algo: $other")
+    }
   }
 
-  /** Per-group sigma-distance outliers with EXACT arithmetic: flags rows
+  /** Per-group sigma-distance outliers with EXACT arithmetic (within the
+    * decimal budget below): flags rows
     * where `|x − mean| > (mNum/mDen)·σ` (population σ), computed entirely
     * in decimals so the flag set is identical on every engine and
     * partitioning — no sqrt, no division, no float accumulation. The
@@ -152,8 +172,14 @@ object Profiling {
     * where s/s2 are the exact decimal sum and sum-of-squares.
     *
     * `valueCol` must already be an exact DECIMAL(12,2) (money-style)
-    * column; the intermediate widths hold for |x| < 10¹⁰ and up to ~10⁶
-    * rows per group — beyond that, widen the casts. One partial-combined
+    * column. Decimal budget, honestly stated (r8 review): the sum casts
+    * hold for |x| ≲ 10⁶ at ~10⁶ rows per group (sum(x²) must stay inside
+    * DECIMAL(26,4)'s 10²² and the d1·d1·mDen² product inside the capped
+    * DECIMAL(38,4)); multipliers mNum/mDen belong below 100. Beyond those
+    * bounds a cast overflows → NULL predicate → rows silently unflagged
+    * (ANSI: the job fails loudly instead) — widen every cast in lockstep
+    * with the DuckDB oracle, whose own int64/int128 behavior fixed these
+    * exact widths. One partial-combined
     * moment aggregate (3 values per group) broadcast back; the flag is a
     * codegen'd per-row predicate, so the whole operator is one scan plus
     * one broadcast join.

@@ -20,6 +20,9 @@ object SkewJoin {
     */
   def salted(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
              saltFactor: Int = 8, broadcastSmall: Boolean = true): DataFrame = {
+    // saltFactor 0 would make pmod(_, 0) a NULL salt on every row and the
+    // join silently EMPTY (or an ANSI divide-by-zero)
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val salts = small.withColumn("__salt",

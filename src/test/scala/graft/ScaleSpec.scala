@@ -189,20 +189,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(dense.except(windowed).isEmpty && windowed.except(dense).isEmpty)
   }
 
-  test("DenseId stays in Tungsten and shuffles the data once") {
+  test("DenseId shuffles the data once into one pinned partitioning") {
     val df = Tables.customer(spark, sf).select(col("c_custkey"))
     val dense = graft.operators.DenseId.withDenseId(df, "c_custkey", "id")
-    dense.collect() // finalize the adaptive plan so stage reuse is visible
+    dense.collect()
     val plan = dense.queryExecution.executedPlan.toString
-    // no RDD detour: everything is DataFrame operators inside codegen
-    assert(!plan.contains("ExistingRDD") && !plan.contains("SerializeFromObject"),
-      s"DenseId must not leave the DataFrame world:\n$plan")
+    // the ranged table materializes ONCE (lazy localCheckpoint): both the
+    // counting and numbering branches read the same blocks, so the range
+    // BOUNDARIES are pinned by construction — two independently-sampled
+    // range exchanges could disagree and duplicate/skip ids (r8 review)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"data must not re-shuffle after the pinned partitioning:\n$plan")
     assert(plan.contains("*("), s"DenseId plan lost whole-stage codegen:\n$plan")
-    // the range exchange is computed once and reused by the counting branch
-    assert(plan.contains("ReusedExchange"),
-      s"partition-count branch should reuse the range exchange:\n$plan")
-    // exactly one sort touches the data; the only other sort is the
-    // prefix-sum window's, over <= numPartitions count rows
+    // offsets reach the data by broadcast, never a data-sized exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the data-touching sort + the prefix-sum window's bounded sort
     assert("Sort \\[c_custkey".r.findAllIn(plan).size >= 1 &&
       "Sort \\[__graft_pid".r.findAllIn(plan).size >= 1, plan)
   }
