@@ -79,7 +79,19 @@ object Bench {
     //    disagree across artifacts.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    // Load sentinel (r9): four rounds of committed artifacts were inflated
+    // by co-tenant load the min-of-N couldn't fully shed. Record the host
+    // 1-minute loadavg around the run and mark the artifact "loaded" when
+    // it exceeds cores/4 at either end — a flagged artifact means "re-run
+    // quiet before reading regressions off these walls".
+    def loadavg1m(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val loadBefore = loadavg1m()
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -98,8 +110,13 @@ object Bench {
       reclaimBlocks()
       (sec, cpu)
     }
+    // keep every rep's wall time: the per-rep spread in the artifact is
+    // what lets a reader distinguish "code got slower" (all reps slow)
+    // from "machine was busy" (min fine, max inflated) without a rerun
+    val repWalls = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val timed = picked.map { case (name, fn) =>
       val runs = (1 to reps).map(_ => timeOnce(name, fn))
+      repWalls(name) = runs.map(_._1)
       // min wall; CPU from the min-wall run (the least-contended sample)
       name -> runs.minBy(_._1)
     }.toMap +
@@ -120,18 +137,24 @@ object Bench {
     def jmap(m: Iterable[(String, Double)]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val fullJson = jmap(results)
+    val loadAfter = loadavg1m()
+    val loaded = math.max(loadBefore, loadAfter) > hostCores / 4.0
+    val loadJson = s""""load_1m_before":${f(loadBefore)},"load_1m_after":${f(loadAfter)},"host_cores":$hostCores,"loaded":$loaded"""
+    val repsJson = repWalls.toSeq.sortBy(_._1).map { case (k, ws) =>
+      "\"" + k + "\":[" + ws.map(f).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // subset runs don't clobber the full-sweep artifact
     val fullPath = java.nio.file.Paths.get(
       if (only.isEmpty) "bench_full.json" else "bench_subset.json")
     java.nio.file.Files.write(fullPath,
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"cpu_total_s":${f(cpuTotal)},"queries":$fullJson,"cpu":${jmap(cpuResults)},"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"cpu_total_s":${f(cpuTotal)},$loadJson,"queries":$fullJson,"cpu":${jmap(cpuResults)},"rep_walls":$repsJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     val slowest = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.distinct.map(n => s"\"$n\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"cpu_total_s":${f(cpuTotal)},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},"queries":$slowest$failedJson,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"cpu_total_s":${f(cpuTotal)},"median_s":${f(median)},"max_s":${f(sorted.lastOption.getOrElse(0.0))},$loadJson,"queries":$slowest$failedJson,"full":"${fullPath.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -561,9 +561,10 @@ object Dedup {
     // id would crash the cast under ANSI mode — or, with ANSI off, null
     // every sum and fake convergence after two rounds (split clusters,
     // silent under-deletion). Hash string ids to int64 first.
-    require(pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"components: $aCol must be numeric (got " +
-        s"${pairs.schema(aCol).dataType.simpleString}); xxhash64 string ids first")
+    for (c <- Seq(aCol, bCol))
+      require(pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"components: $c must be numeric (got " +
+          s"${pairs.schema(c).dataType.simpleString}); xxhash64 string ids first")
     // each round references the previous labels TWICE (union + join), so
     // without lineage truncation the logical plan doubles per round and
     // blows up after ~10 iterations; localCheckpoint materializes the round

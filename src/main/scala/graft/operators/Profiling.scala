@@ -103,12 +103,21 @@ object Profiling {
     // the row out of n AND the moments together, see the count below)
     def d(c: Column) = c.cast(DecimalType(18, 6))
     val x = col(xCol); val y = col(yCol)
-    val in = df.filter(x.isNotNull && y.isNotNull)
+    // Drop a row when EITHER value is outside the DECIMAL(18,6) capacity,
+    // not just when it is null: a one-sided overflow would otherwise leave
+    // the row out of n/sx/sxx/sxy (null-propagating products under
+    // non-ANSI) but still inside sy/syy, making the six aggregates
+    // disagree about the row set and the correlation silently wrong —
+    // and under ANSI mode (Spark 4 default) the overflowing cast would
+    // crash the whole aggregation. The explicit double-precision guard
+    // (0.6 under the 10^12 integral capacity, far beyond the ~1.2e-4 ulp
+    // at that magnitude, so no admitted value can overflow after HALF_UP
+    // rounding to 6 dp) keeps every aggregate on the same row set in both
+    // modes, so a plain count is again exact.
+    def fits(c: Column) = abs(c.cast(DoubleType)) < lit(999999999999.4)
+    val in = df.filter(x.isNotNull && y.isNotNull && fits(x) && fits(y))
     in.agg(
-        // count the rows the decimal casts KEPT: a value past the
-        // DECIMAL(18,6) capacity nulls out of the sums (non-ANSI), and a
-        // raw count would then silently disagree with the moments
-        count(d(x) + d(y)).as("n"),
+        count(lit(1)).as("n"),
         sum(d(x)).as("sx"),
         sum(d(y)).as("sy"),
         sum(d(x) * d(x)).as("sxx"),

@@ -264,6 +264,18 @@ object Dfasdl {
 
   /** Apply a top-level fixseq's record bound to a batch read (LIMIT count —
     * the reference's own SQL mapping for fixseq). No-op for plain seq docs.
+    *
+    * ORDER CAVEAT: the reference's fixseq parser consumes the FIRST `count`
+    * records in stream order of its single source file
+    * (parsers/FileParser.scala sequential reads); Spark's `limit` takes
+    * `count` rows in partition-index order, which matches byte order for a
+    * single file read as one partition (every DFASDL cookbook source in
+    * the corpus — fixseq files are small by construction, far under
+    * `spark.sql.files.maxPartitionBytes`) but is plan-dependent for
+    * multi-file globs or a file large enough to split. Multi-file fixseq
+    * has no reference analog (the agent parses one file per source), so
+    * the divergence is unreachable for ported cookbooks; callers gluing
+    * globs onto a fixseq doc get *some* `count` rows, documented here.
     */
   private def bounded(df: DataFrame, doc: Doc): DataFrame =
     doc.rowLimit.fold(df)(n => df.limit(n.toInt))
@@ -467,12 +479,18 @@ object Dfasdl {
         }
     }
     // a declared preamble means the first line of each file is a header:
-    // route through the csv source (separator that cannot occur, quoting
-    // off) purely for its per-file header skip — text() has none
+    // route through the csv source purely for its per-file header skip —
+    // text() has none. Three options keep the borrowed parser's hands off
+    // the data lines: a THREE-control-byte separator (a lone \u0001 in a
+    // data line would silently truncate it at the split; the triple cannot
+    // occur in any text corpus), quoting off, and escape "" (maps to
+    // \u0000 in CSVOptions — the default backslash escape would otherwise
+    // swallow literal backslashes before branch dispatch).
     val raw =
       if (doc.preamble.isEmpty) spark.read.text(path)
-      else spark.read.option("header", "true").option("sep", "\u0001")
-        .option("quote", "")
+      else spark.read.option("header", "true")
+        .option("sep", "\u0001\u0002\u0001")
+        .option("quote", "").option("escape", "")
         .schema(StructType(Seq(StructField("value", StringType)))).csv(path)
     bounded(raw.select(cols: _*), doc)
   }

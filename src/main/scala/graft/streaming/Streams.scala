@@ -142,20 +142,31 @@ object Streams {
     * `dropDuplicates`) — run it downstream if both gates are needed.
     */
   def crossDedupStream(docs: DataFrame, reference: DataFrame,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    crossDedupStreamManaged(docs, reference, textCol)._1
+
+  /** [[crossDedupStream]] plus the persisted reference-digest handle, so a
+    * long-lived session constructing many gates can unpersist each
+    * deterministically (`handle.unpersist()`) when its query stops —
+    * without the handle, repeated gate construction accumulates
+    * MEMORY_AND_DISK blocks until `spark.catalog.clearCache()`.
+    */
+  def crossDedupStreamManaged(docs: DataFrame, reference: DataFrame,
+                              textCol: String = "text"): (DataFrame, DataFrame) = {
     // 256-bit digest for the same reason as Dedup.crossDedup: a deletion
     // key must not collide at reference-corpus scale.
     import graft.functions.TextFunctions.contentDigest
     // persist the digested reference: the static side of a stream-static
     // join re-evaluates EVERY micro-batch, and re-digesting a historical
     // corpus per batch would dominate gate latency (cache materializes on
-    // the first batch; lifecycle belongs to the query — unpersist via
-    // spark.catalog.clearCache() or a caller-held handle when stopping)
+    // the first batch; lifecycle belongs to the query — unpersist via the
+    // returned handle when the query stops)
     val refHashes = reference.select(contentDigest(col(textCol)).as("__h"))
       .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.withColumn("__h", contentDigest(col(textCol)))
+    val gated = docs.withColumn("__h", contentDigest(col(textCol)))
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
+    (gated, refHashes)
   }
 
   /** STREAM-STREAM interval join with watermark-bounded state: attribute

@@ -106,6 +106,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(c2 == -1.0, c2.toString)
   }
 
+  test("corrExact drops one-sided DECIMAL-overflow rows from ALL moments") {
+    // y = 1e13 exceeds DECIMAL(18,6)'s 12 integral digits while x fits:
+    // before the r9 fix that row left n/sx/sxx/sxy but stayed in sy/syy,
+    // silently skewing the correlation. With the row filtered everywhere,
+    // the result equals corrExact over the clean subset alone.
+    val clean = (1 to 20).map(i => (i.toDouble, 2.0 * i + 5))
+    val dirty = clean :+ (3.5, 1.0e13)
+    val got = graft.operators.Profiling.corrExact(dirty.toDF("x", "y"), "x", "y")
+      .as[(Long, Double)].collect()(0)
+    val want = graft.operators.Profiling.corrExact(clean.toDF("x", "y"), "x", "y")
+      .as[(Long, Double)].collect()(0)
+    assert(got == want && got._1 == 20L, s"got $got want $want")
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     val dir = TestSpark.sf
     Seq("q29_fuzzy_link", "d_tfidf", "q30_funnel").foreach { name =>
