@@ -344,6 +344,50 @@ object SourceQueries {
   private val q41JdbcSql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  // --------------------------------------------------- q49_jdbc_upsert
+  // The reference's keyed-UPDATE database write path end-to-end
+  // (writers/DatabaseWriterActor.scala:506–531,607: prepared UPDATE batches
+  // with the primary-key columns bound into the WHERE clause): supplier is
+  // seeded into Derby, then a batch of CHANGED rows (every 10th key:
+  // acctbal+100, name lower-cased) plus NEW rows (every 7th key shifted to
+  // 1e10 — far above any reachable scaled key, r7 fixture rule) is applied
+  // through Sinks.writeJdbcUpsert, and the table is read back. The oracle
+  // replays the same upsert as pure SQL over the original parquet
+  // (Scd2.upsert's anti-join ∪ source form). A wrong WHERE binding, a
+  // lost INSERT-on-zero-update, a type-mapping loss, or a non-idempotent
+  // re-application (the cached DB is upserted again on every invocation)
+  // breaks the hash.
+  private def q49JdbcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val base = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val db = cachedArtifact("derbyups", dir) { out =>
+      Sinks.writeJdbc(base, s"jdbc:derby:$out/db;create=true", "supplier_ups",
+        props, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    val changed = base.filter(col("s_suppkey") % 10 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+      .withColumn("s_name", lower(col("s_name")))
+    val fresh = base.filter(col("s_suppkey") % 7 === 0)
+      .withColumn("s_suppkey", col("s_suppkey") + lit(10000000000L))
+    Sinks.writeJdbcUpsert(changed.unionByName(fresh), s"jdbc:derby:$db/db",
+      "supplier_ups", Seq("s_suppkey"), props)
+    Sources.readJdbc(spark, s"jdbc:derby:$db/db", "supplier_ups", props)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+  }
+
+  private val q49JdbcUpsertSql =
+    "WITH base AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier), " +
+      "batch AS (" +
+      "SELECT s_suppkey, lower(s_name) AS s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal " +
+      "FROM base WHERE s_suppkey % 10 = 0 " +
+      "UNION ALL " +
+      "SELECT s_suppkey + 10000000000, s_name, s_nationkey, s_acctbal " +
+      "FROM base WHERE s_suppkey % 7 = 0) " +
+      "SELECT * FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM batch) " +
+      "UNION ALL SELECT * FROM batch"
+
   // --------------------------------------------------------- q42_dfasdl
   // The cookbook front-end end-to-end, oracle-checked: customer is staged
   // as a headered CSV, its DFASDL schema document is EMITTED by
@@ -647,6 +691,7 @@ object SourceQueries {
     QueryDef("t_vancode", tVanCode, Some(tVanCodeSql)),
     QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql)),
     QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql)),
-    QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql))
+    QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql)),
+    QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql))
   )
 }

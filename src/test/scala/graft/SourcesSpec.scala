@@ -72,6 +72,46 @@ class SourcesSpec extends AnyFunSuite {
     assert(part.count() == 3)
   }
 
+  test("jdbc keyed upsert: updates matched keys, inserts new, idempotent") {
+    val db = tmp("derbyup") + "/updb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.writeJdbc(sample, url, "up_table", props, mode = SaveMode.Overwrite)
+    // change row 2 (two non-key columns), add row 4, leave rows 1 and 3
+    val batch = Seq(
+      (2L, "BETA", 99.75, "2024-02-02"),
+      (4L, "delta", 1.0, "2024-01-04")
+    ).toDF("id", "name", "amount", "day")
+    Sinks.writeJdbcUpsert(batch, url, "up_table", Seq("id"), props)
+    def snapshot() = Sources.readJdbc(spark, url, "up_table", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val want = Seq((1L, "alpha", 10.5), (2L, "BETA", 99.75),
+      (3L, "gamma", -3.0), (4L, "delta", 1.0))
+    assert(snapshot() == want, snapshot().toString)
+    // idempotent: the same batch applied again changes nothing
+    Sinks.writeJdbcUpsert(batch, url, "up_table", Seq("id"), props)
+    assert(snapshot() == want, "re-application must be a no-op")
+    // null into a non-key column travels through setNull
+    val nullBatch = Seq((3L, null.asInstanceOf[String], -3.0, "2024-01-03"))
+      .toDF("id", "name", "amount", "day")
+    Sinks.writeJdbcUpsert(nullBatch, url, "up_table", Seq("id"), props)
+    val r3 = Sources.readJdbc(spark, url, "up_table", props)
+      .filter(col("id") === 3L).collect()(0)
+    assert(r3.getAs[String]("name") == null)
+    // a duplicate key inside one batch is rejected (order-dependent result)
+    val dup = Seq((5L, "x", 1.0, "d"), (5L, "y", 2.0, "d"))
+      .toDF("id", "name", "amount", "day")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Sinks.writeJdbcUpsert(dup, url, "up_table", Seq("id"), props)
+    }
+    assert(ex.getMessage != null)
+    // all-key schemas have no SET clause — rejected up front
+    intercept[IllegalArgumentException] {
+      Sinks.writeJdbcUpsert(sample.select("id"), url, "up_table", Seq("id"), props)
+    }
+  }
+
   test("orc round-trip") {
     val dir = tmp("orc") + "/out"
     Sinks.writeOrc(sample, dir)
