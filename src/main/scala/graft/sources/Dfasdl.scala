@@ -253,6 +253,11 @@ object Dfasdl {
     val rowLimit = rest.headOption.collect {
       case seq if nameOf(seq) == "fixseq" =>
         Option(seq.getAttribute("count")).filter(_.nonEmpty).map(_.toLong)
+      // a plain seq's `max` bounds iteration the same way (the reference
+      // file parsers stop after max repetitions — the vCard complex-02
+      // fixture reads only the first `max` vcards of the stream)
+      case seq if nameOf(seq) == "seq" =>
+        Option(seq.getAttribute("max")).filter(_.nonEmpty).map(_.toLong)
     }.flatten
     rowLimit.foreach(n => require(n >= 0 && n <= Int.MaxValue,
       s"fixseq count $n is outside the supported record bound [0, 2^31)"))
@@ -400,6 +405,7 @@ object Dfasdl {
     */
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
     if (isLineChoiceDoc(doc)) return readChoiceLines(spark, path, doc)
+    if (isTokenStreamDoc(doc)) return readTokenStream(spark, path, doc)
     requireUniformSep(doc)
     val raw = spark.read
       .option("header", doc.preamble.nonEmpty.toString)
@@ -433,16 +439,98 @@ object Dfasdl {
     * plain regex alternation like `(F|f)rom`) cannot shift which group a
     * later leaf reads.
     */
+  private def groupsIn(frag: String): Int =
+    try java.util.regex.Pattern.compile(frag).matcher("").groupCount()
+    catch { case _: java.util.regex.PatternSyntaxException => 1 }
+
   private def branchLinePlan(b: Branch): (String, Seq[Int]) = {
     def startOf(f: Field) = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
     val frags = b.leaves.init.map { f =>
       s"(${startOf(f)}.*?)(?:${f.attr("stop-sign").getOrElse(",")})"
     } :+ s"(${startOf(b.leaves.last)}.*)"
-    def groupsIn(frag: String): Int =
-      try java.util.regex.Pattern.compile(frag).matcher("").groupCount()
-      catch { case _: java.util.regex.PatternSyntaxException => 1 }
     val idxs = frags.map(groupsIn).scanLeft(0)(_ + _).init.map(_ + 1)
     ("(?s)^" + frags.mkString + "$", idxs)
+  }
+
+  // ------------------------------------------ token-stream documents (r9)
+
+  /** Is this a TOKEN-STREAM document — plain leaves whose stop-signs
+    * differ, so a record is a run of individually-terminated tokens rather
+    * than one separator-split line? The reference's vCard schemas are the
+    * canonical case: `<str class="label" stop-sign=":"/>` label tokens
+    * alternate with value leaves that carry NO stop-sign and therefore
+    * terminate at the parser default `\r\n?|\n`
+    * (parsers/BaseParser.scala:50 DEFAULT_STOP_SIGN) — a 16-line
+    * label:value stream per record. Uniform-separator docs (every non-final
+    * stop-sign equal) stay on the csv path; mixed signs dispatch here
+    * (previously a typed reject).
+    */
+  private def isTokenStreamDoc(doc: Doc): Boolean = {
+    val fields = doc.slots.collect { case f: Field => f }
+    fields.size == doc.slots.size && fields.size > 1 &&
+      fields.init.map(_.attr("stop-sign")).distinct.size > 1
+  }
+
+  /** The whole-record extraction regex for a token-stream doc: one
+    * fragment per leaf capturing up to its stop-sign (a regex fragment,
+    * interpolated exactly as the reference's
+    * FileParserFunctions.buildRegularExpression does), defaulting to the
+    * parser's newline default for sign-less leaves. Returns the pattern
+    * (unwrapped) and each leaf's capture-group index within it.
+    */
+  private def tokenStreamPlan(fields: Seq[Field]): (String, Seq[Int]) = {
+    def startOf(f: Field) = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
+    val frags = fields.map { f =>
+      s"(${startOf(f)}.*?)" +
+        f.attr("stop-sign").map(s => s"(?:$s)").getOrElse("(?:\\r\\n?|\\n|$)")
+    }
+    val idxs = frags.map(groupsIn).scanLeft(0)(_ + _).init.map(_ + 1)
+    (frags.mkString, idxs)
+  }
+
+  /** Read a token-stream document ([[isTokenStreamDoc]]) — the reference's
+    * sequential FileParser consuming one stop-sign-terminated token per
+    * element, re-expressed as two regex passes over per-file text: records
+    * are the successive matches of the whole-record pattern
+    * (`regexp_extract_all` + explode), then each leaf extracts by capture
+    * group. Both passes are codegen'd Catalyst expressions.
+    *
+    * Parallelism note: the unit of distribution is the FILE (`wholetext`),
+    * matching the reference's one-stream-per-source model — a directory of
+    * vCard exports fans out one task per file. A single multi-GB
+    * token-stream file would serialize into one task (and one regex
+    * buffer); at that scale the fix is upstream file splitting, same as
+    * any non-splittable container.
+    *
+    * Records that fail the record pattern (truncated tail, stray blank
+    * line) are skipped — the reference parser would mark the element BROKEN
+    * and stop; a bulk engine surfaces every well-formed record instead.
+    */
+  /** The record pattern + per-leaf projection of a token-stream doc,
+    * shared by the batch and streaming readers.
+    */
+  private def tokenStreamRecCols(doc: Doc): (String, Seq[Column]) = {
+    val fields = doc.slots.collect { case f: Field => f }
+    val (pat, idxs) = tokenStreamPlan(fields)
+    // outer wrap so regexp_extract_all can return the WHOLE record as
+    // group 1; every leaf group shifts by one
+    val recPattern = s"($pat)"
+    val rec = col("__rec")
+    val cols = fields.zip(idxs).collect {
+      case (f, g) if !f.anonymous =>
+        convert(f, applyTrim(f, regexp_extract(rec, recPattern, g + 1))).as(f.id)
+    }
+    (recPattern, cols)
+  }
+
+  private def readTokenStream(spark: SparkSession, path: String,
+                              doc: Doc): DataFrame = {
+    val (recPattern, cols) = tokenStreamRecCols(doc)
+    val files = spark.read.option("wholetext", "true").text(path)
+    val recs = files.select(
+      explode(regexp_extract_all(col("value"), lit(recPattern), lit(1)))
+        .as("__rec"))
+    bounded(recs.select(cols: _*), doc)
   }
 
   /** Read a line-per-record multi-leaf-choice document ([[isLineChoiceDoc]]):
@@ -453,8 +541,11 @@ object Dfasdl {
     * columns; `trim` attributes apply; anonymous label leaves are consumed
     * and dropped. One distributed text scan, all dispatch codegen'd.
     */
-  private def readChoiceLines(spark: SparkSession, path: String,
-                              doc: Doc): DataFrame = {
+  /** The per-line branch-dispatch projection of a line-choice doc, shared
+    * by the batch and streaming readers (identical semantics over either
+    * source).
+    */
+  private def choiceLineCols(doc: Doc): Seq[Column] = {
     val ch = doc.slots.head.asInstanceOf[ChoiceSlot]
     val line = col("value")
     val plans = ch.branches.map(branchLinePlan)
@@ -468,7 +559,7 @@ object Dfasdl {
         branchMatches(f, applyTrim(f, regexp_extract(line, p, g)))
       }.foldLeft(line.rlike(p))(_ && _)
     }
-    val cols = ch.branches.zip(plans).zipWithIndex.flatMap {
+    ch.branches.zip(plans).zipWithIndex.flatMap {
       case ((b, (p, idxs)), i) =>
         val firstMatch =
           preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
@@ -478,6 +569,11 @@ object Dfasdl {
             when(firstMatch, coerce(f, v)).as(f.id)
         }
     }
+  }
+
+  private def readChoiceLines(spark: SparkSession, path: String,
+                              doc: Doc): DataFrame = {
+    val cols = choiceLineCols(doc)
     // a declared preamble means the first line of each file is a header:
     // route through the csv source purely for its per-file header skip —
     // text() has none. Three options keep the borrowed parser's hands off
@@ -515,6 +611,31 @@ object Dfasdl {
   def readDelimitedStream(spark: SparkSession, dirPath: String,
                           doc: Doc): DataFrame = {
     requireUnbounded(doc, "readDelimitedStream")
+    // r9 parity: every document shape the batch reader accepts streams too,
+    // over the same shared projections — a line-choice doc dispatches each
+    // arriving line, a token-stream doc explodes records out of each
+    // arriving FILE (wholetext; the file is the reference's stream unit)
+    if (isLineChoiceDoc(doc)) {
+      val raw =
+        if (doc.preamble.isEmpty)
+          spark.readStream
+            .schema(StructType(Seq(StructField("value", StringType))))
+            .text(dirPath)
+        else spark.readStream.option("header", "true")
+          .option("sep", "\u0001\u0002\u0001")
+          .option("quote", "").option("escape", "")
+          .schema(StructType(Seq(StructField("value", StringType)))).csv(dirPath)
+      return raw.select(choiceLineCols(doc): _*)
+    }
+    if (isTokenStreamDoc(doc)) {
+      val (recPattern, cols) = tokenStreamRecCols(doc)
+      return spark.readStream.option("wholetext", "true")
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(dirPath)
+        .select(explode(regexp_extract_all(col("value"), lit(recPattern),
+          lit(1))).as("__rec"))
+        .select(cols: _*)
+    }
     requireUniformSep(doc)
     val raw = spark.readStream
       .option("header", doc.preamble.nonEmpty.toString)
@@ -743,19 +864,29 @@ object Dfasdl {
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
     val stopSigns = doc.slots.map(slotStopSign)
-    val uniform = stopSigns.init.flatten.distinct.size <= 1
+    // uniform = every non-final slot carries the SAME sign option; a
+    // sign-less slot among signed ones is a newline-terminated token
+    // (vCard label:value), NOT a default-comma CSV column — flattening
+    // away the Nones here silently rendered token-stream docs as
+    // ':'-separated one-line CSV (r9)
+    val uniform = stopSigns.init.distinct.size <= 1
     if (uniform) {
       val rendered = doc.slots.map(s => renderSlot(s).as(s.id))
       Sinks.writeCsv(df.select(rendered: _*), path,
         header = doc.preamble.nonEmpty, delimiter = sepOf(doc))
     } else {
       // per-field stop-signs: value1 sign1 value2 sign2 ... valueN, newline
-      // terminated by the text sink (the reference's last-element stop-sign)
+      // terminated by the text sink (the reference's last-element stop-sign).
+      // A MISSING sign defaults to the line separator exactly like the
+      // reference writer (writers/BaseWriter.scala:30 DEFAULT_STOP_SIGN =
+      // System.lineSeparator) — that embedded newline is what renders a
+      // token-stream record (vCard label:value pairs) back onto multiple
+      // physical lines, making readDelimited the exact inverse (r9; was ",")
       val parts = doc.slots.zip(stopSigns).zipWithIndex.flatMap {
         case ((s, ss), i) =>
           val v = renderSlot(s)
           if (i == doc.slots.size - 1) Seq(v)
-          else Seq(v, lit(ss.getOrElse(",")))
+          else Seq(v, lit(ss.getOrElse("\n")))
       }
       df.select(concat(parts: _*).as("value")).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)

@@ -526,10 +526,13 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("repeat instances"), e.getMessage)
   }
 
-  test("mixed per-field stop-signs reject the CSV read instead of mis-splitting") {
+  test("mixed per-field stop-signs dispatch to the token-stream reader (r9)") {
     // the reference's vCard complex-01.xml alternates ':'-stopped labels
     // with line-stopped values — a token-stream layout the byte-walking
-    // parser can honor but a fixed-separator CSV split cannot
+    // parser honors one token at a time; the r9 reader re-expresses it as
+    // a whole-record regex over per-file text (pre-r9 this was a typed
+    // reject; the vCard fixture test covers the real corpus files)
+    import spark.implicits._
     val d = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
         |  <str class="label" stop-sign=":"/>
@@ -537,9 +540,12 @@ class DfasdlSpec extends AnyFunSuite {
         |  <str class="label" stop-sign=":"/>
         |  <str id="name"/>
         |</elem></seq></dfasdl>""".stripMargin)
-    val e = intercept[IllegalArgumentException](
-      Dfasdl.readDelimited(spark, "/dev/null", d))
-    assert(e.getMessage.contains("mixed stop-signs"), e.getMessage)
+    val dir = Files.createTempDirectory("tokstream").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "VERSION:3.0\nN:Doe;John\nVERSION:4.0\nN:Roe;Jane\n".getBytes("UTF-8"))
+    val got = Dfasdl.readDelimited(spark, dir, d)
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("3.0", "Doe;John"), ("4.0", "Roe;Jane")), got.toString)
   }
 
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
@@ -597,6 +603,23 @@ class DfasdlSpec extends AnyFunSuite {
     }
     assert(ok >= (dfasdls.size * 0.8).toInt,
       s"only $ok/${dfasdls.size} parsed; rejections:\n${rejected.take(15).mkString("\n")}")
+    // r9: the residual rejections are not schemas at all — they are the
+    // reference's expected-data / expected-structure ASSERTION TREES
+    // (DataTreeDocument dumps whose leaves carry values, e.g.
+    // `<str class="id:email">john@…</str>`), its grab-bag middleware
+    // definition fixtures (anonymous leaves with text content), or its
+    // deliberately-malformed -wrong fixture. Pin that every rejected file
+    // is one of those classes, i.e. every actual record SCHEMA in the
+    // corpus parses.
+    val dataTreeLeaf =
+      "(?s).*<(?:str|num|formatstr|formatnum|date|datetime|time)[^>/]*>\\s*[^<\\s].*".r
+    val nonSchema = dfasdls.filter { case (name, xml) =>
+      name.contains("expected") || name.contains("wrong") ||
+        dataTreeLeaf.matches(xml)
+    }.map(_._1).toSet
+    val schemaRejects = rejected.map(_.takeWhile(_ != ':')).filterNot(nonSchema)
+    assert(schemaRejects.isEmpty,
+      s"real schema documents rejected: ${schemaRejects.mkString(", ")}")
     // r8: choice-bearing schemas are a supported surface now — most of the
     // real corpus's choice documents must parse (a handful still reject for
     // unrelated reasons, e.g. multi-leaf branches)
@@ -606,8 +629,10 @@ class DfasdlSpec extends AnyFunSuite {
     assert(fsDocs > 0, "reference corpus lost its formatstr fixtures?")
     assert(fsSurfaced >= (fsDocs * 0.7).toInt,
       s"formatstr fields surfaced in only $fsSurfaced/$fsDocs formatstr docs")
-    info(s"sweep: $ok/${dfasdls.size} parsed; choice docs $choiceParsed/$choiceDocs; " +
-      s"formatstr docs $fsSurfaced/$fsDocs surface formatstr fields")
+    info(s"sweep: $ok/${dfasdls.size} parsed (every non-parse is a " +
+      "data/assertion tree or -wrong fixture, pinned above); choice docs " +
+      s"$choiceParsed/$choiceDocs; formatstr docs $fsSurfaced/$fsDocs " +
+      "surface formatstr fields")
   }
 
   private val orderXmlDoc =
@@ -687,6 +712,52 @@ class DfasdlSpec extends AnyFunSuite {
     assert(got2.toSeq == got.toSeq)
   }
 
+  test("vCard token-stream documents read end-to-end (reference fixtures)") {
+    import spark.implicits._
+    val base = Paths.get("/root/reference/src/test/resources/com/wegtam/" +
+      "tensei/agent/parsers/FileParsers/vCard")
+    assume(Files.isDirectory(base), "reference checkout not present")
+    def doc(n: String) = Dfasdl.parseSchema(
+      new String(Files.readAllBytes(base.resolve(n)), "UTF-8"))
+    val vcf = base.resolve("complex-01.vcf").toString
+    // complex-01: 3 vcards of 16 label:value lines each — per-leaf
+    // stop-signs (":" labels, newline-default values), anonymous labels
+    val df1 = Dfasdl.readDelimited(spark, vcf, doc("complex-01.xml"))
+    assert(df1.count() == 3, df1.columns.mkString(","))
+    assert(df1.columns.contains("full_name") && df1.columns.contains("email"))
+    assert(df1.select("full_name").as[String].collect().sorted.toSeq ==
+      Seq("Alex Gump", "Forrest Gump", "Jane Gump"))
+    // a comma-bearing value reads whole (newline default, NOT the csv ","):
+    val lw = df1.select("label_work").as[String].collect()
+    assert(lw.forall(_.contains("Baytown, LA 30314")), lw.mkString("|"))
+    // complex-02 bounds the sequence with max=2: first two vcards only
+    val df2 = Dfasdl.readDelimited(spark, vcf, doc("complex-02.xml"))
+    assert(df2.count() == 2)
+    assert(df2.select("full_name").as[String].collect().toSet ==
+      Set("Forrest Gump", "Alex Gump"))
+    // simple-01: a single-record document — the whole file is one record
+    val dfS = Dfasdl.readDelimited(spark,
+      base.resolve("simple-01.vcf").toString, doc("simple-01.xml"))
+    assert(dfS.count() == 1)
+    assert(dfS.select("version").as[String].collect().toSeq == Seq("3.0"))
+    // write side: the same doc renders the record back onto its 16
+    // label:value lines (missing stop-sign = line separator, the reference
+    // writer default) and readDelimited is the exact inverse
+    val outT = Files.createTempDirectory("vcard_rt").toString + "/out"
+    Dfasdl.writeDelimited(dfS, doc("simple-01.xml"), outT)
+    val rt = Dfasdl.readDelimited(spark, outT, doc("simple-01.xml"))
+    assert(rt.collect().toSeq == dfS.collect().toSeq)
+    // choice-01: the multi-leaf CHOICE form of the same stream (nested
+    // seq→elem→seq→elem→choice; one line per row, start-sign-anchored
+    // label + value per branch) — the line-choice reader dispatches it
+    val dfC = Dfasdl.readDelimited(spark,
+      base.resolve("choice-01.vcf").toString, doc("choice-01.xml"))
+    assert(dfC.count() == 16) // 16 lines, one row each
+    assert(dfC.where(col("full_name") === "Forrest Gump").count() == 1)
+    assert(dfC.where(col("start_tag").isNotNull).count() == 1)
+    assert(dfC.where(col("revision").isNotNull).count() == 1)
+  }
+
   test("writeDelimited round-trips through readDelimited, incl. format rendering") {
     val doc = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="OUT">
@@ -745,6 +816,33 @@ class DfasdlSpec extends AnyFunSuite {
     assert(streamedJson ==
       Dfasdl.readJson(spark, jdir.toString, jdoc).collect().toSet
       && streamedJson.size == 2)
+  }
+
+  test("readDelimitedStream streams choice and token-stream docs like batch (r9)") {
+    val base = Paths.get("/root/reference/src/test/resources/com/wegtam/" +
+      "tensei/agent/parsers/FileParsers/vCard")
+    assume(Files.isDirectory(base), "reference checkout not present")
+    def doc(n: String) = Dfasdl.parseSchema(
+      new String(Files.readAllBytes(base.resolve(n)), "UTF-8"))
+    // token-stream doc (complex-01; records explode out of arriving files)
+    val tsDir = Files.createTempDirectory("vcard_stream").toString
+    Files.copy(base.resolve("complex-01.vcf"),
+      Paths.get(tsDir, "complex-01.vcf"))
+    val d = doc("complex-01.xml")
+    val streamed = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readDelimitedStream(spark, tsDir, d), "vcard_ts_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    val batch = Dfasdl.readDelimited(spark, tsDir, d).collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    // line-choice doc (choice-01; per-line branch dispatch)
+    val lcDir = Files.createTempDirectory("vcard_lc_stream").toString
+    Files.copy(base.resolve("choice-01.vcf"), Paths.get(lcDir, "c.vcf"))
+    val cd = doc("choice-01.xml")
+    val streamedC = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readDelimitedStream(spark, lcDir, cd), "vcard_lc_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    assert(streamedC == Dfasdl.readDelimited(spark, lcDir, cd).collect().toSet
+      && streamedC.size == 16)
   }
 
   test("writeFixedWidth round-trips through readFixedWidth and rejects overflow") {
