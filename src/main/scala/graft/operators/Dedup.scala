@@ -427,11 +427,35 @@ object Dedup {
               >= threshold, col("__o0") - 1).otherwise(col("__o0")))
         .filter(col("rn") <= greatest(lit(1),
           col("sz") - col("__omin") + lit(1)))
-        .select((col("rep") +: col("gram").as("pg") +: blockCols.map(col)): _*)
-      val candidates = pref.toDF(("rep_a" +: "pg" +: blockCols): _*)
-        .join(pref.toDF(("rep_b" +: "pg" +: blockCols): _*).hint("shuffle_merge"),
-          "pg" +: blockCols)
+        .select((col("rep") +: col("gram").as("pg") +: col("rn") +:
+          col("sz") +: blockCols.map(col)): _*)
+      // POSITIONAL filter (PPJoin's second, exact pruning — r9; this is
+      // the "finer blocking" lever the r8 scale harness asked for): a
+      // candidate row pairs two sets through a shared prefix gram at
+      // 1-based df-order positions (rn_a, rn_b); at most
+      // omax = 1 + min(sz_a - rn_a, sz_b - rn_b) elements can overlap
+      // from there on. For a truly-qualifying pair the EARLIEST shared
+      // gram row has every one of its O >= t-required overlap elements at
+      // or after (rn_a, rn_b) in both orders, so that row's omax >= O and
+      // its bound J <= omax/(sz_a+sz_b-omax) passes — pruning rows whose
+      // bound fails can never lose a qualifying pair (it only drops
+      // LATE-shared-gram rows the distinct() would collapse anyway, and
+      // never-qualifying pairs entirely). On low-entropy corpora, where
+      // every template-mate shares rare grams LATE in huge sets, this is
+      // the difference between candidate volume tracking true similarity
+      // mass vs tracking shared-boilerplate mass. The 1e-9 slack keeps
+      // the double division from pruning an exact-threshold pair the
+      // final exact jaccard filter would keep.
+      val omax = lit(1) +
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+      val candidates = pref
+        .toDF(("rep_a" +: "pg" +: "rn_a" +: "sz_a" +: blockCols): _*)
+        .join(pref.toDF(("rep_b" +: "pg" +: "rn_b" +: "sz_b" +: blockCols): _*)
+          .hint("shuffle_merge"), "pg" +: blockCols)
         .filter(col("rep_a") < col("rep_b"))
+        .filter(omax.cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - omax).cast(DoubleType)
+          >= threshold - 1e-9)
         .select(col("rep_a"), col("rep_b")).distinct()
       candidates
         .join(g.select(col("rep").as("rep_a"), col("grams").as("grams_a"))

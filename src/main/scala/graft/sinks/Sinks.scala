@@ -270,6 +270,11 @@ object Sinks extends Serializable {
     * Each partition is one transaction: autocommit off, one commit after
     * the final batch, rollback + rethrow on failure (Spark retries the
     * task; re-applying an upsert partition is safe by idempotence).
+    * MEMORY NOTE: each task buffers its partition's rows once (for exact
+    * deadlock-victim replay — the engine rolls the transaction back
+    * whole); size `spark.sql.shuffle.partitions` so a partition of the
+    * upsert batch fits executor memory, the same knob every shuffle
+    * consumer here uses.
     * Drivers that return SUCCESS_NO_INFO from update batches (Derby and
     * most return real counts) fall back to a per-key existence probe for
     * exactly the unknown rows.

@@ -406,6 +406,18 @@ object Dfasdl {
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
     if (isLineChoiceDoc(doc)) return readChoiceLines(spark, path, doc)
     if (isTokenStreamDoc(doc)) return readTokenStream(spark, path, doc)
+    // a single-field record with no (or a line-break) stop-sign is one
+    // whole line per record — the reference reads to DEFAULT_STOP_SIGN
+    // (parsers/BaseParser.scala:50, a newline regex). Routing it through
+    // the csv source would instead split at the default "," and silently
+    // truncate any comma-bearing line to its first token (r9).
+    doc.slots match {
+      case Seq(f: Field)
+          if f.attr("stop-sign").forall(s => s == "\\r\\n?|\\n" || s == "\n") =>
+        return bounded(rawLines(spark, path, doc)
+          .select(convert(f, col("value")).as(f.id)), doc)
+      case _ => ()
+    }
     requireUniformSep(doc)
     val raw = spark.read
       .option("header", doc.preamble.nonEmpty.toString)
@@ -510,6 +522,13 @@ object Dfasdl {
     * shared by the batch and streaming readers.
     */
   private def tokenStreamRecCols(doc: Doc): (String, Seq[Column]) = {
+    // both consumers read whole files (no header skip), and a header line
+    // could PARTIALLY match the record pattern and shift every record
+    // boundary — no token-stream corpus doc declares a preamble, so
+    // reject rather than risk silent mis-framing if one ever does
+    require(doc.preamble.isEmpty,
+      "token-stream documents with a preamble/header are not supported " +
+        "(the record pattern scans whole files); strip the header upstream")
     val fields = doc.slots.collect { case f: Field => f }
     val (pat, idxs) = tokenStreamPlan(fields)
     // outer wrap so regexp_extract_all can return the WHOLE record as
@@ -571,25 +590,25 @@ object Dfasdl {
     }
   }
 
+  /** Raw record lines as ONE string column `value`, with a per-file header
+    * skip when the doc declares a preamble: route through the csv source
+    * purely for its header option — text() has none. Three options keep
+    * the borrowed parser's hands off the data lines: a THREE-control-byte
+    * separator (a lone \u0001 in a data line would silently truncate it at
+    * the split; the triple cannot occur in any text corpus), quoting off,
+    * and escape "" (maps to \u0000 in CSVOptions — the default backslash
+    * escape would otherwise swallow literal backslashes).
+    */
+  private def rawLines(spark: SparkSession, path: String, doc: Doc): DataFrame =
+    if (doc.preamble.isEmpty) spark.read.text(path)
+    else spark.read.option("header", "true")
+      .option("sep", "\u0001\u0002\u0001")
+      .option("quote", "").option("escape", "")
+      .schema(StructType(Seq(StructField("value", StringType)))).csv(path)
+
   private def readChoiceLines(spark: SparkSession, path: String,
-                              doc: Doc): DataFrame = {
-    val cols = choiceLineCols(doc)
-    // a declared preamble means the first line of each file is a header:
-    // route through the csv source purely for its per-file header skip —
-    // text() has none. Three options keep the borrowed parser's hands off
-    // the data lines: a THREE-control-byte separator (a lone \u0001 in a
-    // data line would silently truncate it at the split; the triple cannot
-    // occur in any text corpus), quoting off, and escape "" (maps to
-    // \u0000 in CSVOptions — the default backslash escape would otherwise
-    // swallow literal backslashes before branch dispatch).
-    val raw =
-      if (doc.preamble.isEmpty) spark.read.text(path)
-      else spark.read.option("header", "true")
-        .option("sep", "\u0001\u0002\u0001")
-        .option("quote", "").option("escape", "")
-        .schema(StructType(Seq(StructField("value", StringType)))).csv(path)
-    bounded(raw.select(cols: _*), doc)
-  }
+                              doc: Doc): DataFrame =
+    bounded(rawLines(spark, path, doc).select(choiceLineCols(doc): _*), doc)
 
   /** The reference's `trim` attribute (trim="both"/"left"/"right") on a
     * parsed value.
@@ -999,9 +1018,11 @@ object Dfasdl {
       else doc.slots.init.map(s => slotStopSign(s).getOrElse(",")).distinct
     require(signs.size <= 1,
       s"record declares mixed stop-signs (${signs.mkString(" vs ")}) — not a " +
-        "uniform-separator delimited layout. Line-shaped choice documents " +
-        "dispatch per line; other token-stream layouts (e.g. the vCard " +
-        "label:value stream) have no fixed-arity CSV rendering")
+        "uniform-separator delimited layout. Plain-leaf token streams (the " +
+        "vCard label:value shape) dispatch to the r9 token-stream reader " +
+        "and line-shaped choice documents dispatch per line; reaching this " +
+        "guard means the record mixes a CHOICE slot with differently-" +
+        "signed fields, which has no columnar rendering")
   }
 
   /** The record's field separator: the stop-sign of the NON-FINAL slots

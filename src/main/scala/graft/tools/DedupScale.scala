@@ -36,8 +36,98 @@ object DedupScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, factor, only)
+    if (only.exists(_.contains("ann"))) annScale(spark, src, factor)
+    else run(spark, src, factor, only)
     spark.stop()
+  }
+
+  /** ANN serving-path scale step (r9): fan the embedding corpus `factor`×
+    * with jittered near-duplicates (dense cos≈0.999 clusters — the WORST
+    * case for IVF cell balance), build the IVF index and PQ codebooks at
+    * scale-appropriate settings, then probe a sampled query set at several
+    * nProbe settings and measure recall@10 against the exact brute force
+    * over the same corpus. Emits one JSON line (build/probe walls, cell
+    * skew, per-setting recall).
+    *
+    * nCells guidance baked in: sqrt(n) capped at 256 — the coarse
+    * quantizer trains DRIVER-SIDE (Lloyd over a 100-per-cell sample), and
+    * past ~256 cells × 25.6k samples the driver k-means, not the cluster,
+    * is the build bottleneck. A corpus needing finer cells (≥100M vectors)
+    * moves training to a distributed k-means and keeps everything else
+    * unchanged; the cap is recorded in the output so the reader sees which
+    * regime the build ran in.
+    */
+  def annScale(spark: SparkSession, src: String, factor: Int): Unit = {
+    import graft.operators.Similarity
+    val stride = 10000000L
+    val embs = Tables.embeddings(spark, src)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__c", explode(sequence(lit(0L), lit(factor - 1L))))
+      .select(
+        (col("vec_id") + col("__c") * stride).as("vec_id"),
+        when(col("__c") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, i) => x * (lit(1.0d) +
+              (pmod(i * col("__c"), lit(7)) - lit(3.0d)) * lit(0.001d)))
+            .cast("array<float>")).as("embedding"))
+    val base = "target/dedupscale_ann"
+    embs.repartition(64).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    val n = e.count()
+    val nCells = math.max(16, math.min(256, math.sqrt(n.toDouble).toInt))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (idx, buildSec) = timed {
+      val i = Similarity.ivfBuild(e, "embedding", "vec_id",
+        nCentroids = nCells, trainTarget = nCells * 100)
+      i.indexed.count() // materialize the persisted cell assignment
+      i
+    }
+    val (books, pqSec) = timed {
+      Similarity.pqTrain(e, "embedding", m = 8, ksub = 16, trainTarget = 25600)
+    }
+    val cellCounts = idx.indexed.groupBy(col("cell")).count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    val cellMax = cellCounts.last
+    val cellP50 = cellCounts(cellCounts.length / 2)
+    // deterministic ~100-query sample spread across originals AND copies
+    // (hash, not a multiplicative scramble: ids reach ~5e9 at factor 500
+    // and a 32-bit-constant multiply overflows Long under ANSI mode)
+    val q = e.filter(pmod(xxhash64(col("vec_id")),
+        lit(math.max(1L, n / 100L))) === 0L)
+      .limit(100).persist()
+    val nQ = q.count()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bruteP, bruteSec) = timed {
+      pairs(Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 10))
+    }
+    def recall(p: Set[(Long, Long)]): Double =
+      if (bruteP.isEmpty) 1.0 else p.intersect(bruteP).size.toDouble / bruteP.size
+    val probeResults = Seq(1, 2, 4).map { np =>
+      val (p, s) = timed {
+        pairs(Similarity.ivfQuery(idx, q, "embedding", "vec_id", k = 10,
+          nProbe = np))
+      }
+      (s"ivf_np$np", s, recall(p))
+    } :+ {
+      val (p, s) = timed {
+        pairs(Similarity.ivfPqQuery(idx, books, q, "embedding", "vec_id",
+          k = 10, nProbe = 4))
+      }
+      ("ivfpq_np4", s, recall(p))
+    }
+    val pj = probeResults.map { case (nm, s, r) =>
+      s""""$nm":{"sec":${f"$s%.3f"},"recall":${f"$r%.4f"}}"""
+    }.mkString(",")
+    println(s"""{"metric":"ann_scale","n_vecs":$n,"factor":$factor,""" +
+      s""""n_queries":$nQ,"n_cells":$nCells,""" +
+      s""""n_cells_capped":${nCells == 256},""" +
+      s""""build_sec":${f"$buildSec%.3f"},"pq_train_sec":${f"$pqSec%.3f"},""" +
+      s""""cell_max":$cellMax,"cell_p50":$cellP50,""" +
+      s""""brute_sec":${f"$bruteSec%.3f"},"probes":{$pj}}""")
   }
 
   def run(spark: SparkSession, src: String, factor: Int,

@@ -818,6 +818,23 @@ class DfasdlSpec extends AnyFunSuite {
       && streamedJson.size == 2)
   }
 
+  test("single-field sign-less records read whole lines, not comma tokens (r9)") {
+    // the reference reads a lone str to DEFAULT_STOP_SIGN (newline); the
+    // csv route would split at "," and silently truncate comma-bearing
+    // lines to their first token
+    import spark.implicits._
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str id="line"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("singlefield").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "100 Waters Edge, Baytown, LA\nplain line\n".getBytes("UTF-8"))
+    val got = Dfasdl.readDelimited(spark, dir, d)
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("100 Waters Edge, Baytown, LA", "plain line"), got.toString)
+  }
+
   test("readDelimitedStream streams choice and token-stream docs like batch (r9)") {
     val base = Paths.get("/root/reference/src/test/resources/com/wegtam/" +
       "tensei/agent/parsers/FileParsers/vCard")
