@@ -482,6 +482,17 @@ object Dfasdl {
     fields.size == doc.slots.size && fields.size > 1 &&
       fields.init.map(_.attr("stop-sign")).distinct.size > 1
   }
+  // DELIBERATE AMBIGUITY RESOLUTION: a multi-leaf record whose leaves ALL
+  // lack stop-signs stays on the CSV path (default separator ","), even
+  // though the reference parser would read each sign-less leaf to its
+  // newline default (one leaf per line — its vCard complex-03/04/05
+  // stacked-fixseq fixtures). The reference's own CSVSchemaExtractor
+  // always writes explicit stop-signs (as does [[emit]] since r9), so a
+  // fully sign-less doc is almost always a hand-sketched columnar schema
+  // meaning CSV; flipping the default would silently re-frame every such
+  // document. Authors who mean the one-leaf-per-line stream write a
+  // stop-sign on ANY leaf (mixed signs dispatch to the token-stream
+  // reader above).
 
   /** The whole-record extraction regex for a token-stream doc: one
     * fragment per leaf capturing up to its stop-sign (a regex fragment,
@@ -1168,12 +1179,18 @@ object Dfasdl {
     }
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
-    val fields = schema.fields.map { f =>
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       val extra = f.dataType match {
         case DoubleType | FloatType | _: DecimalType => " decimal-separator=\".\""
         case _ => ""
       }
-      s"""      <${kindOf(f.dataType)} id="${esc(f.name)}"$extra/>"""
+      // explicit stop-sign on every non-final column, exactly like the
+      // reference's CSVSchemaExtractor (helpers/CSVSchemaExtractor.scala:
+      // 195 sets STOP_SIGN = separator) — a sign-less leaf means
+      // "newline-terminated token" to the reference parser, not "default
+      // comma", so an emitted CSV schema must say what it means (r9)
+      val stop = if (i < schema.fields.length - 1) " stop-sign=\",\"" else ""
+      s"""      <${kindOf(f.dataType)} id="${esc(f.name)}"$stop$extra/>"""
     }.mkString("\n")
     val pre = if (header) "  <str id=\"header\"/>\n" else ""
     s"""<?xml version="1.0" encoding="UTF-8"?>

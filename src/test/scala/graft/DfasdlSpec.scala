@@ -740,6 +740,16 @@ class DfasdlSpec extends AnyFunSuite {
       base.resolve("simple-01.vcf").toString, doc("simple-01.xml"))
     assert(dfS.count() == 1)
     assert(dfS.select("version").as[String].collect().toSeq == Seq("3.0"))
+    // complex-06/07 split the same 16-pair record across SIBLING max=1
+    // seqs (06) nested under a container elem (07); the parser flattens
+    // the sections into the one 32-leaf record and the token-stream
+    // reader reads all three vcards like complex-01
+    for (nm <- Seq("complex-06.xml", "complex-07.xml")) {
+      val dfN = Dfasdl.readDelimited(spark, vcf, doc(nm))
+      assert(dfN.count() == 3, nm)
+      assert(dfN.select("full_name").as[String].collect().sorted.toSeq ==
+        Seq("Alex Gump", "Forrest Gump", "Jane Gump"), nm)
+    }
     // write side: the same doc renders the record back onto its 16
     // label:value lines (missing stop-sign = line separator, the reference
     // writer default) and readDelimited is the exact inverse
