@@ -391,7 +391,12 @@ object Sinks extends Serializable {
             case x: Array[Byte] => st.setBytes(idx, x)
             case other => st.setObject(idx, other)
           }
-          def keyOf(row: Row): Seq[Any] = keys.map(k => row.get(fieldIdx(k)))
+          // binary keys normalize to Seq so the duplicate check compares
+          // content (Array equality is reference equality)
+          def keyOf(row: Row): Seq[Any] = keys.map(k => row.get(fieldIdx(k)) match {
+            case a: Array[Byte] => a.toSeq
+            case v => v
+          })
           val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
           def insertRow(row: Row): Unit = {
             cols.zipWithIndex.foreach { case (c, i) =>
@@ -413,10 +418,14 @@ object Sinks extends Serializable {
             val counts = upd.executeBatch()
             var inserts = 0
             counts.zip(pending).foreach { case (n, row) =>
-              val missing =
-                if (n == 0) true
-                else if (n > 0) false
-                else !exists(row) // SUCCESS_NO_INFO: probe the key
+              // n > 0: definitely matched. n == 0 or SUCCESS_NO_INFO (-2):
+              // PROBE before inserting — affected-rows drivers (MySQL
+              // without CLIENT_FOUND_ROWS) report 0 for a matched row
+              // whose values didn't change, and assuming "missing" there
+              // would turn idempotent re-application into a duplicate-key
+              // crash. The probe is one indexed point SELECT per
+              // zero-count row only.
+              val missing = if (n > 0) false else !exists(row)
               if (missing) { insertRow(row); inserts += 1 }
             }
             if (inserts > 0) ins.executeBatch()
