@@ -548,7 +548,14 @@ object Dfasdl {
     val rec = col("__rec")
     val cols = fields.zip(idxs).collect {
       case (f, g) if !f.anonymous =>
-        convert(f, applyTrim(f, regexp_extract(rec, recPattern, g + 1))).as(f.id)
+        val v = applyTrim(f, regexp_extract(rec, recPattern, g + 1))
+        // coerce (string input → typed), guarded by the same typed-parse
+        // predicate the choice dispatch uses: a malformed numeric/date
+        // token nulls like the csv source's PERMISSIVE mode instead of
+        // killing the job under ANSI (convert alone would also have left
+        // sign-less num/date leaves as raw STRINGS — it expects
+        // csv-pre-typed input)
+        when(branchMatches(f, v), coerce(f, v)).as(f.id)
     }
     (recPattern, cols)
   }

@@ -546,6 +546,23 @@ class DfasdlSpec extends AnyFunSuite {
     val got = Dfasdl.readDelimited(spark, dir, d)
       .as[(String, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq(("3.0", "Doe;John"), ("4.0", "Roe;Jane")), got.toString)
+    // typed leaves coerce from the extracted string token (num → LongType)
+    // and malformed tokens null instead of crashing under ANSI
+    val dt = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str class="label" stop-sign=":"/>
+        |  <num id="qty"/>
+        |  <str class="label" stop-sign=":"/>
+        |  <str id="who"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir2 = Files.createTempDirectory("tokstream_num").toString
+    Files.write(Paths.get(dir2, "a.txt"),
+      "QTY:41\nWHO:ada\nQTY:not-a-number\nWHO:alan\n".getBytes("UTF-8"))
+    val df2 = Dfasdl.readDelimited(spark, dir2, dt)
+    assert(df2.schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType, df2.schema.treeString)
+    val rows2 = df2.as[(Option[Long], String)].collect().sortBy(_._2).toSeq
+    assert(rows2 == Seq((Some(41L), "ada"), (None, "alan")), rows2.toString)
   }
 
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
