@@ -709,7 +709,11 @@ object Dfasdl {
     val raw = Sources.readFixedWidth(spark, path, widths)
     bounded(raw.select(doc.slots.flatMap {
       case f: Field if f.anonymous => Nil // consumed, never surfaced
-      case f: Field      => Seq(coerce(f, col(f.id)).as(f.id))
+      case f: Field =>
+        // typed-parse guard for the same reason as the token-stream
+        // reader (r9): a malformed numeric/date slice nulls like the csv
+        // source's PERMISSIVE mode; an unguarded ANSI cast kills the job
+        Seq(when(branchMatches(f, col(f.id)), coerce(f, col(f.id))).as(f.id))
       case c: ChoiceSlot => choiceCols(c, col(c.id))
     }: _*), doc)
   }

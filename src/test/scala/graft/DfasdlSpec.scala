@@ -164,11 +164,16 @@ class DfasdlSpec extends AnyFunSuite {
     def line(vs: (String, Int)*): String = vs.map { case (v, w) => v.padTo(w, ' ') }.mkString
     Files.write(f, (
       line("1" -> 6, "alpha" -> 10, "10.25" -> 9, "2024-01-01" -> 10) + "\n" +
-      line("2" -> 6, "beta" -> 10, "-99.5" -> 9, "2024-01-02" -> 10) + "\n")
+      line("2" -> 6, "beta" -> 10, "-99.5" -> 9, "2024-01-02" -> 10) + "\n" +
+      // r9: a malformed numeric/date slice nulls (PERMISSIVE-style); an
+      // unguarded ANSI cast used to kill the whole job
+      line("3" -> 6, "gamma" -> 10, "oops" -> 9, "not-a-date" -> 10) + "\n")
       .getBytes("UTF-8"))
     val rows = Dfasdl.readFixedWidth(spark, f.toString, doc)
       .orderBy("id").collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3) &&
+      rows(2).getString(1) == "gamma")
     assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha")
     assert(rows(0).getDouble(2) == 10.25)
     assert(rows(0).getDate(3) == java.sql.Date.valueOf("2024-01-01"))

@@ -154,6 +154,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream/batch cross-dedup disagree: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
     assert(streamed.nonEmpty && !streamed.exists(_ < 250))
+    // r9: the managed variant returns the persisted reference-digest
+    // handle so a long-lived session can unpersist deterministically
+    val (gated, handle) = Streams.crossDedupStreamManaged(
+      Streams.documentStream(spark, docsDir), reference)
+    Streams.runToMemory(spark, gated.select(col("doc_id")),
+      "xdedup_stream_managed", OutputMode.Append())
+    assert(handle.storageLevel.useMemory || handle.storageLevel.useDisk,
+      "handle should be persisted after the gate ran")
+    handle.unpersist(blocking = true)
+    assert(handle.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "unpersisting the handle must release the cached reference digests")
   }
 
   test("stream-stream interval join matches the batch range join") {
