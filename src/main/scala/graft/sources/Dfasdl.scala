@@ -628,6 +628,18 @@ object Dfasdl {
                               doc: Doc): DataFrame =
     bounded(rawLines(spark, path, doc).select(choiceLineCols(doc): _*), doc)
 
+  /** Streaming twin of [[rawLines]] — same options, `readStream` source. */
+  private def rawLinesStream(spark: SparkSession, dirPath: String,
+                             doc: Doc): DataFrame =
+    if (doc.preamble.isEmpty)
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(dirPath)
+    else spark.readStream.option("header", "true")
+      .option("sep", "\u0001\u0002\u0001")
+      .option("quote", "").option("escape", "")
+      .schema(StructType(Seq(StructField("value", StringType)))).csv(dirPath)
+
   /** The reference's `trim` attribute (trim="both"/"left"/"right") on a
     * parsed value.
     */
@@ -652,18 +664,8 @@ object Dfasdl {
     // over the same shared projections — a line-choice doc dispatches each
     // arriving line, a token-stream doc explodes records out of each
     // arriving FILE (wholetext; the file is the reference's stream unit)
-    if (isLineChoiceDoc(doc)) {
-      val raw =
-        if (doc.preamble.isEmpty)
-          spark.readStream
-            .schema(StructType(Seq(StructField("value", StringType))))
-            .text(dirPath)
-        else spark.readStream.option("header", "true")
-          .option("sep", "\u0001\u0002\u0001")
-          .option("quote", "").option("escape", "")
-          .schema(StructType(Seq(StructField("value", StringType)))).csv(dirPath)
-      return raw.select(choiceLineCols(doc): _*)
-    }
+    if (isLineChoiceDoc(doc))
+      return rawLinesStream(spark, dirPath, doc).select(choiceLineCols(doc): _*)
     if (isTokenStreamDoc(doc)) {
       val (recPattern, cols) = tokenStreamRecCols(doc)
       return spark.readStream.option("wholetext", "true")
@@ -672,6 +674,15 @@ object Dfasdl {
         .select(explode(regexp_extract_all(col("value"), lit(recPattern),
           lit(1))).as("__rec"))
         .select(cols: _*)
+    }
+    // single-field sign-less records: whole lines, same as the batch
+    // reader (the csv route would split at "," — see readDelimited)
+    doc.slots match {
+      case Seq(f: Field)
+          if f.attr("stop-sign").forall(s => s == "\\r\\n?|\\n" || s == "\n") =>
+        return rawLinesStream(spark, dirPath, doc)
+          .select(convert(f, col("value")).as(f.id))
+      case _ => ()
     }
     requireUniformSep(doc)
     val raw = spark.readStream

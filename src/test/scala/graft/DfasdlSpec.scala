@@ -892,6 +892,18 @@ class DfasdlSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
     assert(streamedC == Dfasdl.readDelimited(spark, lcDir, cd).collect().toSet
       && streamedC.size == 16)
+    // single-field sign-less doc: stream == batch (whole lines, no comma split)
+    val sfDoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str id="line"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val sfDir = Files.createTempDirectory("singlefield_stream").toString
+    Files.write(Paths.get(sfDir, "a.txt"), "x, y, z\nplain\n".getBytes("UTF-8"))
+    val streamedS = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readDelimitedStream(spark, sfDir, sfDoc), "singlefield_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    assert(streamedS == Dfasdl.readDelimited(spark, sfDir, sfDoc).collect().toSet
+      && streamedS.exists(_.getString(0) == "x, y, z"), streamedS.toString)
   }
 
   test("writeFixedWidth round-trips through readFixedWidth and rejects overflow") {
