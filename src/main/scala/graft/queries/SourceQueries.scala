@@ -388,6 +388,39 @@ object SourceQueries {
       "SELECT * FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM batch) " +
       "UNION ALL SELECT * FROM batch"
 
+  // -------------------------------------------------- q50_dfasdl_tokens
+  // The r9 token-stream reader under the rows+schema+hash gate: orders is
+  // staged as a vCard-shaped label:value stream (two physical lines per
+  // record — "KEY:<orderkey>" / "PRI:<orderpriority>"), read back through
+  // a mixed-stop-sign DFASDL document (':'-stopped anonymous labels,
+  // newline-default values; parsers/BaseParser.scala:50 semantics), with
+  // the num leaf coercing to LongType. The oracle reads the original
+  // parquet — a mis-framed record boundary, a label leaking into a value,
+  // or a type-coercion miss breaks the hash.
+  private val q50Doc =
+    """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="TOK">
+      |  <seq id="s"><elem id="r">
+      |    <str class="label" stop-sign=":"/>
+      |    <num id="o_orderkey"/>
+      |    <str class="label" stop-sign=":"/>
+      |    <str id="o_orderpriority"/>
+      |  </elem></seq>
+      |</dfasdl>""".stripMargin
+
+  private def q50DfasdlTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("tokstream", dir) { out =>
+      Tables.orders(spark, dir)
+        .select(concat(lit("KEY:"), col("o_orderkey"),
+          lit("\nPRI:"), col("o_orderpriority")).as("value"))
+        .write.mode("overwrite").text(s"$out/data")
+    }
+    Dfasdl.readDelimited(spark, s"$tmp/data", Dfasdl.parseSchema(q50Doc))
+  }
+
+  private val q50DfasdlTokensSql =
+    "SELECT o_orderkey, o_orderpriority FROM orders"
+
   // --------------------------------------------------------- q42_dfasdl
   // The cookbook front-end end-to-end, oracle-checked: customer is staged
   // as a headered CSV, its DFASDL schema document is EMITTED by
@@ -692,6 +725,7 @@ object SourceQueries {
     QueryDef("q22_snapshot_diff", q22SnapshotDiff, Some(q22SnapshotDiffSql)),
     QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql)),
     QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql)),
-    QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql))
+    QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql)),
+    QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql))
   )
 }
