@@ -419,6 +419,34 @@ object Streams {
       }
       .start()
 
+  /** Continuous keyed DB sync — the streaming form of the reference's
+    * DatabaseWriterActor UPDATE path (DB-to-DB sync running forever):
+    * each micro-batch collapses to its latest change per key (`seqCol`
+    * must totally order a key's changes, same contract as
+    * [[toUpsertSink]]) and applies through
+    * [[graft.sinks.Sinks.writeJdbcUpsert]] — UPDATE by key, INSERT on
+    * miss, per-partition transactions. Replayed micro-batches after a
+    * crash re-apply idempotently, so the sink is effectively exactly-once
+    * on the target table's final state.
+    */
+  def toJdbcUpsertSink(streamed: DataFrame, checkpointDir: String,
+                       url: String, table: String, keys: Seq[String],
+                       seqCol: String,
+                       props: Map[String, String] = Map.empty)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val b = batch.toDF()
+        val winner = b
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(b.columns.map(col): _*), col(seqCol)).as("__w"))
+          .select(col("__w.*"))
+        graft.sinks.Sinks.writeJdbcUpsert(winner, url, table, keys, props)
+      }
+      .start()
+
   /** Run a streaming query over a static directory synchronously into a
     * memory table and return the result — batch-style harness used by specs
     * and local validation.

@@ -268,6 +268,36 @@ class StreamingSpec extends AnyFunSuite {
       Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
   }
 
+  test("toJdbcUpsertSink maintains the latest version of every key in Derby (r9)") {
+    val in = Files.createTempDirectory("jups_in").toString
+    val db = Files.createTempDirectory("jups_db") + "/updb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val ckpt = Files.createTempDirectory("jups_ckpt").toString
+    // seed the target table (the sync target pre-exists in the reference)
+    graft.sinks.Sinks.writeJdbc(
+      Seq((1L, "seeded", 0L)).toDF("k", "v", "seq"), url, "sync_t", props,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    // batch 1: two changes for k1 in ONE batch (seq 2 wins) + new k2
+    Seq((1L, "a", 1L), (1L, "a2", 2L), (2L, "b", 1L)).toDF("k", "v", "seq")
+      .write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toJdbcUpsertSink(stream, ckpt, url, "sync_t",
+      keys = Seq("k"), seqCol = "seq", props = props)
+    q1.processAllAvailable(); q1.stop()
+    def snap() = graft.sources.Sources.readJdbc(spark, url, "sync_t", props)
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap() == Set((1L, "a2", 2L), (2L, "b", 1L)))
+    // batch 2 via checkpoint resume: update k2, insert k3
+    Seq((2L, "B", 2L), (3L, "c", 1L)).toDF("k", "v", "seq")
+      .write.mode("append").parquet(in)
+    val q2 = Streams.toJdbcUpsertSink(stream, ckpt, url, "sync_t",
+      keys = Seq("k"), seqCol = "seq", props = props)
+    q2.processAllAvailable(); q2.stop()
+    assert(snap() == Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
+  }
+
   test("toUpsertSink restores a staged-aside table after a mid-swap crash") {
     // regression (r8 review): the swap is dir -> .old, tmp -> dir, delete
     // .old. A crash between the renames leaves .old as the ONLY copy of
