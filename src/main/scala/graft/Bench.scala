@@ -86,7 +86,7 @@ object Bench {
     // work, and two rounds of artifacts were corrupted by CPU contention
     // (uniform-ish 1.6x inflation with a 3-10x scheduling-sensitive tail).
     // Two countermeasures, both recorded per query:
-    //  - min-of-N wall time (N=SPARK_GRAFT_REPS, default 2): contention is
+    //  - min-of-N wall time (N=SPARK_GRAFT_REPS, default 3): contention is
     //    bursty, so the min of two spaced runs sheds most of the tail;
     //  - process-CPU seconds (all JVM threads, via the platform
     //    OperatingSystemMXBean): the work a query does is ~invariant under

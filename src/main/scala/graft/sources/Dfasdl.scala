@@ -479,8 +479,17 @@ object Dfasdl {
     */
   private def isTokenStreamDoc(doc: Doc): Boolean = {
     val fields = doc.slots.collect { case f: Field => f }
-    fields.size == doc.slots.size && fields.size > 1 &&
-      fields.init.map(_.attr("stop-sign")).distinct.size > 1
+    fields.size == doc.slots.size && fields.size > 1 && (
+      fields.init.map(_.attr("stop-sign")).distinct.size > 1 ||
+        // all-sign-less records stay CSV (see the resolution note below)
+        // EXCEPT when the leaves are nested-fixseq instance expansions:
+        // a stacked-sequence stream shape (the reference's vCard
+        // complex-03 — fixseq of one formatstr per LINE) that no emitted
+        // or hand-sketched columnar CSV schema ever produces, so the
+        // ambiguity doesn't arise and the reference's newline default is
+        // the only sensible framing
+        (fields.forall(_.attr("stop-sign").isEmpty) &&
+          fields.exists(_.attrs.contains(FixseqInstanceMarker))))
   }
   // DELIBERATE AMBIGUITY RESOLUTION: a multi-leaf record whose leaves ALL
   // lack stop-signs stays on the CSV path (default separator ","), even
@@ -564,9 +573,14 @@ object Dfasdl {
                               doc: Doc): DataFrame = {
     val (recPattern, cols) = tokenStreamRecCols(doc)
     val files = spark.read.option("wholetext", "true").text(path)
+    // a doc whose every fragment is optional (all-sign-less formatstr
+    // rows) lets the record pattern make ONE zero-width match at
+    // end-of-input — a spurious empty record; no real record is
+    // zero-length (even all-blank lines carry their separators)
     val recs = files.select(
       explode(regexp_extract_all(col("value"), lit(recPattern), lit(1)))
         .as("__rec"))
+      .filter(length(col("__rec")) > 0)
     bounded(recs.select(cols: _*), doc)
   }
 
@@ -673,6 +687,7 @@ object Dfasdl {
         .text(dirPath)
         .select(explode(regexp_extract_all(col("value"), lit(recPattern),
           lit(1))).as("__rec"))
+        .filter(length(col("__rec")) > 0) // see readTokenStream
         .select(cols: _*)
     }
     // single-field sign-less records: whole lines, same as the batch

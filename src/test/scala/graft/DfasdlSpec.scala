@@ -427,12 +427,16 @@ class DfasdlSpec extends AnyFunSuite {
   test("nested fixseq count=k expands to per-instance columns") {
     // the reference's own fixture shape (BaseParserTest-08.xml: fixseq
     // count=3 of one str leaf per elem wrapper = three instances per row)
+    // explicit stop-signs like the real BaseParserTest-08.xml — since r9 a
+    // SIGN-LESS instance-expanded doc dispatches to the token-stream
+    // reader (one leaf per line, the reference parser's newline default),
+    // so the delimited form must say its separator
     val d = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="rows">
         |  <elem id="row">
-        |    <str id="name"/>
+        |    <str id="name" stop-sign=","/>
         |    <fixseq id="columns" count="3">
-        |      <elem id="column"><str id="v"/></elem>
+        |      <elem id="column"><str id="v" stop-sign=","/></elem>
         |    </fixseq>
         |  </elem>
         |</seq></dfasdl>""".stripMargin)
@@ -771,6 +775,27 @@ class DfasdlSpec extends AnyFunSuite {
       assert(dfN.count() == 3, nm)
       assert(dfN.select("full_name").as[String].collect().sorted.toSeq ==
         Seq("Alex Gump", "Forrest Gump", "Jane Gump"), nm)
+    }
+    // complex-03/04/05 express the vcard as STACKED sequences — 03: a
+    // fixseq of 16 one-formatstr-per-line rows (all sign-less, dispatched
+    // to the token-stream reader by the nested-fixseq-instance
+    // discriminator); 04/05: fixseq-expanded label:value pairs (mixed
+    // signs). All three read the same three vcards.
+    locally {
+      val df3 = Dfasdl.readDelimited(spark, vcf, doc("complex-03.xml"))
+      assert(df3.count() == 3, "complex-03")
+      // formatstr ".*?:(.*)" strips each line's label; row 1's 4th line
+      // is the FN value
+      assert(df3.select("value_4").as[String].collect().sorted.toSeq ==
+        Seq("Alex Gump", "Forrest Gump", "Jane Gump"), "complex-03 value_4")
+    }
+    for (nm <- Seq("complex-04.xml", "complex-05.xml")) {
+      val dfN = Dfasdl.readDelimited(spark, vcf, doc(nm))
+      assert(dfN.count() == 3, nm)
+      assert(dfN.select("column2-data_4").as[String].collect().sorted.toSeq ==
+        Seq("Alex Gump", "Forrest Gump", "Jane Gump"), s"$nm column2-data_4")
+      assert(dfN.select("column-data_4").as[String].collect().toSet ==
+        Set("FN"), s"$nm label column")
     }
     // write side: the same doc renders the record back onto its 16
     // label:value lines (missing stop-sign = line separator, the reference
