@@ -305,15 +305,56 @@ object Sinks extends Serializable {
     // an unquoted name would case-fold (Derby/Oracle upper-case it) and
     // miss the case-exact quoted columns Spark created
     def q(c: String) = "\"" + c + "\""
+    val driverClass = props.get("driver")
+    val connProps = props - "driver"
+    def openConn(): java.sql.Connection = {
+      driverClass.foreach(Class.forName(_))
+      val jp = new java.util.Properties()
+      connProps.foreach { case (k, v) => jp.setProperty(k, v) }
+      java.sql.DriverManager.getConnection(url, jp)
+    }
+    // Key columns the TARGET stores as LOBs need a cast in comparisons:
+    // Spark's own jdbc writer maps StringType to CLOB on Derby (and TEXT
+    // on some others), and `clob_col = ?` is a SQLSyntaxError — "types
+    // must be comparable". Probe the target's column types once
+    // driver-side and wrap those comparisons in CAST(col AS VARCHAR(n)),
+    // the dialect's own documented workaround. (A LOB column can't carry
+    // an index either, so such keys scan — a real sync target declares a
+    // proper VARCHAR primary key; this keeps the bulk-seeded case
+    // CORRECT, the scaladoc records the cost.)
+    val lobKeyLen: Map[String, Int] = {
+      val conn = openConn()
+      try {
+        val rs = conn.getMetaData.getColumns(null, null, null, null)
+        val found = scala.collection.mutable.Map.empty[String, Int]
+        val keySet = keys.toSet
+        while (rs.next()) {
+          val cn = rs.getString("COLUMN_NAME")
+          val tn = Option(rs.getString("TABLE_NAME")).getOrElse("")
+          val ty = rs.getInt("DATA_TYPE")
+          if (keySet.contains(cn) &&
+              tn.equalsIgnoreCase(table.replaceAll("^.*\\.", "")) &&
+              (ty == java.sql.Types.CLOB || ty == java.sql.Types.NCLOB ||
+                ty == java.sql.Types.LONGVARCHAR ||
+                ty == java.sql.Types.LONGNVARCHAR))
+            found(cn) = 32672 // Derby's VARCHAR cap; ample for any key
+        }
+        rs.close()
+        found.toMap
+      } catch { case _: java.sql.SQLException => Map.empty }
+      finally conn.close()
+    }
+    def keyCmp(c: String): String = lobKeyLen.get(c) match {
+      case Some(n) => s"CAST(${q(c)} AS VARCHAR($n)) = ?"
+      case None    => s"${q(c)} = ?"
+    }
     val updateSql = s"UPDATE $table SET " +
       setCols.map(c => s"${q(c)} = ?").mkString(", ") +
-      " WHERE " + keys.map(c => s"${q(c)} = ?").mkString(" AND ")
+      " WHERE " + keys.map(keyCmp).mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES " +
       s"(${cols.map(_ => "?").mkString(", ")})"
     val existsSql = s"SELECT 1 FROM $table WHERE " +
-      keys.map(c => s"${q(c)} = ?").mkString(" AND ")
-    val driverClass = props.get("driver")
-    val connProps = props - "driver"
+      keys.map(keyCmp).mkString(" AND ")
     def sqlTypeFor(dt: DataType): Int = dt match {
       case LongType => java.sql.Types.BIGINT
       case IntegerType => java.sql.Types.INTEGER
@@ -339,10 +380,7 @@ object Sinks extends Serializable {
     // dialect. UNIQUE also enforces the one-row-per-key invariant the
     // update semantics assume.
     locally {
-      driverClass.foreach(Class.forName(_))
-      val jp = new java.util.Properties()
-      connProps.foreach { case (k, v) => jp.setProperty(k, v) }
-      val conn = java.sql.DriverManager.getConnection(url, jp)
+      val conn = openConn()
       try {
         val idxName = (table + "_upsert_key").replaceAll("[^A-Za-z0-9_]", "_")
         val st = conn.createStatement()

@@ -112,6 +112,42 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("jdbc upsert binds composite keys and date/timestamp/decimal columns") {
+    val db = tmp("derbyty") + "/tydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def mk(rows: Seq[(Long, String, java.sql.Date, java.sql.Timestamp, java.math.BigDecimal)]) =
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DecimalType(12, 2)))))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def m(s: String) = new java.math.BigDecimal(s)
+    Sinks.writeJdbc(
+      mk(Seq((1L, "a", d("2024-01-01"), t("2024-01-01 10:00:00"), m("10.50")),
+             (1L, "b", d("2024-01-02"), t("2024-01-02 10:00:00"), m("20.25")))),
+      url, "ty_table", props, mode = SaveMode.Overwrite)
+    // update (1,"b") across all three typed columns; insert (2,"a")
+    Sinks.writeJdbcUpsert(
+      mk(Seq((1L, "b", d("2025-06-30"), t("2025-06-30 23:59:59"), m("99.99")),
+             (2L, "a", d("2024-03-04"), t("2024-03-04 00:00:01"), m("-1.00")))),
+      url, "ty_table", Seq("k1", "k2"), props)
+    val back = Sources.readJdbc(spark, url, "ty_table", props)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, r.getTimestamp(3).toString,
+        r.getDecimal(4).toPlainString)).sortBy(x => (x._1, x._2)).toSeq
+    assert(back == Seq(
+      (1L, "a", "2024-01-01", "2024-01-01 10:00:00.0", "10.50"),
+      (1L, "b", "2025-06-30", "2025-06-30 23:59:59.0", "99.99"),
+      (2L, "a", "2024-03-04", "2024-03-04 00:00:01.0", "-1.00")), back.toString)
+  }
+
   test("orc round-trip") {
     val dir = tmp("orc") + "/out"
     Sinks.writeOrc(sample, dir)
