@@ -472,6 +472,15 @@ object Sinks extends Serializable {
           var prevKey: Seq[Any] = null
           buffered.foreach { row =>
             val k = keyOf(row)
+            // a NULL key can never match its own WHERE clause (three-valued
+            // SQL: `k = NULL` is UNKNOWN), so the row would INSERT on every
+            // application — silently duplicating under replay. Primary keys
+            // are NOT NULL in every dialect; reject like one.
+            if (k.exists(_ == null))
+              throw new IllegalArgumentException(
+                s"writeJdbcUpsert: null in key ${keys.mkString(",")} = $k — " +
+                  "null keys cannot match an UPDATE/EXISTS probe and would " +
+                  "re-insert on every application; filter or key-fill first")
             if (k == prevKey)
               throw new IllegalArgumentException(
                 s"writeJdbcUpsert: duplicate key $k within one batch — " +

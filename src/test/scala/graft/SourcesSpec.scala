@@ -110,6 +110,14 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sinks.writeJdbcUpsert(sample.select("id"), url, "up_table", Seq("id"), props)
     }
+    // a NULL key would re-insert on every application (k = NULL never
+    // matches) — typed rejection instead of silent duplication
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "n", 0.0, "d"))
+      .toDF("id", "name", "amount", "day")
+    val exN = intercept[org.apache.spark.SparkException] {
+      Sinks.writeJdbcUpsert(nullKey, url, "up_table", Seq("id"), props)
+    }
+    assert(exN.getMessage.contains("null") || exN.getCause != null)
   }
 
   test("jdbc upsert binds composite keys and date/timestamp/decimal columns") {
