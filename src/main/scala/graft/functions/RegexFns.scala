@@ -50,10 +50,53 @@ case class RegexpReplaceSomeExpr(
   override def prettyName: String = "regexp_replace_some"
 }
 
+/** All capture groups of `regex`'s FIRST match in one pass, as
+  * array<string> (a non-participating optional group yields null at its
+  * position); null when the input does not match at all.
+  *
+  * Exists for multi-group record extraction: `regexp_extract(s, p, g)`
+  * re-runs the whole match per group, so pulling G leaves out of a
+  * G-fragment record pattern (the DFASDL token-stream reader) costs G
+  * full matches per record — this expression makes it ONE.
+  */
+case class RegexpGroupsExpr(child: Expression, regex: String)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+
+  // Compiled once per task, not per row.
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
+    if (!m.find()) null
+    else {
+      val out = new Array[UTF8String](m.groupCount())
+      var g = 1
+      while (g <= m.groupCount()) {
+        val v = m.group(g)
+        out(g - 1) = if (v == null) null else UTF8String.fromString(v)
+        g += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "regexp_groups"
+}
+
 object RegexFns {
   import org.apache.spark.sql.graft.ColumnBridge
 
   def regexpReplaceSome(c: Column, regex: String, replacement: String, max: Int): Column =
     ColumnBridge.column(
       RegexpReplaceSomeExpr(ColumnBridge.expression(c), regex, replacement, max))
+
+  def regexpGroups(c: Column, regex: String): Column =
+    ColumnBridge.column(RegexpGroupsExpr(ColumnBridge.expression(c), regex))
 }

@@ -538,10 +538,14 @@ object Dfasdl {
     * line) are skipped — the reference parser would mark the element BROKEN
     * and stop; a bulk engine surfaces every well-formed record instead.
     */
-  /** The record pattern + per-leaf projection of a token-stream doc,
-    * shared by the batch and streaming readers.
+  /** The record pattern (for record extraction) + groups pattern (for the
+    * per-record single-match re-parse) + per-leaf projection over the
+    * `__g` groups array, shared by the batch and streaming readers. The
+    * leaves read from ONE [[graft.functions.RegexpGroupsExpr]] match per
+    * record — `regexp_extract` per leaf would re-run the whole G-fragment
+    * pattern G times per record.
     */
-  private def tokenStreamRecCols(doc: Doc): (String, Seq[Column]) = {
+  private def tokenStreamRecCols(doc: Doc): (String, String, Seq[Column]) = {
     // both consumers read whole files (no header skip), and a header line
     // could PARTIALLY match the record pattern and shift every record
     // boundary — no token-stream corpus doc declares a preamble, so
@@ -552,12 +556,11 @@ object Dfasdl {
     val fields = doc.slots.collect { case f: Field => f }
     val (pat, idxs) = tokenStreamPlan(fields)
     // outer wrap so regexp_extract_all can return the WHOLE record as
-    // group 1; every leaf group shifts by one
+    // group 1 during record extraction
     val recPattern = s"($pat)"
-    val rec = col("__rec")
     val cols = fields.zip(idxs).collect {
       case (f, g) if !f.anonymous =>
-        val v = applyTrim(f, regexp_extract(rec, recPattern, g + 1))
+        val v = applyTrim(f, element_at(col("__g"), g))
         // coerce (string input → typed), guarded by the same typed-parse
         // predicate the choice dispatch uses: a malformed numeric/date
         // token nulls like the csv source's PERMISSIVE mode instead of
@@ -566,21 +569,26 @@ object Dfasdl {
         // csv-pre-typed input)
         when(branchMatches(f, v), coerce(f, v)).as(f.id)
     }
-    (recPattern, cols)
+    (recPattern, "^" + pat + "$", cols)
   }
 
   private def readTokenStream(spark: SparkSession, path: String,
                               doc: Doc): DataFrame = {
-    val (recPattern, cols) = tokenStreamRecCols(doc)
+    val (recPattern, groupsPattern, cols) = tokenStreamRecCols(doc)
     val files = spark.read.option("wholetext", "true").text(path)
     // a doc whose every fragment is optional (all-sign-less formatstr
     // rows) lets the record pattern make ONE zero-width match at
     // end-of-input — a spurious empty record; no real record is
-    // zero-length (even all-blank lines carry their separators)
+    // zero-length (even all-blank lines carry their separators).
+    // TWO select stages so the groups re-parse runs once per record —
+    // inlining it per leaf would let CollapseProject duplicate the match
+    // per output column (the same staging trick the choice reader uses)
     val recs = files.select(
       explode(regexp_extract_all(col("value"), lit(recPattern), lit(1)))
         .as("__rec"))
       .filter(length(col("__rec")) > 0)
+      .select(graft.functions.RegexFns
+        .regexpGroups(col("__rec"), groupsPattern).as("__g"))
     bounded(recs.select(cols: _*), doc)
   }
 
@@ -681,13 +689,15 @@ object Dfasdl {
     if (isLineChoiceDoc(doc))
       return rawLinesStream(spark, dirPath, doc).select(choiceLineCols(doc): _*)
     if (isTokenStreamDoc(doc)) {
-      val (recPattern, cols) = tokenStreamRecCols(doc)
+      val (recPattern, groupsPattern, cols) = tokenStreamRecCols(doc)
       return spark.readStream.option("wholetext", "true")
         .schema(StructType(Seq(StructField("value", StringType))))
         .text(dirPath)
         .select(explode(regexp_extract_all(col("value"), lit(recPattern),
           lit(1))).as("__rec"))
         .filter(length(col("__rec")) > 0) // see readTokenStream
+        .select(graft.functions.RegexFns
+          .regexpGroups(col("__rec"), groupsPattern).as("__g"))
         .select(cols: _*)
     }
     // single-field sign-less records: whole lines, same as the batch

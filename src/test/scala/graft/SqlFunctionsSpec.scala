@@ -27,6 +27,18 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "SELECT regexp_replace_some('a0b0c0', '0', '_', 2) AS s")
       .as[String].collect()(0)
     assert(s == "a_b_c0")
+
+    // regexpGroups: one match, ALL capture groups; null array on no-match,
+    // null element for a non-participating optional group
+    import org.apache.spark.sql.functions.lit
+    val gdf = Seq("k1:v1", "nomatch-at-all!", "k2:").toDF("s")
+      .select(graft.functions.RegexFns
+        .regexpGroups(org.apache.spark.sql.functions.col("s"),
+          "^([a-z0-9]+):([a-z0-9]+)?$").as("g"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList))
+    assert(gdf(0) == Some(List("k1", "v1")), gdf(0).toString)
+    assert(gdf(1) == None, gdf(1).toString)
+    assert(gdf(2) == Some(List("k2", null)), gdf(2).toString)
   }
 
   test("fused text/vector expressions are callable from SQL and match the Column API") {
