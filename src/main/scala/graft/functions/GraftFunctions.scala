@@ -54,7 +54,11 @@ object GraftFunctions {
     // round-6: bounded-memory heavy-hitters sketch aggregate
     "misra_gries" -> (exprs => MisraGriesAgg(exprs(0),
       intLiteral(exprs(1), "misra_gries", "capacity")).toAggregateExpression()),
-    "canonicalize_url" -> (exprs => bridged(TextFunctions.canonicalizeUrl, exprs(0)))
+    "canonicalize_url" -> (exprs => bridged(TextFunctions.canonicalizeUrl, exprs(0))),
+    // round-9: single-match multi-group extraction (the token-stream
+    // reader's record parse, exposed for SQL-first record splitting)
+    "regexp_groups" -> (exprs => RegexpGroupsExpr(exprs(0),
+      strLiteral(exprs(1), "regexp_groups", "pattern")))
   )
 
   /** Evaluate a SQL argument that must be an integral LITERAL (a sketch

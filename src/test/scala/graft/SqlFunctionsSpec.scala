@@ -39,6 +39,11 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(gdf(0) == Some(List("k1", "v1")), gdf(0).toString)
     assert(gdf(1) == None, gdf(1).toString)
     assert(gdf(2) == Some(List("k2", null)), gdf(2).toString)
+    // and from SQL
+    val gs = spark.sql(
+      "SELECT regexp_groups('a:b', '^([a-z]+):([a-z]+)$') AS g")
+      .collect()(0).getSeq[String](0).toList
+    assert(gs == List("a", "b"), gs.toString)
   }
 
   test("fused text/vector expressions are callable from SQL and match the Column API") {
