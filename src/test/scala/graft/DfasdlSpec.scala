@@ -150,6 +150,45 @@ class DfasdlSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 2)
   }
 
+  test("a cookbook compiles over a token-stream source (r9)") {
+    // the r9 reader slots under the cookbook front-end unchanged: a vCard-
+    // shaped source document + a one-to-one recipe with a transformer
+    val cbXml =
+      """<cookbook id="VCARD-CB">
+        |  <source>
+        |    <dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="VS"
+        |            default-encoding="utf-8" semantic="niem">
+        |      <seq id="s"><elem id="r">
+        |        <str class="label" stop-sign=":"/>
+        |        <str id="full_name"/>
+        |        <str class="label" stop-sign=":"/>
+        |        <str id="mail"/>
+        |      </elem></seq>
+        |    </dfasdl>
+        |  </source>
+        |  <recipe id="COPY" mode="one-to-one">
+        |    <mapping>
+        |      <sources>full_name</sources>
+        |      <targets>name_uc</targets>
+        |      <transformation class="com.wegtam.tensei.agent.transformers.LowerOrUpper">
+        |        <option name="perform" value="upper"/>
+        |      </transformation>
+        |    </mapping>
+        |    <mapping><sources>mail</sources><targets>mail</targets></mapping>
+        |  </recipe>
+        |</cookbook>""".stripMargin
+    val cb = Dfasdl.parseCookbook(cbXml)
+    val dir = Files.createTempDirectory("vcard_cb").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "FN:Ada Lovelace\nEMAIL:ada@example.com\nFN:Alan Turing\nEMAIL:alan@other.net\n"
+        .getBytes("UTF-8"))
+    import spark.implicits._
+    val got = Dfasdl.applyCookbook(Dfasdl.readDelimited(spark, dir, cb.source), cb)
+      .as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("ADA LOVELACE", "ada@example.com"),
+      ("ALAN TURING", "alan@other.net")), got.toString)
+  }
+
   test("fixed-width DFASDL (length attributes) reads through the fixed-width source") {
     val doc = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="FW">
