@@ -247,6 +247,36 @@ object Sinks extends Serializable {
     props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
   }
 
+  /** Keyed INSERT-IF-ABSENT into a live database table — the reference's
+    * DatabaseQueryType.Ignore path (DatabaseWriterActor checks a row's
+    * unique-column value against the target and SKIPS rows already
+    * present, rather than updating them — the "at least one unique column
+    * was present" branch near writers/DatabaseWriterActor.scala:525).
+    * Declarative form: anti-join the batch against the target's current
+    * key set (one partitioned JDBC read; the keys projection pushes down)
+    * and append the survivors. Complements [[writeJdbcUpsert]], which
+    * OVERWRITES matched rows. Within-batch duplicates also collapse to
+    * one row (the reference's buffer dedups the same way). Not
+    * transactional across the read and the append — like the reference,
+    * a concurrent writer inserting the same key between check and write
+    * races; the unique index (create one via writeJdbcUpsert or DDL)
+    * is the real guard.
+    */
+  def writeJdbcIfAbsent(df: DataFrame, url: String, table: String,
+                        keys: Seq[String],
+                        props: Map[String, String] = Map.empty,
+                        batchSize: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"writeJdbcIfAbsent: keys $keys must exist in ${df.columns.mkString(",")}")
+    val existing = graft.sources.Sources.readJdbc(df.sparkSession, url, table, props)
+      .select(keys.map(col): _*)
+    val fresh = df.dropDuplicates(keys)
+      .join(existing, keys, "left_anti")
+    writeJdbc(fresh, url, table, props, mode = SaveMode.Append,
+      batchSize = batchSize)
+  }
+
   /** Keyed UPDATE-or-INSERT write into a live database table — the Spark
     * form of the reference's update write path
     * (writers/DatabaseWriterActor.scala:506–531 sets non-key columns then

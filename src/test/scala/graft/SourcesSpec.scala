@@ -120,6 +120,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(exN.getMessage.contains("null") || exN.getCause != null)
   }
 
+  test("jdbc insert-if-absent skips present keys (the reference's Ignore path)") {
+    val db = tmp("derbyia") + "/iadb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.writeJdbc(sample, url, "ia_table", props, mode = SaveMode.Overwrite)
+    // row 2 exists → skipped (NOT updated); row 4 is new; row 5 duplicated
+    // within the batch → lands once
+    val batch = Seq(
+      (2L, "CHANGED", 0.0, "x"),
+      (4L, "delta", 1.0, "2024-01-04"),
+      (5L, "eps", 2.0, "2024-01-05"),
+      (5L, "eps-dup", 3.0, "2024-01-05")
+    ).toDF("id", "name", "amount", "day")
+    Sinks.writeJdbcIfAbsent(batch, url, "ia_table", Seq("id"), props)
+    val back = Sources.readJdbc(spark, url, "ia_table", props)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back.size == 5 && back(1) == (2L, "beta"), back.toString) // untouched
+    assert(back(3)._1 == 4L && back(4)._1 == 5L, back.toString)
+    // idempotent: re-applying inserts nothing new
+    Sinks.writeJdbcIfAbsent(batch, url, "ia_table", Seq("id"), props)
+    assert(Sources.readJdbc(spark, url, "ia_table", props).count() == 5)
+  }
+
   test("jdbc upsert binds composite keys and date/timestamp/decimal columns") {
     val db = tmp("derbyty") + "/tydb"
     val url = s"jdbc:derby:$db;create=true"
