@@ -253,8 +253,10 @@ object Sinks extends Serializable {
     * present, rather than updating them — the "at least one unique column
     * was present" branch near writers/DatabaseWriterActor.scala:525).
     * Declarative form: anti-join the batch against the target's current
-    * key set (one partitioned JDBC read; the keys projection pushes down)
-    * and append the survivors. Complements [[writeJdbcUpsert]], which
+    * key set (a single-connection JDBC read — the keys projection pushes
+    * down to the database; for a very large target read the key set
+    * yourself via readJdbc's range-partitioned form and anti-join before
+    * a plain append) and append the survivors. Complements [[writeJdbcUpsert]], which
     * OVERWRITES matched rows. Within-batch duplicates also collapse to
     * one row (the reference's buffer dedups the same way). Not
     * transactional across the read and the append — like the reference,
