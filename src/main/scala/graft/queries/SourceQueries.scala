@@ -388,6 +388,37 @@ object SourceQueries {
       "SELECT * FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM batch) " +
       "UNION ALL SELECT * FROM batch"
 
+  // ------------------------------------------------ q51_jdbc_if_absent
+  // The reference's DatabaseQueryType.Ignore write path under the hash
+  // gate (skip rows whose unique-column value is already present — never
+  // update): Derby is seeded with the EVEN-keyed half of supplier, then a
+  // batch of ALL rows with lower-cased names goes through
+  // writeJdbcIfAbsent. Present evens keep their ORIGINAL names (a lost
+  // skip shows as a lower-cased even); absent odds insert lower-cased.
+  // Re-applied every invocation — idempotence inside the gate, like q49.
+  private def q51JdbcIfAbsent(spark: SparkSession, dir: String): DataFrame = {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val base = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val db = cachedArtifact("derbyia", dir) { out =>
+      Sinks.writeJdbc(base.filter(col("s_suppkey") % 2 === 0),
+        s"jdbc:derby:$out/db;create=true", "supplier_ia", props,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    Sinks.writeJdbcIfAbsent(base.withColumn("s_name", lower(col("s_name"))),
+      s"jdbc:derby:$db/db", "supplier_ia", Seq("s_suppkey"), props)
+    Sources.readJdbc(spark, s"jdbc:derby:$db/db", "supplier_ia", props)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+  }
+
+  private val q51JdbcIfAbsentSql =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier " +
+      "WHERE s_suppkey % 2 = 0 " +
+      "UNION ALL " +
+      "SELECT s_suppkey, lower(s_name) AS s_name, s_nationkey, s_acctbal " +
+      "FROM supplier WHERE s_suppkey % 2 <> 0"
+
   // -------------------------------------------------- q50_dfasdl_tokens
   // The r9 token-stream reader under the rows+schema+hash gate: orders is
   // staged as a vCard-shaped label:value stream (two physical lines per
@@ -726,6 +757,7 @@ object SourceQueries {
     QueryDef("q31_scd2", q31Scd2, Some(q31Scd2Sql)),
     QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql)),
     QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql)),
-    QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql))
+    QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql)),
+    QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql))
   )
 }
