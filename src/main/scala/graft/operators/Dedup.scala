@@ -642,6 +642,38 @@ object Dedup {
     df.join(doomed, df(idCol) === doomed("id"), "left_anti")
   }
 
+  /** [[keepCanonical]] with a QUALITY-aware survivor: each near-dup
+    * cluster keeps its highest-`scoreCol` member (ties by ascending id —
+    * deterministic) instead of the arbitrary min-id representative. The
+    * knob every production curation pipeline wants: near-duplicates are
+    * rarely byte-equal, and min-id silently keeps whichever crawl
+    * happened to be ingested first rather than the cleanest copy.
+    *
+    * Scale shape: cluster labels come from the same id-only
+    * [[components]] run; the winner per cluster is ONE max_by aggregate
+    * over (id, score) pairs — no text in any exchange, survivors resolve
+    * with a single keyed anti-join.
+    */
+  def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+               scoreCol: String,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labels = components(pairs, aCol, bCol) // (id, cluster)
+    // double-cast + null→-inf so an all-null-score cluster still keeps a
+    // member (max_by drops null ordering keys entirely)
+    val scored = labels.join(
+      df.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast(DoubleType),
+          lit(Double.NegativeInfinity)).as("__score")), Seq("id"))
+    // max_by with a deterministic tie-break: pack (score, -id) so equal
+    // scores prefer the SMALLER id (negate because max_by takes the max)
+    val winners = scored.groupBy(col("cluster"))
+      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("keep"))
+      .select(col("keep"))
+    val doomed = labels.select(col("id"))
+      .join(winners, col("id") === col("keep"), "left_anti")
+    df.join(doomed, df(idCol) === doomed("id"), "left_anti")
+  }
+
   /** Embedding near-dup pairs: LSH-bucket (random hyperplanes) then verify
     * cosine within bucket. The scale path for embedding dedup — candidates
     * bounded by bucket population instead of n².

@@ -472,6 +472,34 @@ object DocumentQueries {
       "SELECT doc_id FROM u ANTI JOIN doomed ON doc_id = id"
   }
 
+  // ------------------------------------------------- d_dedup_keep_best
+  // Quality-aware survivor selection: the same clusters as d_dedup_apply,
+  // but each cluster keeps its LONGEST-text member (argmax length, min-id
+  // ties) instead of min-id — the production knob that keeps the cleanest
+  // copy rather than whichever crawl ingested first. On this corpus the
+  // 2·SHIFT variant (longest) must win every 3-member cluster, so a
+  // min-id fallback or a lost tie-break flips the hash.
+  private def dDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val u = clusterInput(spark, dir).withColumn("__q", length(col("text")))
+    Dedup.keepBest(u, clusterPairs(u), "doc_id", "__q").select(col("doc_id"))
+  }
+
+  private val dDedupKeepBestSql = {
+    val labels = dDedupClusterSql
+      .replaceFirst("(?s)\\s*SELECT id, MIN\\(label\\) AS cluster FROM r GROUP BY id$", "")
+    // NOTE: no stripMargin — labels is finished SQL (see dDedupApplySql)
+    labels + ",\nscored AS (\n" +
+      " SELECT l.id, l.cluster, length(u.text) AS s\n" +
+      " FROM (SELECT id, MIN(label) AS cluster FROM r GROUP BY id) l\n" +
+      " JOIN u ON u.doc_id = l.id),\n" +
+      "doomed AS (\n" +
+      " SELECT id FROM (\n" +
+      "  SELECT id, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY s DESC, id ASC) AS rk\n" +
+      "  FROM scored)\n" +
+      " WHERE rk > 1)\n" +
+      "SELECT doc_id FROM u ANTI JOIN doomed ON doc_id = id"
+  }
+
   private def dEmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val perturbed = e.select((col("vec_id") + SHIFT).as("vec_id"),
@@ -1210,6 +1238,7 @@ object DocumentQueries {
     QueryDef("d_dedup_ngram", dNgram, Some(dNgramSql)),
     QueryDef("d_dedup_cluster", dDedupCluster, Some(dDedupClusterSql)),
     QueryDef("d_dedup_apply", dDedupApply, Some(dDedupApplySql)),
+    QueryDef("d_dedup_keep_best", dDedupKeepBest, Some(dDedupKeepBestSql)),
     QueryDef("d_quality_filter", dQualityFilter, Some(dQualityFilterSql)),
     QueryDef("d_stratified_sample", dStratifiedSample, Some(dStratifiedSampleSql)),
     QueryDef("d_token_pack", dTokenPack, Some(dTokenPackSql)),

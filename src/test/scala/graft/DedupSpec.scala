@@ -166,6 +166,18 @@ class DedupSpec extends AnyFunSuite {
     val docs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
     val kept = Dedup.keepCanonical(docs, pairs, "id").as[Long].collect().toSet
     assert(kept == Set(1L, 10L, 20L, 99L))
+    // keepBest: the highest-score member survives instead of min-id;
+    // equal scores prefer the smaller id; null scores lose to real ones
+    // but an all-null cluster still keeps one member
+    val scoredDocs = Seq(
+      (1L, Some(0.1)), (2L, Some(0.9)), (3L, Some(0.5)), // chain: 2 wins
+      (10L, Some(0.7)), (11L, Some(0.7)), (12L, Some(0.2)), // tie: 10 (min id)
+      (20L, None), (21L, None), // all-null cluster: 20 survives
+      (99L, Some(0.0)) // unclustered passes
+    ).toDF("id", "q")
+    val best = Dedup.keepBest(scoredDocs, pairs, "id", "q")
+      .select("id").as[Long].collect().toSet
+    assert(best == Set(2L, 10L, 20L, 99L), best.toString)
   }
 
   test("components converges on a long path within the iteration budget") {
