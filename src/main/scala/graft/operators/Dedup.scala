@@ -652,7 +652,9 @@ object Dedup {
     * Scale shape: cluster labels come from the same id-only
     * [[components]] run; the winner per cluster is ONE max_by aggregate
     * over (id, score) pairs — no text in any exchange, survivors resolve
-    * with a single keyed anti-join.
+    * with a single keyed anti-join. Like [[components]], the result is
+    * backed by localCheckpoint blocks (the pinned doomed set); long-lived
+    * sessions should unpersist results when done (see Bench.reclaimBlocks).
     */
   def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                scoreCol: String,
@@ -669,8 +671,13 @@ object Dedup {
     val winners = scored.groupBy(col("cluster"))
       .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("keep"))
       .select(col("keep"))
+    // lazy-checkpoint the (id-only, cluster-member-sized) doomed set:
+    // Spark pushes the final anti-join below a union input, and without
+    // the pin each branch would recompute the score join + winners
+    // aggregate (measured 3.3 s vs ~1.3 s on the 3-branch oracle corpus)
     val doomed = labels.select(col("id"))
       .join(winners, col("id") === col("keep"), "left_anti")
+      .localCheckpoint(false)
     df.join(doomed, df(idCol) === doomed("id"), "left_anti")
   }
 
