@@ -666,10 +666,14 @@ object Dedup {
       df.select(col(idCol).as("id"),
         coalesce(col(scoreCol).cast(DoubleType),
           lit(Double.NegativeInfinity)).as("__score")), Seq("id"))
-    // max_by with a deterministic tie-break: pack (score, -id) so equal
-    // scores prefer the SMALLER id (negate because max_by takes the max)
+    // max_by with a deterministic tie-break: pack (score, ~id) so equal
+    // scores prefer the SMALLER id. Bitwise NOT (~id = -id-1) reverses the
+    // signed-long order with NO overflow — plain negation overflows at
+    // Long.MinValue (reachable: ids are commonly xxhash64-derived), which
+    // crashes under ANSI mode and picks the wrong survivor without it.
     val winners = scored.groupBy(col("cluster"))
-      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("keep"))
+      .agg(max_by(col("id"), struct(col("__score"), bitwise_not(col("id"))))
+        .as("keep"))
       .select(col("keep"))
     // lazy-checkpoint the (id-only, cluster-member-sized) doomed set:
     // Spark pushes the final anti-join below a union input, and without

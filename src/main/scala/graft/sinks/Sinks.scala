@@ -418,7 +418,25 @@ object Sinks extends Serializable {
         val st = conn.createStatement()
         try st.executeUpdate(
           s"CREATE UNIQUE INDEX $idxName ON $table (${keys.map(q).mkString(", ")})")
-        catch { case _: java.sql.SQLException => () } // exists / dialect quirk
+        catch {
+          case e: java.sql.SQLException =>
+            // Only the duplicate-object class is safe to ignore. Anything
+            // else (notably duplicate KEYS already in the target) means the
+            // one-row-per-key invariant is unenforced and the unindexed
+            // UPDATE scans return — that must be visible, not swallowed.
+            val state = Option(e.getSQLState).getOrElse("")
+            val msg = Option(e.getMessage).getOrElse("").toLowerCase
+            val alreadyExists =
+              state == "X0Y32" /* Derby */ || state == "42P07" /* Postgres */ ||
+              state == "42S11" /* H2/MySQL-ish */ || state == "42710" /* DB2 */ ||
+              msg.contains("already exists") || msg.contains("already an index")
+            if (!alreadyExists)
+              System.err.println(
+                s"writeJdbcUpsert: CREATE UNIQUE INDEX $idxName failed " +
+                  s"(SQLState=$state): ${e.getMessage} — key uniqueness is " +
+                  "NOT enforced by the target; duplicate keys would " +
+                  "multi-match updates and unindexed scans risk deadlock")
+        }
         finally st.close()
       } finally conn.close()
     }
@@ -495,6 +513,16 @@ object Sinks extends Serializable {
               // would turn idempotent re-application into a duplicate-key
               // crash. The probe is one indexed point SELECT per
               // zero-count row only.
+              // EXECUTE_FAILED (-3) or any other negative ≠ SUCCESS_NO_INFO:
+              // drivers with continue-on-error batches report a FAILED
+              // entry this way — probing existence there would silently
+              // treat the lost UPDATE as applied. Fail the transaction so
+              // rollback + replay (or the caller) handles it.
+              if (n < 0 && n != java.sql.Statement.SUCCESS_NO_INFO)
+                throw new java.sql.SQLException(
+                  s"writeJdbcUpsert: batch UPDATE entry failed (count=$n) " +
+                    s"for key ${keyOf(row)} — driver continued past a failed " +
+                    "statement; rolling back the partition transaction")
               val missing = if (n > 0) false else !exists(row)
               if (missing) { insertRow(row); inserts += 1 }
             }

@@ -945,8 +945,11 @@ object Dfasdl {
     // sign-less slot among signed ones is a newline-terminated token
     // (vCard label:value), NOT a default-comma CSV column — flattening
     // away the Nones here silently rendered token-stream docs as
-    // ':'-separated one-line CSV (r9)
-    val uniform = stopSigns.init.distinct.size <= 1
+    // ':'-separated one-line CSV (r9). The all-None fixseq-instance shape
+    // (vCard complex-03) ALSO reads token-stream despite looking uniform,
+    // so the write must mirror isTokenStreamDoc's dispatch exactly or
+    // write∘read mis-frames those records as comma CSV (r10).
+    val uniform = !isTokenStreamDoc(doc) && stopSigns.init.distinct.size <= 1
     if (uniform) {
       val rendered = doc.slots.map(s => renderSlot(s).as(s.id))
       Sinks.writeCsv(df.select(rendered: _*), path,

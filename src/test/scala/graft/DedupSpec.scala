@@ -178,6 +178,15 @@ class DedupSpec extends AnyFunSuite {
     val best = Dedup.keepBest(scoredDocs, pairs, "id", "q")
       .select("id").as[Long].collect().toSet
     assert(best == Set(2L, 10L, 20L, 99L), best.toString)
+    // r10: Long.MinValue ids must not overflow the tie-break (plain
+    // negation did; xxhash64-derived ids make the value reachable) —
+    // equal scores still prefer the smaller id, i.e. MinValue itself
+    val extremePairs = Seq((Long.MinValue, 5L), (5L, 7L)).toDF("id_a", "id_b")
+    val extremeDocs = Seq((Long.MinValue, Some(1.0)), (5L, Some(1.0)),
+      (7L, Some(1.0))).toDF("id", "q")
+    val extremeBest = Dedup.keepBest(extremeDocs, extremePairs, "id", "q")
+      .select("id").as[Long].collect().toSet
+    assert(extremeBest == Set(Long.MinValue), extremeBest.toString)
   }
 
   test("components converges on a long path within the iteration budget") {

@@ -828,6 +828,25 @@ class DfasdlSpec extends AnyFunSuite {
       assert(df3.select("value_4").as[String].collect().sorted.toSeq ==
         Seq("Alex Gump", "Forrest Gump", "Jane Gump"), "complex-03 value_4")
     }
+    // r10 write/read symmetry: an all-sign-less fixseq-instance doc (the
+    // complex-03 SHAPE, minus its lossy formatstr extraction) must WRITE
+    // one leaf per line (the token-stream framing its reader expects),
+    // not default-comma CSV — comma-bearing values round-trip intact
+    locally {
+      val d = Dfasdl.parseSchema(
+        """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="FSRT">
+          |  <seq id="s"><elem id="e">
+          |    <fixseq id="f" count="3"><elem id="fe"><str id="v"/></elem></fixseq>
+          |  </elem></seq>
+          |</dfasdl>""".stripMargin)
+      val src = Seq(("Gump, Forrest", "line two", "Baytown, LA"),
+        ("second rec", "x", "y")).toDF("v", "v_2", "v_3")
+      val o = Files.createTempDirectory("fsrt").toString + "/out"
+      Dfasdl.writeDelimited(src, d, o)
+      val rt = Dfasdl.readDelimited(spark, o, d)
+      assert(rt.select("v", "v_2", "v_3").collect().toSet ==
+        src.collect().toSet, "all-sign-less fixseq write∘read")
+    }
     for (nm <- Seq("complex-04.xml", "complex-05.xml")) {
       val dfN = Dfasdl.readDelimited(spark, vcf, doc(nm))
       assert(dfN.count() == 3, nm)
