@@ -1057,9 +1057,12 @@ object Dfasdl {
     * pattern-carrying kinds go through [[convert]], the rest cast.
     */
   private def coerce(f: Field, c: Column): Column = f.kind match {
-    case "num"                              => c.cast(LongType)
-    case "date" if f.attr("format").isEmpty => c.cast(DateType)
-    case "datetime" if f.attr("format").isEmpty => c.cast(TimestampType)
+    // try_cast, not cast: branchMatches' digit regex admits tokens beyond
+    // Long range (20+ digits), and under ANSI a plain cast then KILLS the
+    // job — try_cast keeps the documented PERMISSIVE-style null (r10)
+    case "num"                              => trim(c).try_cast(LongType)
+    case "date" if f.attr("format").isEmpty => trim(c).try_cast(DateType)
+    case "datetime" if f.attr("format").isEmpty => trim(c).try_cast(TimestampType)
     case "bin" | "bin64"                    => unbase64(c)
     case _                                  => convert(f, c)
   }

@@ -847,6 +847,23 @@ class DfasdlSpec extends AnyFunSuite {
       assert(rt.select("v", "v_2", "v_3").collect().toSet ==
         src.collect().toSet, "all-sign-less fixseq write∘read")
     }
+    // r10: a digit token beyond Long range passes the numeric branch
+    // regex but must NULL (PERMISSIVE), not kill the job under ANSI
+    locally {
+      val d = Dfasdl.parseSchema(
+        """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="OVF">
+          |  <seq id="s"><elem id="e">
+          |    <str id="label" stop-sign=":"/>
+          |    <num id="v"/>
+          |  </elem></seq>
+          |</dfasdl>""".stripMargin)
+      val dir = Files.createTempDirectory("ovf")
+      Files.write(dir.resolve("a.txt"),
+        "N:12345678901234567890123\nN:42\n".getBytes("UTF-8"))
+      val got = Dfasdl.readDelimited(spark, dir.toString, d)
+        .select("v").as[Option[Long]].collect().toSet
+      assert(got == Set(None, Some(42L)), got.toString)
+    }
     for (nm <- Seq("complex-04.xml", "complex-05.xml")) {
       val dfN = Dfasdl.readDelimited(spark, vcf, doc(nm))
       assert(dfN.count() == 3, nm)

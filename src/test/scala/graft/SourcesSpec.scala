@@ -141,6 +141,59 @@ class SourcesSpec extends AnyFunSuite {
     // idempotent: re-applying inserts nothing new
     Sinks.writeJdbcIfAbsent(batch, url, "ia_table", Seq("id"), props)
     assert(Sources.readJdbc(spark, url, "ia_table", props).count() == 5)
+    // r10: a NULL key never matches the presence check and would
+    // re-insert on every application — rejected like the upsert path
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "n", 0.0, "d"))
+      .toDF("id", "name", "amount", "day")
+    val exN = intercept[Exception] {
+      Sinks.writeJdbcIfAbsent(nullKey, url, "ia_table", Seq("id"), props)
+    }
+    assert(exN.getMessage.contains("null") ||
+      Option(exN.getCause).exists(_.getMessage.contains("null")), exN.toString)
+    assert(Sources.readJdbc(spark, url, "ia_table", props).count() == 5)
+  }
+
+  test("jdbc keyed delete + CDC apply route tombstones and upserts (r10)") {
+    val db = tmp("derbycdc") + "/cdcdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.writeJdbc(sample, url, "cdc_t", props, mode = SaveMode.Overwrite)
+    // delete ids 1 and 3 — non-key columns ignored, absent key 99 no-ops,
+    // within-batch duplicate keys collapse
+    val dels = Seq((1L, "x"), (3L, "y"), (3L, "y2"), (99L, "z"))
+      .toDF("id", "junk")
+    Sinks.writeJdbcDelete(dels, url, "cdc_t", Seq("id"), props)
+    def snap() = Sources.readJdbc(spark, url, "cdc_t", props)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap().map(_._1) == Set(2L))
+    // idempotent: a second application deletes zero rows, no error
+    Sinks.writeJdbcDelete(dels, url, "cdc_t", Seq("id"), props)
+    assert(snap().map(_._1) == Set(2L))
+    // null key rejected like the upsert path
+    val exD = intercept[Exception] {
+      Sinks.writeJdbcDelete(
+        Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("id", "junk"),
+        url, "cdc_t", Seq("id"), props)
+    }
+    assert(exD.getMessage.contains("null") ||
+      Option(exD.getCause).exists(_.getMessage.contains("null")), exD.toString)
+    // one CDC batch: update k2, insert k6, delete... k2? no — disjoint
+    // keys: update k2, insert k6, tombstone k2's neighbor? use: U k2,
+    // U k6 (new), D nothing present (k7 absent → no-op), null-op k8 →
+    // upserts (insert)
+    val batch = Seq(
+      (2L, "UPDATED", 9.9, "2024-02-02", "U"),
+      (6L, "fresh", 1.0, "2024-01-06", "U"),
+      (7L, "gone", 0.0, "2024-01-07", "D"),
+      (8L, "nullop", 2.0, "2024-01-08", null.asInstanceOf[String])
+    ).toDF("id", "name", "amount", "day", "op")
+    Sinks.writeJdbcCdc(batch, url, "cdc_t", Seq("id"), "op", "D", props)
+    assert(snap() == Set((2L, "UPDATED"), (6L, "fresh"), (8L, "nullop")),
+      snap().toString)
+    // a later batch deletes a row the previous one upserted
+    val batch2 = Seq((6L, "", 0.0, "", "D")).toDF("id", "name", "amount", "day", "op")
+    Sinks.writeJdbcCdc(batch2, url, "cdc_t", Seq("id"), "op", "D", props)
+    assert(snap().map(_._1) == Set(2L, 8L), snap().toString)
   }
 
   test("jdbc upsert binds composite keys and date/timestamp/decimal columns") {
