@@ -388,6 +388,55 @@ object SourceQueries {
       "SELECT * FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM batch) " +
       "UNION ALL SELECT * FROM batch"
 
+  // ---------------------------------------------------- q52_cdc_apply
+  // The FULL CDC apply — updates, inserts, AND tombstones — against a live
+  // database in one call (Sinks.writeJdbcCdc; q49 covers the
+  // update/insert half alone). supplier seeds Derby; one change batch
+  // carries updates (every 10th key, except those the tombstones claim),
+  // inserts (every 7th key shifted to 1e10), and deletes (every 13th key)
+  // tagged through an op column; the table is read back. The oracle
+  // replays all three channels in SQL. A delete that lands on the wrong
+  // key, a tombstone row leaking into the upsert half, or a
+  // non-idempotent re-application (the cached DB re-applies the batch on
+  // every invocation) breaks the hash.
+  private def q52CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val base = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val db = cachedArtifact("derbycdc", dir) { out =>
+      Sinks.writeJdbc(base, s"jdbc:derby:$out/db;create=true", "supplier_cdc",
+        props, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    }
+    val changed = base
+      .filter(col("s_suppkey") % 10 === 0 && col("s_suppkey") % 13 =!= 0)
+      .withColumn("s_acctbal", col("s_acctbal") + 100.0)
+      .withColumn("s_name", lower(col("s_name")))
+    val fresh = base.filter(col("s_suppkey") % 7 === 0)
+      .withColumn("s_suppkey", col("s_suppkey") + lit(10000000000L))
+    val dels = base.filter(col("s_suppkey") % 13 === 0)
+    val batch = changed.withColumn("__op", lit("U"))
+      .unionByName(fresh.withColumn("__op", lit("U")))
+      .unionByName(dels.withColumn("__op", lit("D")))
+    Sinks.writeJdbcCdc(batch, s"jdbc:derby:$db/db", "supplier_cdc",
+      Seq("s_suppkey"), "__op", "D", props)
+    Sources.readJdbc(spark, s"jdbc:derby:$db/db", "supplier_cdc", props)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+  }
+
+  private val q52CdcApplySql =
+    "WITH base AS (SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier), " +
+      "batch AS (" +
+      "SELECT s_suppkey, lower(s_name) AS s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal " +
+      "FROM base WHERE s_suppkey % 10 = 0 AND s_suppkey % 13 <> 0 " +
+      "UNION ALL " +
+      "SELECT s_suppkey + 10000000000, s_name, s_nationkey, s_acctbal " +
+      "FROM base WHERE s_suppkey % 7 = 0), " +
+      "dels AS (SELECT s_suppkey FROM base WHERE s_suppkey % 13 = 0) " +
+      "SELECT * FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM batch) " +
+      "AND s_suppkey NOT IN (SELECT s_suppkey FROM dels) " +
+      "UNION ALL SELECT * FROM batch"
+
   // ------------------------------------------------ q51_jdbc_if_absent
   // The reference's DatabaseQueryType.Ignore write path under the hash
   // gate (skip rows whose unique-column value is already present — never
@@ -758,6 +807,7 @@ object SourceQueries {
     QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql)),
     QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql)),
     QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql)),
-    QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql))
+    QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql)),
+    QueryDef("q52_cdc_apply", q52CdcApply, Some(q52CdcApplySql))
   )
 }

@@ -447,6 +447,36 @@ object Streams {
       }
       .start()
 
+  /** [[toJdbcUpsertSink]] plus TOMBSTONES — the full CDC apply a real
+    * change stream needs: each micro-batch collapses to its latest change
+    * per key (by `seqCol`), then rows whose `opCol` equals `deleteOp`
+    * DELETE the key from the target while the rest upsert
+    * ([[graft.sinks.Sinks.writeJdbcCdc]]). A key whose latest change is a
+    * delete followed in a LATER batch by an insert re-appears — exactly
+    * the replayed-log semantics. Crash replays re-apply idempotently
+    * (upserts converge, absent keys delete zero rows), so the sink is
+    * exactly-once on the target's final state.
+    */
+  def toJdbcCdcSink(streamed: DataFrame, checkpointDir: String,
+                    url: String, table: String, keys: Seq[String],
+                    seqCol: String, opCol: String,
+                    deleteOp: String = "D",
+                    props: Map[String, String] = Map.empty)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import org.apache.spark.sql.functions._
+        val b = batch.toDF()
+        val winner = b
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(b.columns.map(col): _*), col(seqCol)).as("__w"))
+          .select(col("__w.*"))
+        graft.sinks.Sinks.writeJdbcCdc(winner, url, table, keys, opCol,
+          deleteOp, props)
+      }
+      .start()
+
   /** Run a streaming query over a static directory synchronously into a
     * memory table and return the result — batch-style harness used by specs
     * and local validation.

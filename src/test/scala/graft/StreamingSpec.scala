@@ -298,6 +298,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == Set((1L, "a2", 2L), (2L, "B", 2L), (3L, "c", 1L)))
   }
 
+  test("toJdbcCdcSink applies tombstones and later re-inserts (r10)") {
+    val in = Files.createTempDirectory("jcdc_in").toString
+    val db = Files.createTempDirectory("jcdc_db") + "/cdcdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val ckpt = Files.createTempDirectory("jcdc_ckpt").toString
+    graft.sinks.Sinks.writeJdbc(
+      Seq((1L, "seeded", 0L, "U")).toDF("k", "v", "seq", "op"), url, "cdc_s",
+      props, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    // batch 1: k1 updated THEN tombstoned in one batch (seq 2 wins → gone),
+    // k2 inserted
+    Seq((1L, "a", 1L, "U"), (1L, "", 2L, "D"), (2L, "b", 1L, "U"))
+      .toDF("k", "v", "seq", "op")
+      .write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toJdbcCdcSink(stream, ckpt, url, "cdc_s",
+      keys = Seq("k"), seqCol = "seq", opCol = "op", props = props)
+    q1.processAllAvailable(); q1.stop()
+    def snap() = graft.sources.Sources.readJdbc(spark, url, "cdc_s", props)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(snap() == Set((2L, "b")), snap().toString)
+    // batch 2 via checkpoint resume: the deleted key re-appears (replayed-
+    // log semantics), k2 tombstoned
+    Seq((1L, "back", 3L, "U"), (2L, "", 2L, "D")).toDF("k", "v", "seq", "op")
+      .write.mode("append").parquet(in)
+    val q2 = Streams.toJdbcCdcSink(stream, ckpt, url, "cdc_s",
+      keys = Seq("k"), seqCol = "seq", opCol = "op", props = props)
+    q2.processAllAvailable(); q2.stop()
+    assert(snap() == Set((1L, "back")), snap().toString)
+  }
+
   test("toUpsertSink restores a staged-aside table after a mid-swap crash") {
     // regression (r8 review): the swap is dir -> .old, tmp -> dir, delete
     // .old. A crash between the renames leaves .old as the ONLY copy of
