@@ -84,6 +84,66 @@ object Corpus {
     when(bucket < trainPm, "train").when(bucket < valPm, "val").otherwise("test")
   }
 
+  /** Seeded deterministic GLOBAL shuffle — the reproducible training-order
+    * permutation a pipeline needs before sequence packing / epoch
+    * streaming: the same (corpus, seed) always yields the same order on
+    * any engine, and changing the seed reshuffles. `posCol` gets the
+    * 0-based position in the shuffled order.
+    *
+    * The permutation key is an affine map over the prime field p = 2^31-1:
+    * key = (a·k0 + b) mod p with k0 = id mod p (non-negative form) —
+    * exact long arithmetic throughout (operands < 2^31, products < 2^62:
+    * no overflow even under ANSI), so any SQL engine replays it
+    * bit-for-bit, unlike engine-internal hash functions (xxhash64 here
+    * vs murmur elsewhere). Ids congruent mod p tie-break by id, so the
+    * order is total regardless of the id domain.
+    *
+    * Position assignment is [[DenseId.withDenseId]]'s distributed dense
+    * rank over (key, id) — range exchange + per-partition offsets, never
+    * a single-task global window. One full-data exchange total, the
+    * minimum any global permutation costs.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+                           posCol: String = "pos"): DataFrame = {
+    val (aEff, b) = shuffleConstants(seed)
+    val k0 = ((col(idCol) % ShufflePrime) + ShufflePrime) % ShufflePrime
+    val key = (k0 * aEff + b) % ShufflePrime
+    val keyed = df.withColumn("__graft_shuf",
+      struct(key.as("k"), col(idCol).as("i")))
+    DenseId.withDenseId(keyed, "__graft_shuf", posCol)
+      .drop("__graft_shuf")
+  }
+
+  /** p = 2^31 − 1 (prime): the field [[deterministicShuffle]] permutes in. */
+  val ShufflePrime: Long = 2147483647L
+
+  /** The (multiplier, offset) pair of [[deterministicShuffle]]'s affine
+    * map for `seed`. The seed must modulate the MULTIPLIER, not just the
+    * offset: an additive-only seed is a mod-p rotation, which preserves
+    * the relative order of almost every pair (caught by spec — seeds 7
+    * and 8 produced the identical permutation). The multiplier stays
+    * nonzero mod p (a ≠ 0, 1 ≤ s' ≤ p−2, p prime), so the map is always
+    * a bijection of the field.
+    */
+  def shuffleConstants(seed: Long): (Long, Long) = {
+    val p = ShufflePrime
+    val a = 1103515245L // classic LCG multiplier
+    val sPrime = ((seed % (p - 2)) + (p - 2)) % (p - 2) + 1 // in [1, p-2]
+    val aEff = a * sPrime % p // a·s' ≤ 1.2e9·2.2e9 < 2^63: exact
+    val b = ((seed % p) + p) % p
+    (aEff, b)
+  }
+
+  /** The DuckDB/ANSI-SQL replay of [[deterministicShuffle]]'s sort key for
+    * `idExpr` — kept next to the constants so the operator and any oracle
+    * can never drift apart.
+    */
+  def shuffleKeySql(idExpr: String, seed: Long): String = {
+    val (aEff, b) = shuffleConstants(seed)
+    val p = ShufflePrime
+    s"(((($idExpr % $p) + $p) % $p) * $aEff + $b) % $p"
+  }
+
   /** Stratified mixture sample: keep each row with its group's per-mille
     * rate, deterministically (see [[hashModKeep]]). `rates` maps group
     * value → per-mille; missing groups get `defaultPerMille`.

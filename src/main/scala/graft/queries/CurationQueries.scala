@@ -471,6 +471,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql)),
     QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql)),
     QueryDef("d_split", dSplit, Some(dSplitSql)),
+    QueryDef("d_shuffle", dShuffle, Some(dShuffleSql)),
     QueryDef("d_bpe_train", dBpeTrain, None),
     QueryDef("d_vocab_coverage", dVocabCoverage, Some(dVocabCoverageSql)),
     QueryDef("d_token_budget", dTokenBudget, Some(dTokenBudgetSql)),
@@ -481,6 +482,23 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql)),
     QueryDef("d_embed_pca", dEmbedPca, Some(dEmbedPcaSql))
   )
+
+  // ------------------------------------------------------- d_shuffle
+  // Seeded deterministic global shuffle (Corpus.deterministicShuffle) —
+  // the reproducible training-order permutation, position-assigned by the
+  // distributed dense rank (no single-task global window). The oracle
+  // replays the affine-permutation key in exact integer SQL and ranks
+  // with a window — identical bit-for-bit because the key arithmetic
+  // never leaves the long domain. A wrong mod-sign, a boundary-sampling
+  // nondeterminism in the rank, or a tie-break drift breaks the hash.
+  private def dShuffle(spark: SparkSession, dir: String): DataFrame =
+    Corpus.deterministicShuffle(
+      Tables.documents(spark, dir).select("doc_id"), "doc_id", seed = 42L)
+
+  private val dShuffleSql =
+    "SELECT doc_id, row_number() OVER (ORDER BY " +
+      Corpus.shuffleKeySql("doc_id", 42L) +
+      ", doc_id) - 1 AS pos FROM documents"
 
   // ------------------------------------------------------- d_split
   // Deterministic train/val/test assignment (80/10/10 by hash range) with

@@ -22,6 +22,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L, 6L))
   }
 
+  test("deterministicShuffle is a reproducible seeded permutation (r10)") {
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id")
+    val n = docs.count()
+    val s1 = Corpus.deterministicShuffle(docs, "doc_id", seed = 7L)
+    val got = s1.select("doc_id", "pos").as[(Long, Long)].collect()
+    // positions are exactly 0..n-1, each once
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // same seed → identical order; different seed → a different order
+    val again = Corpus.deterministicShuffle(docs, "doc_id", seed = 7L)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, pos) => again(id) == pos })
+    val other = Corpus.deterministicShuffle(docs, "doc_id", seed = 8L)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(got.exists { case (id, pos) => other(id) != pos })
+    // the order is genuinely scrambled, not sorted-by-id
+    val byPos = got.sortBy(_._2).map(_._1)
+    assert(byPos.toSeq != byPos.sorted.toSeq)
+    // negative ids (hash-derived) order without overflow, total order holds
+    val neg = Seq(Long.MinValue, -5L, 0L, 5L, Long.MaxValue).toDF("doc_id")
+    val negPos = Corpus.deterministicShuffle(neg, "doc_id", seed = 1L)
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(negPos == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("qualityFilterApprox agrees with the exact filter on a well-separated corpus") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("score"))
