@@ -176,6 +176,38 @@ object Sinks extends Serializable {
       .write.mode(mode).parquet(path)
   }
 
+  /** Export a corpus as SHUFFLED TRAINING SHARDS — the file layout a
+    * training job consumes: rows permute by
+    * [[graft.operators.Corpus.deterministicShuffle]] (seeded, engine-
+    * replayable), shard `pos % nShards` round-robin (equal sizes ±1, each
+    * shard an evenly spaced subsequence of the global order — consumers
+    * that interleave shards still see the global permutation), and each
+    * shard writes as ONE file ordered by `pos`, under
+    * `path/shard=<i>/`. Deterministic end-to-end: the same
+    * (corpus, seed, nShards) always produces byte-identical shard
+    * contents, which is what makes a training run reproducible and a
+    * resume-after-crash read the same data order.
+    *
+    * Scale shape: the permutation is one range exchange (DenseId), the
+    * shard routing one hash exchange on the shard id; `nShards` tasks
+    * write in parallel. Size nShards so a shard fits a consumer's read
+    * budget — at 100 TB that is thousands of shards, each still one
+    * task's sequential write.
+    */
+  def writeShuffledShards(df: DataFrame, path: String, idCol: String,
+                          seed: Long, nShards: Int,
+                          mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(nShards > 0, s"writeShuffledShards: nShards must be positive, got $nShards")
+    val shuffled = graft.operators.Corpus.deterministicShuffle(df, idCol, seed)
+    shuffled
+      .withColumn("shard",
+        (col("pos") % nShards).cast(org.apache.spark.sql.types.IntegerType))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   /** Z-ordered parquet layout for MULTI-dimensional scan pruning (the
     * lakehouse `OPTIMIZE ZORDER BY` shape): [[writeSorted]] makes one
     * column's file ranges disjoint but leaves every other column spanning

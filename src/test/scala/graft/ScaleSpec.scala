@@ -273,6 +273,29 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShuffledShards: deterministic round-robin shards, pos-ordered files (r10)") {
+    val out = java.nio.file.Files.createTempDirectory("shards_out").toString + "/t"
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count()
+    Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4)
+    val back = spark.read.parquet(out)
+    // every row lands exactly once; shard = pos % 4
+    assert(back.count() == n)
+    assert(back.filter(col("shard") =!= col("pos") % 4).count() == 0)
+    // within a shard directory the single file is pos-ascending (a
+    // training consumer reads it sequentially in global-order stride)
+    val s0 = spark.read.parquet(out + "/shard=0").select("pos")
+      .as[Long].collect()
+    assert(s0.toSeq == s0.sorted.toSeq && s0.nonEmpty)
+    // reproducible: a second write yields the identical assignment
+    val out2 = java.nio.file.Files.createTempDirectory("shards_out2").toString + "/t"
+    Sinks.writeShuffledShards(docs, out2, "doc_id", seed = 11L, nShards = 4)
+    val a = back.select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    val b = spark.read.parquet(out2).select("doc_id", "pos")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("writeZOrdered bounds per-file ranges on BOTH interleaved columns") {
     val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
     def spans(dir: String): Seq[(Double, Double)] = {
