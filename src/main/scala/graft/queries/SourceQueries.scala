@@ -437,6 +437,34 @@ object SourceQueries {
       "AND s_suppkey NOT IN (SELECT s_suppkey FROM dels) " +
       "UNION ALL SELECT * FROM batch"
 
+  // ------------------------------------------------- d_shard_export
+  // The full training-export path under the hash gate: documents permute
+  // through the deterministic shuffle, write as round-robin shards
+  // (Sinks.writeShuffledShards → path/shard=i/, one pos-ordered file
+  // each), and read BACK through the partitioned layout. The oracle
+  // re-derives position and shard from the same affine-permutation
+  // constants (Corpus.shuffleKeySql) — a drifted shard route, a
+  // partition-column type loss, or a nondeterministic position breaks
+  // the hash.
+  private def dShardExport(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = cachedArtifact("shards", dir) { out =>
+      Sinks.writeShuffledShards(
+        Tables.documents(spark, dir).select("doc_id"), out, "doc_id",
+        seed = 11L, nShards = 4)
+    }
+    spark.read.parquet(tmp)
+      .select(col("doc_id"), col("pos"),
+        col("shard").cast(org.apache.spark.sql.types.LongType).as("shard"))
+  }
+
+  private val dShardExportSql =
+    "SELECT doc_id, row_number() OVER (ORDER BY " +
+      graft.operators.Corpus.shuffleKeySql("doc_id", 11L) +
+      ", doc_id) - 1 AS pos, " +
+      "(row_number() OVER (ORDER BY " +
+      graft.operators.Corpus.shuffleKeySql("doc_id", 11L) +
+      ", doc_id) - 1) % 4 AS shard FROM documents"
+
   // ------------------------------------------------ q51_jdbc_if_absent
   // The reference's DatabaseQueryType.Ignore write path under the hash
   // gate (skip rows whose unique-column value is already present — never
@@ -808,6 +836,7 @@ object SourceQueries {
     QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql)),
     QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql)),
     QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql)),
-    QueryDef("q52_cdc_apply", q52CdcApply, Some(q52CdcApplySql))
+    QueryDef("q52_cdc_apply", q52CdcApply, Some(q52CdcApplySql)),
+    QueryDef("d_shard_export", dShardExport, Some(dShardExportSql))
   )
 }
