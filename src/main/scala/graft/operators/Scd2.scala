@@ -83,7 +83,18 @@ object Scd2 {
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     require(target.columns.toSeq == source.columns.toSeq,
       s"target/source columns must match: ${target.columns.toSeq} vs ${source.columns.toSeq}")
-    target.join(source.select(keys.map(col): _*), keys, "left_anti")
+    // NULL-SAFE key match (IS NOT DISTINCT FROM), like [[merge]] since r8:
+    // a plain equi-anti-join never matches a NULL key, so a null-keyed
+    // target row would survive every apply while the source's null-keyed
+    // winner appends AGAIN — one duplicate per re-application, breaking
+    // the idempotence toUpsertSink's exactly-once story rests on. (ANSI
+    // MERGE shares the null-unsafe bug; a CDC apply must not.) The source
+    // keys are renamed before joining — both frames may share lineage,
+    // and unrenamed null-safe conditions trip the ambiguous-self-join
+    // detector (r8 lesson).
+    val srcKeys = source.select(keys.map(k => col(k).as(s"__s_$k")): _*)
+    val keyCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+    target.join(srcKeys, keyCond, "left_anti")
       .unionByName(source)
   }
 }

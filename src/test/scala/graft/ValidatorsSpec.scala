@@ -114,6 +114,15 @@ class ValidatorsSpec extends AnyFunSuite {
     val got = Scd2.upsert(target, source, Seq("k"))
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")), got.toString)
+    // r10: NULL keys match null-safely — a null-keyed source winner
+    // REPLACES the null-keyed target row instead of appending a duplicate
+    // on every apply (idempotence under re-application)
+    val tN = Seq((Some(1L), "a"), (None, "old")).toDF("k", "v")
+    val sN = Seq((Option.empty[Long], "new")).toDF("k", "v")
+    val once = Scd2.upsert(tN, sN, Seq("k"))
+    val twice = Scd2.upsert(once, sN, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(twice == Set((Some(1L), "a"), (None, "new")), twice.toString)
   }
 
   test("snapshotDiff classifies added, removed, changed and same keys") {
