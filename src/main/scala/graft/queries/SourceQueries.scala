@@ -437,6 +437,58 @@ object SourceQueries {
       "AND s_suppkey NOT IN (SELECT s_suppkey FROM dels) " +
       "UNION ALL SELECT * FROM batch"
 
+  // --------------------------------------------------- s_cdc_apply
+  // STRUCTURED STREAMING itself under the hash gate (s_sessionize gates
+  // the batch twin; this runs the real stream machinery): a change log —
+  // initial versions, updates at seq 2 for every 10th key, late inserts —
+  // stages as a parquet drop directory, a readStream → toUpsertSink query
+  // runs to completion (foreachBatch, per-batch max_by(seq) winner
+  // collapse, Scd2.upsert merge, atomic write-and-swap publish), and the
+  // FINAL table read back is the query result. Fresh output/checkpoint
+  // dirs per invocation, so re-runs are self-contained and deterministic.
+  // The oracle replays latest-version-per-key in SQL — a lost update, a
+  // winner tie-break drift, or a non-atomic publish breaks the hash.
+  private def sCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val in = cachedArtifact("scdcin", dir) { out =>
+      base.withColumn("seq", lit(1L))
+        .write.mode("overwrite").parquet(out)
+      base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderpriority", lower(col("o_orderpriority")))
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .withColumn("seq", lit(2L))
+        .write.mode("append").parquet(out)
+      base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000000L))
+        .withColumn("seq", lit(1L))
+        .write.mode("append").parquet(out)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("scdcout").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("scdcckpt").toString
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q = graft.streaming.Streams.toUpsertSink(stream, outDir, ckpt,
+      keys = Seq("o_orderkey"), seqCol = "seq")
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(outDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("seq"))
+  }
+
+  private val sCdcApplySql =
+    "WITH ch AS (" +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(1 AS BIGINT) AS seq FROM orders " +
+      "UNION ALL " +
+      "SELECT o_orderkey, lower(o_orderpriority), o_totalprice + 5.0, CAST(2 AS BIGINT) " +
+      "FROM orders WHERE o_orderkey % 10 = 0 " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 10000000000, o_orderpriority, o_totalprice, CAST(1 AS BIGINT) " +
+      "FROM orders WHERE o_orderkey % 7 = 0) " +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, seq FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch" +
+      ") WHERE rn = 1"
+
   // ------------------------------------------------- d_shard_export
   // The full training-export path under the hash gate: documents permute
   // through the deterministic shuffle, write as round-robin shards
@@ -837,6 +889,7 @@ object SourceQueries {
     QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql)),
     QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql)),
     QueryDef("q52_cdc_apply", q52CdcApply, Some(q52CdcApplySql)),
-    QueryDef("d_shard_export", dShardExport, Some(dShardExportSql))
+    QueryDef("d_shard_export", dShardExport, Some(dShardExportSql)),
+    QueryDef("s_cdc_apply", sCdcApply, Some(sCdcApplySql))
   )
 }
