@@ -150,6 +150,12 @@ object Dedup {
                      textCol: String, idCol: String,
                      shingleK: Int = 3, nHashes: Int = 64, bands: Int = 16,
                      threshold: Double = 0.7): DataFrame = {
+    // same degenerate as minhashPairs (r8): bands > nHashes empties every
+    // band slice — all docs share all band keys, the candidate join goes
+    // quadratic AND every incoming doc "matches" the reference; a
+    // non-dividing bands silently drops the signature's tail hashes
+    require(bands > 0 && nHashes % bands == 0,
+      s"crossNearDedup: bands ($bands) must divide nHashes ($nHashes)")
     val rows = nHashes / bands
     def sigsOf(df: DataFrame): DataFrame =
       shingleHashes(df, textCol, idCol, shingleK)
@@ -191,6 +197,12 @@ object Dedup {
     */
   private[graft] def bandKeysFromSig(sig: Column, nHashes: Int,
                                      bands: Int): Column = {
+    // bands > nHashes makes rows = 0 → every slice empty → ALL documents
+    // share ALL band keys; through the streaming bloom gate
+    // (crossNearDedupStream) that degenerates to dropping the ENTIRE
+    // stream with no error. Reject like minhashPairs (r10).
+    require(bands > 0 && nHashes % bands == 0,
+      s"bandKeys: bands ($bands) must divide nHashes ($nHashes)")
     val rows = nHashes / bands
     array((0 until bands).map { b =>
       xxhash64(lit(b), array_join(slice(sig, b * rows + 1, rows), ","))

@@ -189,6 +189,24 @@ class DedupSpec extends AnyFunSuite {
     assert(extremeBest == Set(Long.MinValue), extremeBest.toString)
   }
 
+  test("band parameter degenerates reject: bands must divide nHashes (r10)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("id", "text")
+    // bands > nHashes: every band slice would be EMPTY — all docs share
+    // all band keys (quadratic candidates; the streaming bloom gate drops
+    // EVERYTHING). Typed rejection on every band-keyed entry point.
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDedup(docs, docs, "text", "id", nHashes = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossNearDedup(docs, docs, "text", "id", nHashes = 64, bands = 48)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.crossNearDedupStream(
+        docs, docs, nHashes = 8, bands = 16)
+    }
+  }
+
   test("components converges on a long path within the iteration budget") {
     import spark.implicits._
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
