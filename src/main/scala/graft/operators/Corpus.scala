@@ -90,13 +90,20 @@ object Corpus {
     * any engine, and changing the seed reshuffles. `posCol` gets the
     * 0-based position in the shuffled order.
     *
-    * The permutation key is an affine map over the prime field p = 2^31-1:
-    * key = (a·k0 + b) mod p with k0 = id mod p (non-negative form) —
-    * exact long arithmetic throughout (operands < 2^31, products < 2^62:
-    * no overflow even under ANSI), so any SQL engine replays it
-    * bit-for-bit, unlike engine-internal hash functions (xxhash64 here
-    * vs murmur elsewhere). Ids congruent mod p tie-break by id, so the
-    * order is total regardless of the id domain.
+    * The permutation key is an affine map over the prime field
+    * p = 2^61−1: key = (a·k0 + b) mod p with k0 = id mod p (non-negative
+    * form). The field is WIDER than any realistic id domain: ids collide
+    * mod p only when they differ by an exact multiple of 2^61−1
+    * (impossible for sequential ids below 2.3×10¹⁸ rows; probability
+    * ~2⁻⁶¹ per pair for hash ids), unlike the previous 2^31−1 field where
+    * any >2B-row sequential id space put congruent pairs permanently in
+    * id order. The a·k0 product exceeds 64 bits, so it is computed by an
+    * EXACT 31/30-bit limb split ([[mulMod61Sql]] documents the identity)
+    * — plain long multiplies and adds, every intermediate < 2^63, no
+    * overflow even under ANSI — so any SQL engine replays it bit-for-bit,
+    * unlike engine-internal hash functions (xxhash64 here vs murmur
+    * elsewhere). Residual ties (astronomically rare) break by id, so the
+    * order stays total.
     *
     * Position assignment is [[DenseId.withDenseId]]'s distributed dense
     * rank over (key, id) — range exchange + per-partition offsets, never
@@ -106,16 +113,45 @@ object Corpus {
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
                            posCol: String = "pos"): DataFrame = {
     val (aEff, b) = shuffleConstants(seed)
-    val k0 = ((col(idCol) % ShufflePrime) + ShufflePrime) % ShufflePrime
-    val key = (k0 * aEff + b) % ShufflePrime
+    val p = ShufflePrime
+    val k0 = ((col(idCol) % p) + p) % p
+    val key = (mulMod61(k0, aEff) + b) % p
     val keyed = df.withColumn("__graft_shuf",
       struct(key.as("k"), col(idCol).as("i")))
     DenseId.withDenseId(keyed, "__graft_shuf", posCol)
       .drop("__graft_shuf")
   }
 
-  /** p = 2^31 − 1 (prime): the field [[deterministicShuffle]] permutes in. */
-  val ShufflePrime: Long = 2147483647L
+  /** p = 2^61 − 1 (a Mersenne prime): the field [[deterministicShuffle]]
+    * permutes in. Mersenne form is what makes the split-multiply cheap:
+    * x mod p folds as (x >> 61) + (x & p).
+    */
+  val ShufflePrime: Long = (1L << 61) - 1
+
+  /** x·a mod (2^61−1) in exact long arithmetic, a ∈ [0, p), x a
+    * non-negative column < p. Both operands split into 31/30-bit limbs
+    * (x = x1·2^31 + x0, a = a1·2^31 + a0), then
+    * x·a = x1·a1·2^62 + (x1·a0 + x0·a1)·2^31 + x0·a0 reduces with
+    * 2^61 ≡ 1 (mod p): the 2^62 term becomes 2·x1·a1, the middle term t
+    * folds as (t >> 30) + (t mod 2^30)·2^31, and the low product folds as
+    * (c >> 61) + (c mod 2^61). Every intermediate stays < 2^63 (bounds in
+    * line comments), so the arithmetic is exact in signed longs — the
+    * property the cross-engine replay contract rests on.
+    */
+  private def mulMod61(x: Column, a: Long): Column = {
+    val p = ShufflePrime
+    val a1 = a >>> 31 // < 2^30
+    val a0 = a & 0x7FFFFFFFL // < 2^31
+    val x1 = shiftright(x, 31) // x < p < 2^61 → < 2^30
+    val x0 = x.bitwiseAND(lit(0x7FFFFFFFL)) // < 2^31
+    val m = x1 * lit(a1) // < 2^60
+    val t = x1 * lit(a0) + x0 * lit(a1) // < 2^62
+    val c = x0 * lit(a0) // < 2^62
+    val cR = shiftright(c, 61) + c.bitwiseAND(lit(p)) // ≤ p+1
+    val r = lit(2L) * m + shiftright(t, 30) +
+      shiftleft(t.bitwiseAND(lit((1L << 30) - 1)), 31) + cR // < 3·2^61+2^32 < 2^63
+    (shiftright(r, 61) + r.bitwiseAND(lit(p))) % lit(p) // fold < p+4, then exact
+  }
 
   /** The (multiplier, offset) pair of [[deterministicShuffle]]'s affine
     * map for `seed`. The seed must modulate the MULTIPLIER, not just the
@@ -123,25 +159,54 @@ object Corpus {
     * the relative order of almost every pair (caught by spec — seeds 7
     * and 8 produced the identical permutation). The multiplier stays
     * nonzero mod p (a ≠ 0, 1 ≤ s' ≤ p−2, p prime), so the map is always
-    * a bijection of the field.
+    * a bijection of the field. (BigInt here is DRIVER-side constant
+    * derivation only — executors and the oracle replay see plain longs.)
     */
   def shuffleConstants(seed: Long): (Long, Long) = {
     val p = ShufflePrime
-    val a = 1103515245L // classic LCG multiplier
+    // 2^64/φ (the golden-ratio mixing constant) mod p — a FIELD-SIZED base
+    // multiplier. The old 31-bit field scrambled with any multiplier
+    // because a·id wrapped p31 almost immediately; in the 2^61−1 field a
+    // small multiplier times a small-id corpus never wraps, leaving the
+    // "shuffle" in id order (caught by spec: seeds 7 and 8 both produced
+    // the identity on a 600-doc table).
+    val g = 2177342782468422681L
     val sPrime = ((seed % (p - 2)) + (p - 2)) % (p - 2) + 1 // in [1, p-2]
-    val aEff = a * sPrime % p // a·s' ≤ 1.2e9·2.2e9 < 2^63: exact
+    var aEff = (BigInt(g) * sPrime % p).toLong
+    // Re-mix until the multiplier is ≥ 2^59 = p/4: then a·k ≥ p for every
+    // k ≥ 4, so the map wraps (scrambles) on every corpus under EVERY
+    // seed, not just on seeds that happen to land a large residue.
+    // Driver-side constant derivation (executors and the oracle replay see
+    // the finished long); geometric termination, mean 0.33 steps, max 9
+    // over seeds 0..10^5.
+    while (aEff < (1L << 59)) aEff = (BigInt(g) * aEff % p).toLong
     val b = ((seed % p) + p) % p
     (aEff, b)
   }
 
   /** The DuckDB/ANSI-SQL replay of [[deterministicShuffle]]'s sort key for
     * `idExpr` — kept next to the constants so the operator and any oracle
-    * can never drift apart.
+    * can never drift apart. Spells out [[mulMod61]]'s limb-split identity
+    * in pure integer SQL (`//` integer division, `%`, `*`, `+` — every
+    * intermediate < 2^63, so engines with checked BIGINT arithmetic accept
+    * it); subexpressions are textually inlined since SQL has no lets.
     */
   def shuffleKeySql(idExpr: String, seed: Long): String = {
     val (aEff, b) = shuffleConstants(seed)
     val p = ShufflePrime
-    s"(((($idExpr % $p) + $p) % $p) * $aEff + $b) % $p"
+    val a1 = aEff >>> 31
+    val a0 = aEff & 0x7FFFFFFFL
+    val two31 = 1L << 31
+    val two30 = 1L << 30
+    val two61 = 1L << 61
+    val k0 = s"((($idExpr) % $p + $p) % $p)"
+    val x1 = s"($k0 // $two31)"
+    val x0 = s"($k0 % $two31)"
+    val t = s"($x1 * $a0 + $x0 * $a1)"
+    val c = s"($x0 * $a0)"
+    val r = s"(2 * ($x1 * $a1) + $t // $two30 + ($t % $two30) * $two31" +
+      s" + ($c // $two61 + $c % $two61))"
+    s"((($r // $two61 + $r % $two61) % $p + $b) % $p)"
   }
 
   /** Stratified mixture sample: keep each row with its group's per-mille

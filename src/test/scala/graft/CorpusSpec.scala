@@ -46,6 +46,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(negPos == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("deterministicShuffle's 2^61-1 field: exact vs BigInt, and >2^31-1 id domains reorder (r11)") {
+    val p61 = Corpus.ShufflePrime
+    assert(p61 == (1L << 61) - 1)
+    // The limb-split mulmod must agree with arbitrary-precision arithmetic
+    // on the FULL long id domain — the exactness claim every engine-replay
+    // rests on. Fixed pseudo-random ids plus the overflow-prone edges.
+    val rnd = new scala.util.Random(20260814L)
+    val ids = (Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, p61, p61 + 1,
+      2 * p61, 2147483647L, 2147483648L) ++
+      Seq.fill(300)(rnd.nextLong())).distinct
+    for (seed <- Seq(11L, 42L, -3L)) {
+      val (aEff, b) = Corpus.shuffleConstants(seed)
+      def expectedKey(id: Long): Long = {
+        val k0 = ((BigInt(id) mod p61) + p61) mod p61
+        ((k0 * aEff + b) mod p61).toLong
+      }
+      val expectedOrder = ids.sortBy(id => (expectedKey(id), id))
+      val got = Corpus.deterministicShuffle(ids.toDF("doc_id"), "doc_id", seed)
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+        .sortBy(_._2).map(_._1).toSeq
+      assert(got == expectedOrder, s"seed $seed: column mulmod drifted from BigInt")
+    }
+    // Ids exactly 2^31-1 and 2(2^31-1) apart collided mod the OLD field,
+    // so their relative order was pinned to id order under EVERY seed.
+    // In the 2^61-1 field they must reorder for some seed.
+    val p31 = 2147483647L
+    val congruent = Seq(5L, 5L + p31, 5L + 2 * p31)
+    val orders = (1L to 6L).map { seed =>
+      Corpus.deterministicShuffle(congruent.toDF("doc_id"), "doc_id", seed)
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+        .sortBy(_._2).map(_._1).toSeq
+    }
+    assert(orders.distinct.size > 1,
+      "ids congruent mod 2^31-1 still sit in a fixed relative order — field not widened")
+  }
+
   test("qualityFilterApprox agrees with the exact filter on a well-separated corpus") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("score"))
