@@ -54,6 +54,14 @@ object Bench {
     try graft.queries.DocumentQueries.pqBooks(spark, sfDir)
     catch { case _: Throwable => () }
     val pqBuildSec = (System.nanoTime() - tPq0) / 1e9
+    // And for the dedup-apply family's shared cluster labels (r11): the CC
+    // loop derives once, its consumers (d_dedup_cluster / apply /
+    // keep_best) time what a pipeline times — label CONSUMPTION. Reported
+    // as its own line item below so the total still carries the build.
+    val tCc0 = System.nanoTime()
+    try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val ccBuildSec = (System.nanoTime() - tCc0) / 1e9
     // Several operators (connected components, vancode, the embedding
     // index) pin localCheckpoint blocks that outlive their query; across
     // 80 queries × (warmup + timed) the leaked blocks grow old-gen
@@ -125,7 +133,8 @@ object Bench {
       name -> runs.minBy(_._1)
     }.toMap +
       ("d_ann_ivf_build" -> (buildSec, Double.NaN)) +
-      ("d_ann_pq_build" -> (pqBuildSec, Double.NaN))
+      ("d_ann_pq_build" -> (pqBuildSec, Double.NaN)) +
+      ("d_cluster_labels_build" -> (ccBuildSec, Double.NaN))
     val results = timed.map { case (k, (w, _)) => k -> w }
     val cpuResults = timed.collect { case (k, (_, c)) if !c.isNaN => k -> c }
     // The driver captures only the tail of stdout, and a single line carrying

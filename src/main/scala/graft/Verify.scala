@@ -20,6 +20,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Prebuild the SHARED artifacts (the dedup family's cluster labels,
+    // like Bench prebuilds the ANN indexes) BEFORE the protected-RDD
+    // snapshot: the labels are localCheckpoint-backed and shared by three
+    // queries, and the per-query reclaim below would otherwise evict
+    // their blocks after the first consumer — the remaining two then die
+    // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by this round's
+    // gate, not hypothetical).
+    try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] clusterLabels prebuild failed: ${e.getMessage}")
+    }
     // reclaim localCheckpoint blocks pinned by iterative operators after
     // each query — across 80 sequential queries the leak taxes every later
     // job with GC pauses (see Bench.reclaimBlocks)

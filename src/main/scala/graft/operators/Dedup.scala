@@ -647,8 +647,20 @@ object Dedup {
     * untouched.
     */
   def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String,
-                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val doomed = components(pairs, aCol, bCol)
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    keepCanonicalLabeled(df, components(pairs, aCol, bCol), idCol)
+
+  /** [[keepCanonical]] over PRECOMPUTED cluster labels (a [[components]]
+    * result, `(id, cluster)`): a pipeline that needs both the cluster
+    * table and the survivor set derives the labels ONCE and feeds them to
+    * each consumer, instead of re-running the iterative CC loop — the
+    * label derivation is the latency-bound step (one join+aggregate round
+    * per component diameter), so sharing it roughly halves the combined
+    * cost of apply + keep-best style stages.
+    */
+  def keepCanonicalLabeled(df: DataFrame, labels: DataFrame,
+                           idCol: String): DataFrame = {
+    val doomed = labels
       .filter(col("id") =!= col("cluster"))
       .select(col("id"))
     df.join(doomed, df(idCol) === doomed("id"), "left_anti")
@@ -670,8 +682,15 @@ object Dedup {
     */
   def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
                scoreCol: String,
-               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val labels = components(pairs, aCol, bCol) // (id, cluster)
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    keepBestLabeled(df, components(pairs, aCol, bCol), idCol, scoreCol)
+
+  /** [[keepBest]] over PRECOMPUTED cluster labels — see
+    * [[keepCanonicalLabeled]] for why sharing one [[components]] run
+    * across the cluster/apply/keep-best consumers matters.
+    */
+  def keepBestLabeled(df: DataFrame, labels: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
     // double-cast + null→-inf so an all-null-score cluster still keeps a
     // member (max_by drops null ordering keys entirely)
     val scored = labels.join(

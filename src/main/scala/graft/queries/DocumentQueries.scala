@@ -412,9 +412,36 @@ object DocumentQueries {
     Dedup.ngramJaccardPairs(u, "text", "doc_id",
       blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
 
+  // The cluster labels derive ONCE per (session, data dir) and are shared
+  // by the three registered consumers (d_dedup_cluster, d_dedup_apply,
+  // d_dedup_keep_best): the iterative CC loop is the latency-bound step
+  // and every consumer needs the SAME labels, so per-query re-derivation
+  // just multiplied that latency by three (r10 bench: 3.8 + 3.7 s for
+  // apply + keep_best alone at sf1). Session-identity keyed like ivfCache;
+  // entries for stopped sessions are evicted (their localCheckpoint
+  // blocks died with the session's block manager).
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Build (or fetch the cached) cluster-label table for `dir`'s chained
+    * near-dup corpus — the shared offline step of the dedup-apply family,
+    * prebuilt by Bench as its own timed line item like the ANN indexes.
+    * NOTE for harnesses that reclaim persisted blocks between queries
+    * (Bench/Verify): the labels are localCheckpoint-backed — call this
+    * BEFORE snapshotting the protected-RDD set, or the first reclaim
+    * truncates the cached lineage and later consumers die with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    labelsCache.entrySet().removeIf(
+      e => e.getValue.sparkSession.sparkContext.isStopped)
+    labelsCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, dir),
+      _ => Dedup.components(clusterPairs(clusterInput(spark, dir))))
+  }
+
   private def dDedupCluster(spark: SparkSession, dir: String): DataFrame =
-    Dedup.components(clusterPairs(clusterInput(spark, dir)))
-      .select(col("id"), col("cluster"))
+    clusterLabels(spark, dir).select(col("id"), col("cluster"))
 
   private val dDedupClusterSql =
     s"""WITH RECURSIVE d AS (
@@ -455,10 +482,9 @@ object DocumentQueries {
   // components → keep one canonical survivor (min id) per cluster, pass
   // every unclustered doc through. Same corpus as d_dedup_cluster; the
   // oracle re-derives the survivors from its recursive-CTE labels.
-  private def dDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val u = clusterInput(spark, dir)
-    Dedup.keepCanonical(u, clusterPairs(u), "doc_id").select(col("doc_id"))
-  }
+  private def dDedupApply(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepCanonicalLabeled(clusterInput(spark, dir),
+      clusterLabels(spark, dir), "doc_id").select(col("doc_id"))
 
   private val dDedupApplySql = {
     // reuse the cluster derivation, then drop every non-canonical member
@@ -481,7 +507,8 @@ object DocumentQueries {
   // min-id fallback or a lost tie-break flips the hash.
   private def dDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val u = clusterInput(spark, dir).withColumn("__q", length(col("text")))
-    Dedup.keepBest(u, clusterPairs(u), "doc_id", "__q").select(col("doc_id"))
+    Dedup.keepBestLabeled(u, clusterLabels(spark, dir), "doc_id", "__q")
+      .select(col("doc_id"))
   }
 
   private val dDedupKeepBestSql = {
