@@ -232,6 +232,92 @@ class SourcesSpec extends AnyFunSuite {
       (2L, "a", "2024-03-04", "2024-03-04 00:00:01.0", "-1.00")), back.toString)
   }
 
+  test("keyed jdbc sinks under PostgreSQL-style SUCCESS_NO_INFO batches (proxy driver, r11)") {
+    ProxyJdbc.install()
+    ProxyJdbc.reset()
+    val db = tmp("proxyni") + "/nidb"
+    val url = s"jdbc:graftproxy:$db;create=true"
+    val plain = s"jdbc:derby:$db"
+    val props = Map("driver" -> classOf[ProxyJdbcDriver].getName)
+    val dprops = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    // seed through the PLAIN derby url: Spark's jdbc writer picks its
+    // dialect by URL prefix, and the unknown proxy prefix maps StringType
+    // to TEXT, which Derby rejects — the keyed sinks themselves never
+    // CREATE TABLE, so they run through the proxy
+    Sinks.writeJdbc(sample, s"$plain;create=true", "ni_t", dprops,
+      mode = SaveMode.Overwrite)
+    def snap() = Sources.readJdbc(spark, plain, "ni_t", dprops)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // every UPDATE batch entry reports SUCCESS_NO_INFO: the sink must
+    // probe EVERY row's existence instead of trusting counts — matched
+    // rows update (not duplicate-insert), missing rows insert
+    ProxyJdbc.noInfo = true
+    val batch = Seq((2L, "BETA", 99.75, "2024-02-02"),
+      (4L, "delta", 1.0, "2024-01-04")).toDF("id", "name", "amount", "day")
+    Sinks.writeJdbcUpsert(batch, url, "ni_t", Seq("id"), props)
+    val want = Seq((1L, "alpha", 10.5), (2L, "BETA", 99.75),
+      (3L, "gamma", -3.0), (4L, "delta", 1.0))
+    assert(snap() == want, snap().toString)
+    assert(ProxyJdbc.existsProbes.get() >= 2,
+      "SUCCESS_NO_INFO rows must fall back to the existence probe")
+    // idempotent under the no-info dialect too
+    Sinks.writeJdbcUpsert(batch, url, "ni_t", Seq("id"), props)
+    assert(snap() == want, "re-application must converge")
+    // full CDC apply under the same dialect: update, insert, tombstone
+    val cdc = Seq((2L, "CDC", 1.0, "x", "U"), (5L, "five", 2.0, "y", "U"),
+      (1L, "", 0.0, "", "D")).toDF("id", "name", "amount", "day", "op")
+    Sinks.writeJdbcCdc(cdc, url, "ni_t", Seq("id"), "op", "D", props)
+    assert(snap() == Seq((2L, "CDC", 1.0), (3L, "gamma", -3.0),
+      (4L, "delta", 1.0), (5L, "five", 2.0)), snap().toString)
+    ProxyJdbc.reset()
+  }
+
+  test("keyed jdbc sinks replay deadlock victims exactly; EXECUTE_FAILED fails the transaction (r11)") {
+    ProxyJdbc.install()
+    ProxyJdbc.reset()
+    val db = tmp("proxydl") + "/dldb"
+    val url = s"jdbc:graftproxy:$db;create=true"
+    val plain = s"jdbc:derby:$db"
+    val props = Map("driver" -> classOf[ProxyJdbcDriver].getName)
+    val dprops = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.writeJdbc(sample, s"$plain;create=true", "dl_t", dprops,
+      mode = SaveMode.Overwrite)
+    def snap() = Sources.readJdbc(spark, plain, "dl_t", dprops)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // two injected deadlock victims (40001 inside BatchUpdateException,
+    // as real drivers deliver it): the engine rolled the transaction back
+    // whole, so the sink's buffered replay must converge to the exact
+    // final state, with the extra executeBatch calls observable
+    ProxyJdbc.deadlocksToInject.set(2)
+    val batch = Seq((2L, "BETA", 99.75, "2024-02-02"),
+      (4L, "delta", 1.0, "2024-01-04")).toDF("id", "name", "amount", "day")
+    Sinks.writeJdbcUpsert(batch, url, "dl_t", Seq("id"), props)
+    assert(ProxyJdbc.deadlocksToInject.get() == 0, "injections not consumed")
+    assert(ProxyJdbc.updateBatches.get() >= 3,
+      "replays after deadlock victims must be visible as extra batches")
+    assert(snap() == Seq((1L, "alpha", 10.5), (2L, "BETA", 99.75),
+      (3L, "gamma", -3.0), (4L, "delta", 1.0)), snap().toString)
+    // EXECUTE_FAILED (continue-on-error dialect): probing the failed entry
+    // would silently drop its change — the sink must fail the transaction
+    // and roll back, leaving the target untouched by the poisoned batch
+    val before = snap()
+    ProxyJdbc.failLastEntryOnce = true
+    val poisoned = Seq((2L, "POISON", 0.0, "z"))
+      .toDF("id", "name", "amount", "day")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Sinks.writeJdbcUpsert(poisoned, url, "dl_t", Seq("id"), props)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(e =>
+      Option(e.getMessage).exists(_.contains("batch UPDATE entry failed"))),
+      s"expected the typed EXECUTE_FAILED rejection, got $ex")
+    assert(snap() == before, "failed transaction must roll back cleanly")
+    ProxyJdbc.reset()
+  }
+
   test("orc round-trip") {
     val dir = tmp("orc") + "/out"
     Sinks.writeOrc(sample, dir)
