@@ -92,6 +92,14 @@ object Scd2 {
     // keys are renamed before joining — both frames may share lineage,
     // and unrenamed null-safe conditions trip the ambiguous-self-join
     // detector (r8 lesson).
+    // the rename prefix must be ABSENT from the schema: a real column
+    // already named __s_<key> would make the join condition resolve both
+    // sides against the source's renamed column (always equal — every
+    // target row anti-joins away)
+    val clash = keys.map(k => s"__s_$k").filter(target.columns.contains)
+    require(clash.isEmpty,
+      s"upsert: column(s) ${clash.mkString(",")} collide with the reserved " +
+        "__s_<key> rename prefix; rename them before calling upsert")
     val srcKeys = source.select(keys.map(k => col(k).as(s"__s_$k")): _*)
     val keyCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
     target.join(srcKeys, keyCond, "left_anti")

@@ -197,15 +197,48 @@ object Sinks extends Serializable {
   def writeShuffledShards(df: DataFrame, path: String, idCol: String,
                           seed: Long, nShards: Int,
                           mode: SaveMode = SaveMode.Overwrite): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
     require(nShards > 0, s"writeShuffledShards: nShards must be positive, got $nShards")
     val shuffled = graft.operators.Corpus.deterministicShuffle(df, idCol, seed)
+    // Sort by (shard, pos), not pos alone: the dynamic-partition writer
+    // REQUIRES child ordering by the partition column, and a pos-only sort
+    // makes the planner insert its own sort on `shard` above ours — an
+    // extra sort whose stability is NOT guaranteed once it spills, so the
+    // "each shard file pos-ordered" contract could silently break at
+    // scale. With (shard, pos) the child ordering already satisfies the
+    // writer and no sort is inserted.
     shuffled
       .withColumn("shard",
         (col("pos") % nShards).cast(org.apache.spark.sql.types.IntegerType))
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("pos"))
+      .repartition(nShards,
+        element_at(typedLit(shardPartitionPreimages(nShards).toSeq), col("shard") + 1))
+      .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
+  /** A preimage table for Spark's hash partitioning: entry i is a long x
+    * with pmod(murmur3(x, seed=42), n) == i — Catalyst's
+    * HashPartitioning.partitionIdExpression for one long column — so
+    * repartitioning on the looked-up value routes shard i to partition i
+    * EXACTLY. Plain repartition(n, col("shard")) hash-partitions the n
+    * distinct shard values into n partitions, leaving ~1/e of the writer
+    * tasks empty while others own two shards (correct, but the "nShards
+    * tasks write in parallel" claim degrades at high shard counts).
+    * Driver-side cost: expected n·Hₙ murmur evaluations (coupon
+    * collector) — microseconds at thousands of shards.
+    */
+  private[graft] def shardPartitionPreimages(n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var x = 0L
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(x, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; out(p) = x; remaining -= 1 }
+      x += 1
+    }
+    out
   }
 
   /** Z-ordered parquet layout for MULTI-dimensional scan pruning (the

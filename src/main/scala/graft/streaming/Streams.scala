@@ -456,6 +456,14 @@ object Streams {
     * the replayed-log semantics. Crash replays re-apply idempotently
     * (upserts converge, absent keys delete zero rows), so the sink is
     * exactly-once on the target's final state.
+    *
+    * Tie contract: `seqCol` should totally order each key's changes, but
+    * if a delete and a non-delete carry the SAME seq value the delete
+    * deterministically wins (the ordering key is (seq, isDelete), booleans
+    * false < true) — an upsert-sink tie only picks among VALUES, while a
+    * CDC tie decides whether the key exists at all, so it must not be
+    * left to aggregation order. Ties among several non-delete rows at one
+    * seq remain arbitrary among their values, as in [[toJdbcUpsertSink]].
     */
   def toJdbcCdcSink(streamed: DataFrame, checkpointDir: String,
                     url: String, table: String, keys: Seq[String],
@@ -470,10 +478,50 @@ object Streams {
         val b = batch.toDF()
         val winner = b
           .groupBy(keys.map(col): _*)
-          .agg(max_by(struct(b.columns.map(col): _*), col(seqCol)).as("__w"))
+          .agg(max_by(struct(b.columns.map(col): _*),
+            struct(col(seqCol), col(opCol) === deleteOp)).as("__w"))
           .select(col("__w.*"))
         graft.sinks.Sinks.writeJdbcCdc(winner, url, table, keys, opCol,
           deleteOp, props)
+      }
+      .start()
+
+  /** Streaming re-export of the training-shard layout as the corpus grows
+    * — the stream-side companion of
+    * [[graft.sinks.Sinks.writeShuffledShards]]. Each micro-batch (1)
+    * appends its NOVEL documents to an accumulating parquet staging
+    * corpus ([[graft.sinks.Sinks.appendUnique]] keyed on `idCol`, so
+    * crash-replayed batches are idempotent), then (2) re-runs the full
+    * deterministic shuffle + shard export over the accumulated corpus
+    * into `exportDir/v=<batchId>/`.
+    *
+    * Why a FULL re-export per version, not an incremental append to the
+    * previous shards: the export's contract is "the same (corpus, seed,
+    * nShards) always yields byte-identical shards, each an evenly spaced
+    * stride of a uniform random permutation of the WHOLE corpus". A new
+    * document changes the dense-rank position of (on average) half the
+    * existing rows, so any append-in-place scheme either breaks the
+    * permutation's uniformity over the grown corpus or silently reorders
+    * relative to the batch writer — a training run resumed against it
+    * would read different data order than a fresh export. Versioned full
+    * re-export keeps the contract EXACT per version at the cost of one
+    * range + one hash exchange over the corpus per trigger; a production
+    * pipeline therefore drives this sink on an epoch cadence (e.g.
+    * `Trigger.AvailableNow` per training cycle), not per-second
+    * micro-batches. Old versions are retained for reproducibility of past
+    * runs; prune externally when their training runs are archived.
+    */
+  def toShardedExportSink(streamed: DataFrame, checkpointDir: String,
+                          stagingDir: String, exportDir: String,
+                          idCol: String, seed: Long, nShards: Int)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sinks.Sinks.appendUnique(batch.toDF(), stagingDir, Seq(idCol))
+        val corpus = batch.sparkSession.read.parquet(stagingDir)
+        graft.sinks.Sinks.writeShuffledShards(corpus,
+          s"$exportDir/v=$batchId", idCol, seed, nShards)
       }
       .start()
 

@@ -225,7 +225,35 @@ object DedupScale {
     val qjson = results.map { case (n, s, rows) =>
       s""""$n":{"sec":${f"$s%.3f"},"rows":$rows}"""
     }.mkString(",")
+
+    // Bucket-population diagnostics for the two banded paths (r11): the
+    // scale claim is that the candidate exchanges key on (band, hash)
+    // buckets whose population stays bounded as the corpus grows — a
+    // hot bucket is where a banded join would collapse to one task. Uses
+    // the same bucketing the operators use: minhash band keys over the
+    // 64-hash signature (16 bands), simhash 16-bit pigeonhole chunks over
+    // DISTINCT signatures.
+    def bucketStats(keyed: DataFrame): (Long, Long) = {
+      val counts = keyed.groupBy(col("k")).count()
+        .agg(max(col("count")), percentile_approx(col("count"), lit(0.5), lit(1000)))
+        .collect()(0)
+      (counts.getLong(0), counts.getLong(1))
+    }
+    val wantBuckets = only.forall(o => o("minhash") || o("simhash"))
+    val bucketJson = if (!wantBuckets) "" else {
+      val (mhHot, mhP50) = bucketStats(
+        d.select(col("doc_id").as("id"),
+            Dedup.signatureColumn(col("text"), 3, 64).as("sig"))
+          .select(explode(Dedup.bandKeysFromSig(col("sig"), 64, 16)).as("k")))
+      val (shHot, shP50) = bucketStats(
+        Dedup.simhash(d, "text", "doc_id").select(col("simhash")).distinct()
+          .select(explode(array((0 until 4).map(i =>
+            struct(lit(i).as("c"),
+              shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("k")))
+      s""","buckets":{"minhash_band":{"hottest":$mhHot,"p50":$mhP50},""" +
+        s""""simhash_chunk_distinct_sigs":{"hottest":$shHot,"p50":$shP50}}"""
+    }
     println(s"""{"metric":"dedup_scale","factor":$factor,"n_docs":$nDocs,""" +
-      s""""n_vecs":$nVecs,"distinct_content":true,"ops":{$qjson}}""")
+      s""""n_vecs":$nVecs,"distinct_content":true,"ops":{$qjson}$bucketJson}""")
   }
 }

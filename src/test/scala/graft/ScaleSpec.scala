@@ -296,6 +296,155 @@ class ScaleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("writeShuffledShards routes shard i to partition i exactly; write plan adds no sort (r11)") {
+    // the preimage table: entry i must hash-partition to partition i under
+    // Catalyst's partitionIdExpression (pmod(murmur3(x, 42), n)) — this is
+    // what guarantees nShards tasks each own exactly one shard, instead of
+    // hash-collisions leaving ~1/e of the writers idle
+    for (n <- Seq(1, 2, 4, 7, 32, 1000)) {
+      val pre = Sinks.shardPartitionPreimages(n)
+      (0 until n).foreach { i =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(pre(i), 42)
+        assert(((h % n) + n) % n == i, s"preimage $i wrong for n=$n")
+      }
+    }
+    // glass-box: the pre-write exchange lands every row of shard i in
+    // partition i (one shard per writer task, no empties)
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val pre4 = Sinks.shardPartitionPreimages(4)
+    val routed = graft.operators.Corpus.deterministicShuffle(docs, "doc_id", 11L)
+      .withColumn("shard", (col("pos") % 4).cast("int"))
+      .repartition(4, element_at(typedLit(pre4.toSeq), col("shard") + 1))
+      .select(spark_partition_id().as("pid"), col("shard"))
+    assert(routed.filter(col("pid") =!= col("shard")).count() == 0,
+      "shard i must land in partition i exactly")
+    // the write plan must contain ONLY our sortWithinPartitions(shard, pos):
+    // a pos-only child sort makes the dynamic-partition writer insert its
+    // own sort on `shard`, whose stability is not guaranteed under spill —
+    // capture the write's executed plan via a listener and count sorts
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("shards_plan").toString + "/t"
+      Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4)
+      // the listener fires asynchronously; poll briefly for the write plan
+      def capture(): Array[org.apache.spark.sql.execution.SparkPlan] =
+        plans.toArray(Array.empty[org.apache.spark.sql.execution.SparkPlan])
+          .filter(_.toString.contains("WriteFiles"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (capture().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      val writePlans = capture()
+      assert(writePlans.nonEmpty, "write plan not captured")
+      writePlans.foreach { p =>
+        val sorts = p.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.SortExec => s }
+        assert(sorts.size <= 1,
+          s"writer inserted an extra (stability-unsafe) sort:\n$p")
+        sorts.foreach { s =>
+          val keys = s.sortOrder.map(_.child.toString).mkString(",")
+          assert(keys.contains("shard") && keys.contains("pos"),
+            s"child sort must already satisfy the writer ordering, got $keys")
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("keyed JDBC sinks: pre-write exchange is ONE hash repartition on the keys (r11)") {
+    // the one-writer-per-key contract (correctness at 1000 executors, not
+    // an optimization) rests on the pre-write plan being a single hash
+    // exchange on the key columns with our partition-local sort above it —
+    // pin it so an optimizer change or future edit can't silently add an
+    // exchange (two writers per key → interleaved probes, deadlock) or
+    // drop the sort (adjacent-duplicate check goes blind)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // AQE wraps the executed tree in leaf-like AdaptiveSparkPlanExec /
+    // QueryStageExec nodes, so a plain collect sees NO exchange — unwrap
+    // them (but not InMemoryTableScan: a cached relation's internal plan
+    // belongs to the persist, not to this write)
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      here ++ kids.flatMap(deepCollect(_)(pf))
+    }
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (funcName == "foreachPartition") plans.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val db = java.nio.file.Files.createTempDirectory("pin_db") + "/pindb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "x")
+    graft.sinks.Sinks.writeJdbc(seed, url, "pin_t", props,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    spark.listenerManager.register(listener)
+    try {
+      Sinks.writeJdbcCdc(
+        Seq((1L, "A", 9.0, "U"), (2L, "", 0.0, "D"), (3L, "c", 3.0, "U"))
+          .toDF("id", "v", "x", "op"),
+        url, "pin_t", Seq("id"), "op", "D", props)
+      def capture() = plans.toArray(Array.empty[SparkPlan])
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // CDC = one delete pass + one upsert pass → two foreachPartition plans
+      while (capture().length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val captured = capture()
+      assert(captured.length >= 2, "delete+upsert write plans not captured")
+      captured.foreach { p =>
+        val exchanges = deepCollect(p) { case e: ShuffleExchangeExec => e }
+        assert(exchanges.length == 1,
+          s"pre-write plan must contain exactly ONE exchange:\n$p")
+        exchanges.head.outputPartitioning match {
+          case h: HashPartitioning =>
+            assert(h.expressions.map(_.toString).exists(_.contains("id")),
+              s"exchange must hash on the key columns:\n$p")
+          case other => fail(s"expected hash partitioning, got $other:\n$p")
+        }
+        val sorts = deepCollect(p) {
+          case s: org.apache.spark.sql.execution.SortExec => s }
+        // the upsert pass (non-key columns in the output) carries the
+        // LOAD-BEARING partition-local key sort — the adjacent-duplicate
+        // check reads consecutive rows; the delete pass's sort is a
+        // locality nicety AQE may (and does) eliminate, which is safe
+        // because its upstream dropDuplicates already made keys unique
+        // classify by the row schema under the object deserializer (the
+        // wrapper's own output is just `obj`): delete pass ships keys only
+        val isUpsertPass = deepCollect(p) {
+          case d: org.apache.spark.sql.execution.DeserializeToObjectExec =>
+            d.child.output.map(_.name).toSet
+        }.headOption.exists(_ != Set("id"))
+        if (isUpsertPass) {
+          assert(sorts.length == 1 && !sorts.head.global,
+            s"upsert pass must keep exactly one partition-local key sort:\n$p")
+          assert(sorts.head.sortOrder.map(_.child.toString).mkString(",").contains("id"),
+            s"upsert sort must order by the key columns:\n$p")
+        } else
+          assert(sorts.forall(!_.global),
+            s"delete pass must not contain a global sort:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("writeZOrdered bounds per-file ranges on BOTH interleaved columns") {
     val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
     def spans(dir: String): Seq[(Double, Double)] = {

@@ -330,6 +330,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap() == Set((1L, "back")), snap().toString)
   }
 
+  test("toJdbcCdcSink: a seq tie between delete and update resolves to the delete (r11)") {
+    val in = Files.createTempDirectory("jtie_in").toString
+    val db = Files.createTempDirectory("jtie_db") + "/tiedb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    graft.sinks.Sinks.writeJdbc(
+      Seq((1L, "seeded", 0L, "U"), (2L, "seeded", 0L, "U"))
+        .toDF("k", "v", "seq", "op"), url, "tie_s",
+      props, mode = org.apache.spark.sql.SaveMode.Overwrite)
+    // k1: U and D both at seq 1 — whether the key EXISTS must not depend
+    // on aggregation order; the documented contract makes the delete win.
+    // k2: same tie with the rows in the opposite physical order.
+    Seq((1L, "u", 1L, "U"), (1L, "", 1L, "D"),
+        (2L, "", 1L, "D"), (2L, "u", 1L, "U"))
+      .toDF("k", "v", "seq", "op")
+      .write.mode("overwrite").parquet(in)
+    val ckpt = Files.createTempDirectory("jtie_ckpt").toString
+    val q = Streams.toJdbcCdcSink(
+      spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+      ckpt, url, "tie_s", keys = Seq("k"), seqCol = "seq", opCol = "op",
+      props = props)
+    q.processAllAvailable(); q.stop()
+    val left = graft.sources.Sources.readJdbc(spark, url, "tie_s", props)
+      .select("k").as[Long].collect().toSet
+    assert(left == Set.empty[Long],
+      s"delete must deterministically win a seq tie; keys left: $left")
+  }
+
+  test("toShardedExportSink: each version matches the batch export over the grown corpus (r11)") {
+    val in = Files.createTempDirectory("shx_in").toString
+    val staging = Files.createTempDirectory("shx_stage").toString + "/corpus"
+    val export = Files.createTempDirectory("shx_out").toString + "/shards"
+    val ckpt = Files.createTempDirectory("shx_ckpt").toString
+    val all = Tables.documents(spark, TestSpark.sf).select("doc_id")
+    val first = all.filter(col("doc_id") % 3 =!= 0)
+    first.write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toShardedExportSink(stream, ckpt, staging, export,
+      "doc_id", seed = 11L, nShards = 4)
+    q1.processAllAvailable(); q1.stop()
+    // version 0 = batch export over batch-1 docs, bit-for-bit
+    def exported(v: Long) = spark.read.parquet(s"$export/v=$v")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    def batchRef(docs: org.apache.spark.sql.DataFrame) = {
+      val ref = Files.createTempDirectory("shx_ref").toString + "/t"
+      graft.sinks.Sinks.writeShuffledShards(docs, ref, "doc_id", 11L, 4)
+      spark.read.parquet(ref).select("doc_id", "pos")
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(exported(0) == batchRef(first), "v0 must equal the batch export")
+    // grow the corpus: REPLAYED docs (idempotent staging) + novel ones
+    first.limit(50).write.mode("append").parquet(in)
+    all.filter(col("doc_id") % 3 === 0).write.mode("append").parquet(in)
+    val q2 = Streams.toShardedExportSink(stream, ckpt, staging, export,
+      "doc_id", seed = 11L, nShards = 4)
+    q2.processAllAvailable(); q2.stop()
+    val versions = new java.io.File(export).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+      .sorted
+    val vLast = versions.last
+    assert(vLast > 0, s"second trigger must write a new version, got $versions")
+    // the latest version re-exports the WHOLE accumulated corpus — novel
+    // docs integrated into a fresh permutation, replayed docs staged once
+    assert(exported(vLast) == batchRef(all),
+      "latest version must equal the batch export over the full corpus")
+    assert(spark.read.parquet(staging).count() == all.count(),
+      "replayed batch rows must stage exactly once")
+  }
+
   test("toUpsertSink restores a staged-aside table after a mid-swap crash") {
     // regression (r8 review): the swap is dir -> .old, tmp -> dir, delete
     // .old. A crash between the renames leaves .old as the ONLY copy of
