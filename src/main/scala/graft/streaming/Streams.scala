@@ -519,9 +519,17 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sinks.Sinks.appendUnique(batch.toDF(), stagingDir, Seq(idCol))
-        val corpus = batch.sparkSession.read.parquet(stagingDir)
-        graft.sinks.Sinks.writeShuffledShards(corpus,
-          s"$exportDir/v=$batchId", idCol, seed, nShards)
+        val spark = batch.sparkSession
+        // an all-duplicate (or empty) FIRST batch stages nothing, so the
+        // staging dir may not exist yet — exporting nothing is the right
+        // outcome, not a dead query
+        val fs = new org.apache.hadoop.fs.Path(stagingDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(stagingDir))) {
+          val corpus = spark.read.parquet(stagingDir)
+          graft.sinks.Sinks.writeShuffledShards(corpus,
+            s"$exportDir/v=$batchId", idCol, seed, nShards)
+        }
       }
       .start()
 
