@@ -189,10 +189,11 @@ object Sinks extends Serializable {
     * resume-after-crash read the same data order.
     *
     * Scale shape: the permutation is one range exchange (DenseId), the
-    * shard routing one hash exchange on the shard id; `nShards` tasks
-    * write in parallel. Size nShards so a shard fits a consumer's read
-    * budget — at 100 TB that is thousands of shards, each still one
-    * task's sequential write.
+    * shard routing one hash exchange keyed on a per-shard PREIMAGE value
+    * ([[shardPartitionPreimages]]) so shard i lands in partition i
+    * exactly — ALL `nShards` tasks write in parallel, none empty. Size
+    * nShards so a shard fits a consumer's read budget — at 100 TB that
+    * is thousands of shards, each still one task's sequential write.
     */
   def writeShuffledShards(df: DataFrame, path: String, idCol: String,
                           seed: Long, nShards: Int,
