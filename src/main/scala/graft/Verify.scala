@@ -27,10 +27,13 @@ object Verify {
     // their blocks after the first consumer — the remaining two then die
     // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by this round's
     // gate, not hypothetical).
-    try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] clusterLabels prebuild failed: ${e.getMessage}")
-    }
+    val labelConsumers =
+      Set("d_dedup_cluster", "d_dedup_apply", "d_dedup_keep_best")
+    if (only.forall(o => o.exists(labelConsumers)))
+      try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] clusterLabels prebuild failed: ${e.getMessage}")
+      }
     // reclaim localCheckpoint blocks pinned by iterative operators after
     // each query — across 80 sequential queries the leak taxes every later
     // job with GC pauses (see Bench.reclaimBlocks)
