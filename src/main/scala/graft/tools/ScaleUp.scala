@@ -38,14 +38,24 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val docFactor = args.lift(3).map(_.toInt).getOrElse(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor)
+    run(spark, src, dst, factor, docFactor)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** `docFactor` caps the documents/embeddings fan-out separately: the ANN
+    * margin fixtures plant at doc_id/vec_id >= 100000, which bounds those
+    * two tables to a 10x fan-out from sf0.1 — a relational x100 leg
+    * (factor=100, docFactor=10) stays fixture-safe while the fact tables
+    * take the full step. The dedup-family x100 evidence comes from
+    * DedupScale's own corpus instead.
+    */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+          docFactor: Int = -1): Unit = {
+    val docF = if (docFactor <= 0) factor else docFactor
     Files.createDirectories(Paths.get(dst))
 
     def table(name: String): DataFrame =
@@ -79,12 +89,13 @@ object ScaleUp {
     // pushes (factor-1)*stride + maxId past those bases silently corrupts
     // the oracle (the bug class the +1e6→+1e10 shift fix addressed), so
     // fail fast instead.
-    def assertBelow(name: String, idCol: String, s: Long, base: Long): Unit = {
+    def assertBelow(name: String, idCol: String, s: Long, base: Long,
+                    f: Int): Unit = {
       val mx = maxId(name, idCol)
-      val top = (factor - 1).toLong * s + mx
+      val top = (f - 1).toLong * s + mx
       require(top < base,
         s"ScaleUp: scaled $name.$idCol would reach $top >= planted-fixture " +
-          s"base $base (factor=$factor, stride=$s) — ids would collide with " +
+          s"base $base (factor=$f, stride=$s) — ids would collide with " +
           "oracle fixtures; lower the factor or widen the fixture base")
     }
 
@@ -96,9 +107,9 @@ object ScaleUp {
     val usr = stride("events", "user_id")
     val doc = stride("documents", "doc_id")
     val vec = stride("embeddings", "vec_id")
-    assertBelow("documents", "doc_id", doc, 100000L)
-    assertBelow("embeddings", "vec_id", vec, 100000L)
-    assertBelow("orders", "o_orderkey", ord, 10000000000L)
+    assertBelow("documents", "doc_id", doc, 100000L, docF)
+    assertBelow("embeddings", "vec_id", vec, 100000L, docF)
+    assertBelow("orders", "o_orderkey", ord, 10000000000L, factor)
 
     // which columns shift by which stride, per table
     val remaps: Map[String, Seq[(String, Long)]] = Map(
@@ -117,11 +128,13 @@ object ScaleUp {
     Tables.all.foreach { name =>
       val base = table(name)
       val shifts = remaps(name)
+      val tableFactor =
+        if (name == "documents" || name == "embeddings") docF else factor
       val out =
         if (shifts.isEmpty) base // fixed dimensions don't scale
         else {
           val fanned = base.withColumn("__copy",
-            explode(sequence(lit(0L), lit(factor - 1L))))
+            explode(sequence(lit(0L), lit(tableFactor - 1L))))
           val shifted = shifts.foldLeft(fanned) { case (df, (c, s)) =>
             df.withColumn(c, col(c) + col("__copy") * s)
           }

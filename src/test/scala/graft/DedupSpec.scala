@@ -212,6 +212,18 @@ class DedupSpec extends AnyFunSuite {
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.components(path).as[(Long, Long)].collect()
     assert(got.length == 12 && got.forall(_._2 == 1L))
+    // r11 pointer jump: a 2000-node path has diameter 100x the default
+    // 20-round cap — plain min-label propagation (reach +1 per round)
+    // returned it SPLIT; with the per-round jump reach doubles, so it
+    // must converge to ONE component inside the default budget. A second
+    // disjoint path guards against the jump over-merging.
+    val longA = (1L until 2000L).map(i => (i, i + 1))
+    val longB = (5001L until 5600L).map(i => (i, i + 1))
+    val labels = Dedup.components((longA ++ longB).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 2600)
+    assert((1L to 2000L).forall(labels(_) == 1L))
+    assert((5001L to 5600L).forall(labels(_) == 5001L))
   }
 
   test("lshTopK recalls most of bruteForceTopK's neighbors") {
