@@ -155,7 +155,11 @@ object ScaleUp {
       val target = s"$dst/$name.parquet"
       // dimensions stay single-part; fanned tables spread across nFiles so
       // scan parallelism survives the 10× compression of exact-copy text
-      val nFiles = if (shifts.isEmpty) 1 else 16
+      // 16 parts at a 10x step; grow with the factor (capped at 64) so a
+      // x100 fan-out still yields enough splits after exact-copy compression
+      val nFiles =
+        if (shifts.isEmpty) 1
+        else math.max(16, math.min(64, tableFactor * 16 / 10))
       out.repartition(nFiles).write.mode("overwrite").parquet(target)
       println(s"scaled $name -> $target ($nFiles files)")
     }

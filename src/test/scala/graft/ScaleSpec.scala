@@ -485,6 +485,31 @@ class ScaleSpec extends AnyFunSuite {
       s"salt replication should broadcast, not shuffle, the dim side:\n$plan")
   }
 
+  test("salted skew join falls back to a shuffle join when the replicated side outgrows the broadcast cap") {
+    // the r11 x100 leg: a forced broadcast of a dimension that grew with
+    // the corpus dies on the driver; the operator must degrade to a
+    // (key, salt) shuffle join — same rows, no broadcast — once the
+    // Catalyst size estimate crosses maxBroadcastBytes
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 45.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // silence the planner's OWN size-based broadcast (fine at this scale,
+    // absent at the scale the fallback exists for) so any BroadcastHashJoin
+    // left in the plan could only come from the operator's forced hint
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forced = SkewJoin.salted(li, o, "l_orderkey", "o_orderkey",
+        saltFactor = 4, maxBroadcastBytes = 1L)
+      val plan = forced.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a 1-byte cap must force the shuffle path:\n$plan")
+      val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      assert(forced.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q41's JDBC scan is range-partitioned for parallel pull (4 tasks)") {
     val df = SparkEntry.queries("q41_jdbc")(spark, sf)
     assert(df.rdd.getNumPartitions == 4,
