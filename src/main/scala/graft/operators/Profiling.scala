@@ -205,7 +205,11 @@ object Profiling {
     val d1 = (col("__n") * x - col("__s")).cast(DecimalType(18, 2))
     val dd = (col("__n") * col("__s2") - col("__s") * col("__s"))
       .cast(DecimalType(34, 4))
-    df.join(broadcast(moments), groupCol)
+    // one moments row per group: broadcast-shaped for the usual low-card
+    // groupCol, but a high-cardinality groupCol scales it with the data —
+    // size-gate the hint (a shuffle join on the group key is the right
+    // plan there anyway)
+    df.join(Joins.broadcastIfFits(moments), groupCol)
       .filter(d1 * d1 * lit(mDen * mDen).cast(DecimalType(4, 0)) >
         dd * lit(mNum * mNum).cast(DecimalType(4, 0)))
       .drop("__n", "__s", "__s2")

@@ -39,6 +39,9 @@ object SkewJoin {
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val salts = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
+    // the explicit × saltFactor: Catalyst's Generate stats don't reliably
+    // account for the replication, so the gate scales the UNREPLICATED
+    // side's estimate itself (see Joins.broadcastIfFits for the rationale)
     val fits = small.queryExecution.optimizedPlan.stats.sizeInBytes *
       saltFactor <= maxBroadcastBytes
     val right = if (broadcastSmall && fits) broadcast(salts) else salts

@@ -120,8 +120,13 @@ object Validators {
       }
     val refReports: Seq[DataFrame] = constraints.collect {
       case c @ RefIntegrity(n, ref, refCol) =>
-        val keys = broadcast(ref.select(col(refCol).as("__refkey")).distinct()
-          .withColumn("__hit", lit(1)))
+        // the reference key set scales with the referenced table: a forced
+        // broadcast of a 100 TB dimension's keys dies on the driver. Gate
+        // by size (Joins.broadcastIfFits); an oversized key set falls back
+        // to a shuffle join, which the left-join + agg below absorbs.
+        val keys = Joins.broadcastIfFits(
+          ref.select(col(refCol).as("__refkey")).distinct()
+            .withColumn("__hit", lit(1)))
         df.select(col(n)).join(keys, col(n) === col("__refkey"), "left")
           .agg(coalesce(
             sum(when(col(n).isNotNull && col("__hit").isNull, 1L).otherwise(0L)),

@@ -81,7 +81,10 @@ object Relational {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-01-01"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-01-01"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer SCALES with the corpus — size-gate the hint (q27 lesson);
+      // at bench scales the filtered segment still broadcasts
+      .join(graft.operators.Joins.broadcastIfFits(c),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(decToDouble(sum(dec(col("l_extendedprice"))
           * (lit(1) - col("l_discount")).cast(DecimalType(18, 4))))
@@ -120,7 +123,9 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with the corpus — size-gated like q3's customer
+      .join(graft.operators.Joins.broadcastIfFits(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
