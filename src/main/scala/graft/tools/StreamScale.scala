@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-throughput harness: how many events/docs per second do the
+  * structured-streaming surfaces sustain when the input arrives as a
+  * multi-batch stream (maxFilesPerTrigger), not one giant batch?
+  *
+  * The streaming surfaces are parity-spec'd (StreamingSpec) and two run
+  * inside the oracle gate (s_sessionize, s_cdc_apply) — this harness adds
+  * the missing axis: sustained micro-batch THROUGHPUT, the number a
+  * capacity plan starts from. Each surface consumes the full staged corpus
+  * through `nBatches` file-triggered micro-batches into a noop-write
+  * foreachBatch sink (forces full computation of every batch, collects
+  * nothing on the driver), timed end-to-end including state maintenance
+  * across batches (watermark eviction, dedup state, session merges).
+  *
+  * Output: one JSON line
+  *   {"metric":"stream_scale","events_n":…,"docs_n":…,"n_batches":…,
+  *    "surfaces":{name:{"sec":…,"rows_per_s":…,"batches":…}}}
+  *
+  * Usage: runMain graft.tools.StreamScale [srcDir] [nBatches]
+  */
+object StreamScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("target/sf1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, nBatches)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, nBatches: Int): Unit = {
+    val base = "target/streamscale"
+    val evDir = s"$base/events"
+    val docDir = s"$base/docs"
+    // stage each corpus as nBatches files; maxFilesPerTrigger=1 then makes
+    // each file one micro-batch, so every surface pays nBatches rounds of
+    // trigger + state maintenance, not one batch-sized pass
+    graft.Tables.events(spark, src).repartition(nBatches)
+      .write.mode("overwrite").parquet(evDir)
+    graft.Tables.documents(spark, src).repartition(nBatches)
+      .write.mode("overwrite").parquet(docDir)
+    val eventsN = spark.read.parquet(evDir).count()
+    val docsN = spark.read.parquet(docDir).count()
+
+    def eventsStream: DataFrame = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(Streams.eventSchema).parquet(evDir)
+    def docsStream: DataFrame = spark.readStream
+      .option("maxFilesPerTrigger", 1).schema(Streams.documentSchema).parquet(docDir)
+
+    // static reference for the contamination screen: a benchmark-sized
+    // slice of the same corpus (what the registered query does)
+    val bench = spark.read.parquet(docDir).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    bench.count()
+
+    def time(streamed: DataFrame, mode: OutputMode): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val q = streamed.writeStream.outputMode(mode)
+        .option("checkpointLocation",
+          s"$base/ckpt-${System.nanoTime()}")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      ((System.nanoTime() - t0) / 1e9, batches.toLong)
+    }
+
+    val surfaces = Seq[(String, Long, () => (DataFrame, OutputMode))](
+      ("windowed_agg", eventsN,
+        () => (Streams.windowedCounts(eventsStream), OutputMode.Update())),
+      ("dedup", eventsN,
+        () => (Streams.dedupStream(eventsStream), OutputMode.Append())),
+      ("sessionize", eventsN,
+        () => (Streams.sessionCounts(eventsStream), OutputMode.Append())),
+      ("user_state", eventsN,
+        () => ({ implicit val s: SparkSession = spark
+                 Streams.runningUserTotals(eventsStream).toDF() },
+               OutputMode.Update())),
+      ("quality_gate", docsN,
+        () => (Streams.qualityGate(docsStream), OutputMode.Append())),
+      // contaminationStream ends in an unwatermarked aggregation (shared
+      // shingle counts) — Update is its only legal streaming output mode
+      ("contamination", docsN,
+        () => (Streams.contaminationStream(docsStream, bench), OutputMode.Update())),
+      ("neardup_gate", docsN,
+        () => (Streams.crossNearDedupStream(docsStream, bench), OutputMode.Append()))
+    )
+
+    val results = surfaces.map { case (name, rows, mk) =>
+      val (df, mode) = mk()
+      val (sec, batches) = time(df, mode)
+      val rps = (rows / math.max(sec, 1e-9)).round
+      println(s"[streamscale] $name: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
+      s""""$name":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
+    }
+    println(s"""{"metric":"stream_scale","events_n":$eventsN,""" +
+      s""""docs_n":$docsN,"n_batches":$nBatches,""" +
+      s""""surfaces":{${results.mkString(",")}}}""")
+  }
+}
