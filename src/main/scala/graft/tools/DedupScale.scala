@@ -219,6 +219,33 @@ object DedupScale {
       time("semdedup") {
         Dedup.semanticDedup(e, "embedding", "vec_id",
           nCells = 16, threshold = 0.92).count()
+      },
+      // ---- curation family at the same fresh-content scale (r11): the
+      // non-dedup §2e workhorses at their registered-query settings. The
+      // inverted index's df band scales WITH the fan-out ([50,400]·factor):
+      // every original token's df multiplies by `factor` on this corpus
+      // (mutations only append), so the scaled band selects the SAME
+      // underlying mid-frequency vocabulary the registered query indexes —
+      // a fixed band would go empty (everything exits through the top).
+      // Postings lists then grow to maxDf·factor entries: the inherent
+      // cost of indexing the same band of a 100×-bigger corpus.
+      time("tfidf") {
+        graft.operators.Corpus.tfIdfTopK(d, "doc_id", "text", k = 3).count()
+      },
+      time("inverted_index") {
+        graft.operators.Corpus.invertedIndex(d, "doc_id", "text",
+          minDf = 50L * factor, maxDf = 400L * factor).count()
+      },
+      time("token_budget") {
+        import graft.functions.TextFunctions.{qualityScore, tokenCount}
+        val q = d.select(col("doc_id"), qualityScore(col("text")).as("quality"),
+          tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Corpus.selectUnderBudgetFraction(
+          q, "quality", "doc_id", "n_tokens", 1L, 2L).count()
+      },
+      time("heavy_hitters") {
+        graft.operators.Corpus.heavyHitterTokens(d, "text",
+          denom = 200, capacity = 800).count()
       }
     ).flatten
 
