@@ -391,6 +391,54 @@ object Similarity {
       .select(col("corpus_id"), col("cv"), col("cell").cast(IntegerType).as("cell")))
   }
 
+  /** Incremental maintenance of a durable [[ivfWrite]] layout: assign
+    * `newVecs` to the EXISTING centroids and append them into the
+    * cell-partitioned table. This is what makes the index serve a
+    * continuously-growing corpus — a 100 TB index cannot re-train and
+    * re-assign per ingest batch, and it doesn't need to: assignment
+    * depends only on the centroid sidecar, so appended vectors land in
+    * exactly the cells a full rebuild with the same quantizer would put
+    * them in (spec-pinned), and probes see the grown corpus through
+    * [[ivfRead]]'s lazy scan with partition pruning intact. Only the
+    * touched cell directories gain files.
+    *
+    * Idempotent: ids already indexed are anti-joined away first (an
+    * id-column-only scan of the index — parquet column pruning keeps the
+    * vectors on disk), so crash-replayed batches append nothing twice.
+    *
+    * The quantizer itself is deliberately NOT updated — incremental
+    * centroid drift would silently change existing assignments and break
+    * probe/layout consistency. Watch [[ivfCellStats]] per epoch: when new
+    * content concentrates into few cells (population skew growing), the
+    * quantizer is stale — rebuild offline and swap, the same
+    * rebuild-and-swap lifecycle as the training-shard export.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                newVecs: DataFrame, vecCol: String, idCol: String): Long = {
+    val idx = ivfRead(spark, path)
+    val fresh = newVecs
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .join(idx.indexed.select(col("corpus_id")), Seq("corpus_id"), "left_anti")
+      .withColumn("cell", element_at(cellRanking(col("cv"), idx.centroids), 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    fresh.unpersist()
+    n
+  }
+
+  /** Per-cell population of an index — the staleness signal for the
+    * [[ivfAppend]] lifecycle. Probes touch whole cells, so the hottest
+    * cell bounds worst-case probe cost; a growing hottest/median ratio
+    * means arriving content no longer matches the trained quantizer.
+    * One id-column aggregate over the index (vectors stay on disk).
+    */
+  def ivfCellStats(index: IvfIndex): DataFrame =
+    index.indexed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cell"), col("n"))
+
   /** One-shot convenience: build + probe, index discarded afterwards.
     * STRONGLY prefer ivfBuild (once, offline) + ivfQuery (per probe) for any
     * corpus probed more than once — this re-trains the quantizer and

@@ -533,6 +533,30 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a durable IVF ANN index
+    * ([[graft.operators.Similarity.ivfWrite]] layout): each micro-batch of
+    * embedding rows assigns to the index's EXISTING centroids and appends
+    * into the cell-partitioned table
+    * ([[graft.operators.Similarity.ivfAppend]] — idempotent on `idCol`, so
+    * crash-replayed batches add nothing twice). Probes over
+    * [[graft.operators.Similarity.ivfRead]] see each batch as soon as its
+    * append commits; the quantizer never moves mid-stream (assignment
+    * consistency), so drive [[graft.operators.Similarity.ivfCellStats]] on
+    * an epoch cadence and rebuild-and-swap offline when population skew
+    * says the quantizer went stale.
+    */
+  def toIvfAppendSink(streamed: DataFrame, checkpointDir: String,
+                      indexPath: String, vecCol: String, idCol: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.ivfAppend(
+          batch.sparkSession, indexPath, batch.toDF(), vecCol, idCol)
+        ()
+      }
+      .start()
+
   /** Run a streaming query over a static directory synchronously into a
     * memory table and return the result — batch-style harness used by specs
     * and local validation.

@@ -394,6 +394,46 @@ class DedupSpec extends AnyFunSuite {
       s"cell filter should prune index partitions:\n$plan")
   }
 
+  test("ivfAppend grows a durable index rebuild-equivalently and idempotently") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.ivfWrite(Similarity.ivfBuild(e, "embedding", "vec_id",
+      nCentroids = 8, persist = false), dir)
+    val before = Similarity.ivfRead(spark, dir)
+    val nBefore = before.indexed.count()
+    // new ids, jittered content (the ingest-batch shape)
+    val incoming = e.select((col("vec_id") + 7000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0d) + lit(0.002d) * (i % 3)))
+        .cast("array<float>").as("embedding"))
+    assert(Similarity.ivfAppend(spark, dir, incoming, "embedding", "vec_id")
+      == incoming.count())
+    val grown = Similarity.ivfRead(spark, dir)
+    assert(grown.indexed.count() == nBefore + incoming.count())
+    // rebuild-equivalence: every appended vector sits in the cell a full
+    // re-assignment under the SAME centroids puts it in — i.e. appended
+    // rows are indistinguishable from built rows to any probe
+    val appended = grown.indexed.filter(col("corpus_id") >= 7000000L)
+    val wrong = appended.join(incoming.select(
+        col("vec_id").as("corpus_id"), col("embedding")), "corpus_id")
+      .filter(col("cell") =!= element_at(
+        graft.functions.VectorExprs.nearestCells(col("embedding"),
+          grown.centroids), 1))
+      .count()
+    assert(wrong == 0, s"$wrong appended vectors mis-assigned")
+    // a probe finds an appended near-duplicate through the grown index
+    val probe = incoming.filter(col("vec_id") === 7000000L)
+    val hits = Similarity.ivfQuery(grown, probe, "embedding", "vec_id",
+      k = 3, nProbe = 2).select("corpus_id").as[Long].collect().toSet
+    assert(hits.contains(0L), s"probe should surface the jitter-parent: $hits")
+    // idempotence: replaying the same batch appends nothing
+    assert(Similarity.ivfAppend(spark, dir, incoming, "embedding", "vec_id") == 0L)
+    assert(Similarity.ivfRead(spark, dir).indexed.count() == nBefore + incoming.count())
+    // cell stats cover the grown corpus exactly
+    val stats = Similarity.ivfCellStats(grown)
+    assert(stats.agg(sum(col("n"))).as[Long].head() == nBefore + incoming.count())
+  }
+
   test("langId is deterministic and covers zh heuristic") {
     val r = Seq("the cat is on the mat and it is fine",
       "der hund ist nicht auf der matte und das ist gut",

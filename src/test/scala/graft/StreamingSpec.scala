@@ -400,6 +400,43 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch rows must stage exactly once")
   }
 
+  test("toIvfAppendSink grows a durable ANN index across micro-batches (r11)") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("ivf_sink").toString + "/idx"
+    graft.operators.Similarity.ivfWrite(
+      graft.operators.Similarity.ivfBuild(e, "embedding", "vec_id",
+        nCentroids = 4, persist = false), idxDir)
+    val nBase = e.count()
+    val in = Files.createTempDirectory("ivf_in").toString
+    val ckpt = Files.createTempDirectory("ivf_ckpt").toString
+    val incoming = e.select((col("vec_id") + 8000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x * (lit(1.0d) + lit(0.002d) * (i % 3)))
+        .cast("array<float>").as("embedding"))
+    // two micro-batches, the second replaying half of the first (the
+    // crash-recovery shape the append must absorb)
+    incoming.filter(col("vec_id") % 2 === 0).write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toIvfAppendSink(stream, ckpt, idxDir, "embedding", "vec_id")
+    q1.processAllAvailable(); q1.stop()
+    incoming.write.mode("append").parquet(in) // replays evens + adds odds
+    val q2 = Streams.toIvfAppendSink(stream, ckpt, idxDir, "embedding", "vec_id")
+    q2.processAllAvailable(); q2.stop()
+    val grown = graft.operators.Similarity.ivfRead(spark, idxDir)
+    assert(grown.indexed.count() == nBase + incoming.count(),
+      "each incoming id must be indexed exactly once across batches")
+    // the grown index serves: a probe finds an appended vector's parent
+    val probe = incoming.filter(col("vec_id") === 8000001L)
+    if (probe.count() > 0) {
+      val hits = graft.operators.Similarity.ivfQuery(grown, probe,
+        "embedding", "vec_id", k = 3, nProbe = 2)
+        .select("corpus_id").as[Long].collect().toSet
+      assert(hits.contains(1L), s"grown index must serve appended content: $hits")
+    }
+  }
+
   test("toUpsertSink restores a staged-aside table after a mid-swap crash") {
     // regression (r8 review): the swap is dir -> .old, tmp -> dir, delete
     // .old. A crash between the renames leaves .old as the ONLY copy of
