@@ -799,6 +799,39 @@ object DocumentQueries {
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
+  // d_ann_append: the GROWING-corpus serving path — the durable index is
+  // written from the NATURAL corpus alone, and the margin fixture's
+  // planted copies arrive through ivfAppend (the ingest path) instead of
+  // the build. Hash-equality against the SAME margin oracle as d_ann_ivf
+  // proves appended rows are indistinguishable from built rows to a
+  // probe: assignment depends only on the centroid sidecar, so an
+  // appended copy lands in its source query's first-probe cell exactly
+  // as a built row would. The append runs once per (JVM, dir) — its
+  // idempotence means a re-run appends nothing, which the batch spec
+  // pins separately.
+  private val ivfAppendPathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfAppendPath(spark: SparkSession, dir: String): String =
+    ivfAppendPathCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfappend")
+      // the NATURAL index (no planted rows), persisted to the durable layout
+      Similarity.ivfWrite(ivfIndex(spark, dir), tmp.toString)
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      Similarity.ivfAppend(spark, tmp.toString,
+        annPlanted(e).filter(col("vec_id") >= 100000L), "embedding", "vec_id")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      tmp.toString
+    })
+
+  private def dAnnAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfQuery(Similarity.ivfRead(spark, ivfAppendPath(spark, dir)),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
   // -------------------------------------------------------- d_fingerprint
   // md5-based winnowing bottom-k (TextFunctions.fingerprintHex) so DuckDB
   // can replay the digests bit-for-bit — the xxhash64 fused variant
@@ -1280,6 +1313,7 @@ object DocumentQueries {
     QueryDef("d_ann_ivfpq", dAnnIvfPq, Some(annMarginSql)),
     QueryDef("d_ann_ivf", dAnnIvf, Some(annMarginSql)),
     QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
+    QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
