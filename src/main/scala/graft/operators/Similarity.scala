@@ -287,6 +287,66 @@ object Similarity {
     cs.map(_.toSeq).toSeq
   }
 
+  /** [[ivfBuild]] with the Lloyd refinement run DISTRIBUTED — the ≥100M-
+    * vector regime where the driver-side trainer's sample cap (and its
+    * ~256-cell practical ceiling) no longer matches the corpus: a corpus
+    * that large wants thousands of cells, and the refinement should see
+    * ALL vectors, not a 25.6k sample. Init stays driver-side k-means++
+    * over a bounded sample (init is sample-based by definition); each
+    * Lloyd iteration is then one codegen'd nearest-cell assignment pass +
+    * one elementwise-mean aggregation over the full corpus (posexplode →
+    * groupBy(cell, dim) — k·dim rows back to the driver, bounded by
+    * construction). Empty cells keep their centroid, as in the driver
+    * trainer.
+    *
+    * Reproducibility note: distributed float summation is not
+    * addition-order-stable across runs, so centroids can differ at ulp
+    * scale between builds (the driver trainer is bit-deterministic). The
+    * written index ([[ivfWrite]]) is the reproducibility anchor either
+    * way — build once, serve/append against the artifact.
+    */
+  def ivfBuildDistributed(corpus: DataFrame, vecCol: String, idCol: String,
+                          nCentroids: Int, iters: Int = 3,
+                          persist: Boolean = true): IvfIndex = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val n = math.max(c.count(), 1L)
+    val initTarget = math.min(nCentroids * 20L, 200000L)
+    val frac = math.min(1.0, initTarget.toDouble * 1.2 / n)
+    val sample = c.sample(withReplacement = false, frac, seed = 42L)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // k-means++ seeding only — 0 driver Lloyd iterations; refinement is
+    // the distributed loop below
+    var centroids = kmeansFit(sample, nCentroids, iters = 0, seed = 42L)
+    for (_ <- 1 to iters) {
+      val assigned = c.withColumn("cell",
+        element_at(cellRanking(col("cv"), centroids), 1))
+      // elementwise sums per cell: k·dim rows cross the wire, nothing else
+      val stats = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val dim = centroids.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      stats.foreach { r =>
+        val cell = r.getInt(0); val pos = r.getInt(1)
+        sums(cell)(pos) = r.getDouble(2)
+        counts(cell) = r.getLong(3)
+      }
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        else sums(j).map(_ / counts(j)).toSeq
+      }
+    }
+    val assigned = c.withColumn("cell",
+      element_at(cellRanking(col("cv"), centroids), 1))
+    val indexed =
+      if (persist) assigned.persist(StorageLevel.MEMORY_AND_DISK) else assigned
+    IvfIndex(centroids, indexed)
+  }
+
   /** Offline index build: train a coarse quantizer on a bounded subsample
     * (a `sample()`, not a `limit()` — limit funnels rows to one partition;
     * the collected sample is ≤ ~1.2×trainTarget rows by construction), then

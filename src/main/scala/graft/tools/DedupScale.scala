@@ -74,13 +74,21 @@ object DedupScale {
     embs.repartition(64).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     val e = spark.read.parquet(s"$base/embeddings.parquet")
     val n = e.count()
-    val nCells = math.max(16, math.min(256, math.sqrt(n.toDouble).toInt))
+    // sqrt(n) cells, uncapped to 1024 since r11's distributed trainer:
+    // past the 256-cell driver-kmeans ceiling the Lloyd refinement runs
+    // as full-corpus assignment + elementwise-mean passes instead
+    val nCells = math.max(16, math.min(1024, math.sqrt(n.toDouble).toInt))
+    val distributed = nCells > 256
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val (idx, buildSec) = timed {
-      val i = Similarity.ivfBuild(e, "embedding", "vec_id",
-        nCentroids = nCells, trainTarget = nCells * 100)
+      val i =
+        if (distributed)
+          Similarity.ivfBuildDistributed(e, "embedding", "vec_id",
+            nCentroids = nCells, iters = 3)
+        else Similarity.ivfBuild(e, "embedding", "vec_id",
+          nCentroids = nCells, trainTarget = nCells * 100)
       i.indexed.count() // materialize the persisted cell assignment
       i
     }
@@ -124,7 +132,7 @@ object DedupScale {
     }.mkString(",")
     println(s"""{"metric":"ann_scale","n_vecs":$n,"factor":$factor,""" +
       s""""n_queries":$nQ,"n_cells":$nCells,""" +
-      s""""n_cells_capped":${nCells == 256},""" +
+      s""""n_cells_capped":${nCells == 1024},"trainer":"${if (distributed) "distributed" else "driver"}",""" +
       s""""build_sec":${f"$buildSec%.3f"},"pq_train_sec":${f"$pqSec%.3f"},""" +
       s""""cell_max":$cellMax,"cell_p50":$cellP50,""" +
       s""""brute_sec":${f"$bruteSec%.3f"},"probes":{$pj}}""")

@@ -394,6 +394,31 @@ class DedupSpec extends AnyFunSuite {
       s"cell filter should prune index partitions:\n$plan")
   }
 
+  test("ivfBuildDistributed trains on the cluster and probes brute-equal on the margin fixture") {
+    // the >=100M-vector regime: init stays a sampled k-means++, Lloyd
+    // refinement runs as assignment + elementwise-mean passes over the
+    // FULL corpus. A planted copy's cell is its query's first probe under
+    // ANY centroids (identical vectors rank cells identically), so the
+    // margin-fixture probe must equal brute force exactly — the same
+    // promotion argument as d_ann_ivf, now for the distributed trainer.
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val corpus = graft.queries.DocumentQueries.annPlanted(e)
+    val idx = Similarity.ivfBuildDistributed(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 2, persist = false)
+    assert(idx.centroids.length == 8)
+    val q = e.filter(col("vec_id") < 5)
+    val probe = Similarity.ivfQuery(idx, q, "embedding", "vec_id", k = 10, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(probe == brute, "distributed-trained probe must equal brute force on the margin fixture")
+    // the refinement moved the centroids off their k-means++ seeds
+    val seededOnly = Similarity.ivfBuildDistributed(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 0, persist = false)
+    assert(idx.centroids != seededOnly.centroids,
+      "Lloyd iterations must refine the seeded centroids")
+  }
+
   test("ivfAppend grows a durable index rebuild-equivalently and idempotently") {
     val e = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
