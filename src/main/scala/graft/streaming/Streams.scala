@@ -250,14 +250,35 @@ object Streams {
                            textCol: String = "text", shingleK: Int = 3,
                            nHashes: Int = 64, bands: Int = 16,
                            expectedBandKeys: Long = 1000000L,
-                           fpp: Double = 0.000001): DataFrame = {
+                           fpp: Double = 0.000001,
+                           maxBloomBytes: Long = 256L << 20): DataFrame = {
     import graft.operators.Dedup
+    // a false positive here DROPS a novel document, so the filter's sizing
+    // is correctness-adjacent in both directions: an expectedBandKeys far
+    // above reality requests a driver-killing filter (the bits are
+    // allocated from the PARAMETER — reject upfront), and a reference that
+    // has outgrown expectedBandKeys saturates the bits and silently
+    // inflates the false-drop rate (caught below from the built filter's
+    // bit saturation, no extra pass over the reference).
+    require(expectedBandKeys > 0,
+      s"crossNearDedupStream: expectedBandKeys must be positive, got $expectedBandKeys")
+    val requestedBits =
+      math.ceil(-expectedBandKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(requestedBits / 8 <= maxBloomBytes,
+      s"crossNearDedupStream: a $expectedBandKeys-key filter at fpp=$fpp needs " +
+        s"${requestedBits / 8 >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB " +
+        "— shard the reference gate or raise the bound explicitly")
     // two-step selects so the signature computes once per row (CollapseProject
     // leaves the non-cheap alias alone), not once per band expression
     val refKeys = reference
       .select(Dedup.signatureColumn(col(textCol), shingleK, nHashes).as("__sig"))
       .select(explode(Dedup.bandKeysFromSig(col("__sig"), nHashes, bands)).as("__k"))
     val bf = refKeys.stat.bloomFilter("__k", expectedBandKeys, fpp)
+    val realizedFpp = bf.expectedFpp()
+    require(realizedFpp <= math.max(fpp * 8, 1e-4),
+      f"crossNearDedupStream: the reference outgrew expectedBandKeys=$expectedBandKeys " +
+        f"(realized fpp $realizedFpp%.2e vs requested $fpp%.2e) — novel documents " +
+        "would silently drop at this rate; raise expectedBandKeys")
     val handle = reference.sparkSession.sparkContext.broadcast(bf)
     docs
       .withColumn("__sig", Dedup.signatureColumn(col(textCol), shingleK, nHashes))

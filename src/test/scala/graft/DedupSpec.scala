@@ -207,6 +207,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("crossNearDedupStream bloom sizing rejects both failure directions (r11)") {
+    val ref = Tables.documents(spark, sf)
+    val docs = ref.limit(10)
+    // over-sized request: the bits allocate from the PARAMETER — a
+    // 10^12-key filter at 1e-6 fpp is a ~3.5 TB driver allocation
+    val big = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.crossNearDedupStream(docs, ref,
+        expectedBandKeys = 1000000000000L)
+    }
+    assert(big.getMessage.contains("maxBloomBytes"))
+    // under-sized: a reference that outgrew expectedBandKeys saturates the
+    // bits — every novel document would silently drop at the realized
+    // false-positive rate, so the gate must refuse instead
+    val small = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.crossNearDedupStream(docs, ref,
+        expectedBandKeys = 2L)
+    }
+    assert(small.getMessage.contains("outgrew"))
+  }
+
   test("components converges on a long path within the iteration budget") {
     import spark.implicits._
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
