@@ -31,7 +31,21 @@ object BloomJoin {
     */
   def prefilter(probe: DataFrame, probeKey: String,
                 build: DataFrame, buildKey: String,
-                expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+                expectedKeys: Long, fpp: Double = 0.01,
+                maxBloomBytes: Long = 256L << 20): DataFrame = {
+    // the bits allocate from the PARAMETER: an oversized expectedKeys is a
+    // driver-killing allocation regardless of the build side's real size —
+    // reject upfront (same gate as the streaming near-dup filter). Under-
+    // sizing here is perf-only (the join removes false positives), so it
+    // needs no saturation check.
+    require(expectedKeys > 0,
+      s"BloomJoin: expectedKeys must be positive, got $expectedKeys")
+    val bits =
+      math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    require(bits / 8 <= maxBloomBytes,
+      s"BloomJoin: a $expectedKeys-key filter at fpp=$fpp needs " +
+        s"${bits / 8 >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB — " +
+        "raise the bound explicitly or skip the prefilter")
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val handle = probe.sparkSession.sparkContext.broadcast(bf)
     probe.filter(BloomExpr.mightContain(col(probeKey), handle))

@@ -42,6 +42,13 @@ class ScaleSpec extends AnyFunSuite {
           .findFirstIn(plan).isDefined
       assert(underExchange, s"bloom filter not below the probe exchange:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // r11: the bits allocate from the parameter — an oversized request is
+    // a driver-killing allocation and must reject upfront
+    val oversized = intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(probe, "l_orderkey", build, "o_orderkey",
+        expectedKeys = 1000000000000L, fpp = 0.000001)
+    }
+    assert(oversized.getMessage.contains("maxBloomBytes"))
   }
 
   test("overwritePartitions replaces only the partitions present in the batch") {
