@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions.col
   */
 object BloomJoin {
 
+  /** Bytes an optimally-sized Bloom filter needs for `expectedKeys` at
+    * `fpp` — bits = ceil(−n·ln(fpp)/ln²2). Shared by every pre-allocation
+    * gate (this join's and the streaming near-dup filter's) so the sizing
+    * math cannot drift between them.
+    */
+  private[graft] def requiredBloomBytes(expectedKeys: Long, fpp: Double): Long =
+    math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2)))
+      .toLong / 8
+
   /** Rows of `probe` whose `probeKey` might appear in `build`'s `buildKey`
     * (exactly all matching rows, plus ~`fpp` of the rest). The filter build
     * is one distributed aggregate over `build`; the probe filter is a
@@ -40,11 +49,10 @@ object BloomJoin {
     // needs no saturation check.
     require(expectedKeys > 0,
       s"BloomJoin: expectedKeys must be positive, got $expectedKeys")
-    val bits =
-      math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    require(bits / 8 <= maxBloomBytes,
+    val needed = requiredBloomBytes(expectedKeys, fpp)
+    require(needed <= maxBloomBytes,
       s"BloomJoin: a $expectedKeys-key filter at fpp=$fpp needs " +
-        s"${bits / 8 >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB — " +
+        s"${needed >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB — " +
         "raise the bound explicitly or skip the prefilter")
     val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val handle = probe.sparkSession.sparkContext.broadcast(bf)

@@ -25,6 +25,17 @@ object Joins {
     * salt-replicated 15M-row dimension). Every forced hint in this library
     * whose side is not structurally bounded (fixed dimension tables,
     * per-partition offset rows, k-row codebooks) routes through this gate.
+    *
+    * LIMITATION (review-caught): the Catalyst size estimate is only
+    * meaningful for scan- or filter-topped plans, where it errs
+    * CONSERVATIVE (a filter keeps its child's size with CBO off, so the
+    * gate at worst withholds a hint the planner could still apply). An
+    * Aggregate/Distinct-topped side's estimate is child-scaled — ≈ the
+    * full input scan size regardless of group count — so gating such a
+    * side here would withhold the hint exactly when the input is large
+    * even for a 5-group aggregate. Sides like that gate on CARDINALITY
+    * instead (one column-pruned approx_count_distinct pass — see
+    * Profiling.outliersBySigma and Validators' RefIntegrity).
     */
   def broadcastIfFits(df: DataFrame,
                       maxBytes: Long = DefaultMaxBroadcastBytes): DataFrame =

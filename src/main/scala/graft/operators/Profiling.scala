@@ -206,10 +206,17 @@ object Profiling {
     val dd = (col("__n") * col("__s2") - col("__s") * col("__s"))
       .cast(DecimalType(34, 4))
     // one moments row per group: broadcast-shaped for the usual low-card
-    // groupCol, but a high-cardinality groupCol scales it with the data —
-    // size-gate the hint (a shuffle join on the group key is the right
-    // plan there anyway)
-    df.join(Joins.broadcastIfFits(moments), groupCol)
+    // groupCol, but a high-cardinality groupCol scales it with the data.
+    // Gate on GROUP CARDINALITY, not the Catalyst size estimate: an
+    // Aggregate's estimate is child-scaled (≈ the full scan size, verified
+    // against Spark's SizeInBytesOnlyStatsPlanVisitor), so a size-gated
+    // hint would be withheld exactly when df is LARGE even for a 5-value
+    // groupCol — and the planner, seeing the same estimate, would then
+    // sort-merge-join the whole table onto a handful of keys. One
+    // column-pruned approx-distinct pass decides instead.
+    val nGroups = df.agg(approx_count_distinct(col(groupCol))).head.getLong(0)
+    val right = if (nGroups <= 1000000L) broadcast(moments) else moments
+    df.join(right, groupCol)
       .filter(d1 * d1 * lit(mDen * mDen).cast(DecimalType(4, 0)) >
         dd * lit(mNum * mNum).cast(DecimalType(4, 0)))
       .drop("__n", "__s", "__s2")

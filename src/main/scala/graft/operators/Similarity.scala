@@ -462,9 +462,14 @@ object Similarity {
     * [[ivfRead]]'s lazy scan with partition pruning intact. Only the
     * touched cell directories gain files.
     *
-    * Idempotent: ids already indexed are anti-joined away first (an
-    * id-column-only scan of the index — parquet column pruning keeps the
-    * vectors on disk), so crash-replayed batches append nothing twice.
+    * Idempotent (default): ids already indexed are anti-joined away first.
+    * COST: that anti-join is an id-column-only scan of the whole index per
+    * call (parquet column pruning keeps the vectors on disk, so it reads
+    * the ~1% id slice — but it is still O(index) per batch, quadratic over
+    * a long stream's life). Size append batches accordingly (epoch
+    * cadence, not per-second micro-batches), or pass `dedupIds = false`
+    * when the upstream already delivers exactly-once ids and take the
+    * append as pure O(batch).
     *
     * The quantizer itself is deliberately NOT updated — incremental
     * centroid drift would silently change existing assignments and break
@@ -474,11 +479,28 @@ object Similarity {
     * rebuild-and-swap lifecycle as the training-shard export.
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
-                newVecs: DataFrame, vecCol: String, idCol: String): Long = {
+                newVecs: DataFrame, vecCol: String, idCol: String,
+                dedupIds: Boolean = true): Long = {
     val idx = ivfRead(spark, path)
-    val fresh = newVecs
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .join(idx.indexed.select(col("corpus_id")), Seq("corpus_id"), "left_anti")
+    // cast incoming vectors to the INDEX's element layout (review-caught):
+    // an array<double> column — Spark's default for computed arrays — fed
+    // raw into the float-reading assignment expression yields garbage
+    // distances AND durably appends a schema-incompatible column into the
+    // cells table, breaking every later read. Non-castable types fail
+    // analysis loudly here instead.
+    val cvType = idx.indexed.schema("cv").dataType
+    require(newVecs.schema(vecCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"ivfAppend: $vecCol must be an array vector column, got " +
+        newVecs.schema(vecCol).dataType.simpleString)
+    val incoming = newVecs
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast(cvType).as("cv"))
+    val novel =
+      if (dedupIds)
+        incoming.join(idx.indexed.select(col("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+      else incoming
+    val fresh = novel
       .withColumn("cell", element_at(cellRanking(col("cv"), idx.centroids), 1))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = fresh.count()

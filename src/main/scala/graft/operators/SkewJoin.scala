@@ -41,10 +41,17 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     // the explicit × saltFactor: Catalyst's Generate stats don't reliably
     // account for the replication, so the gate scales the UNREPLICATED
-    // side's estimate itself (see Joins.broadcastIfFits for the rationale)
+    // side's estimate itself (see Joins.broadcastIfFits for the rationale).
+    // The non-broadcast paths carry an explicit merge hint: withholding
+    // OUR hint is not enough, because the planner's own auto-threshold
+    // sees the Generate estimate — which ignores the replication — and
+    // would broadcast the oversized side anyway. AQE may still convert to
+    // a broadcast at runtime, but only from the REALIZED shuffle bytes of
+    // the replicated side, which is exactly when broadcasting is safe.
     val fits = small.queryExecution.optimizedPlan.stats.sizeInBytes *
       saltFactor <= maxBroadcastBytes
-    val right = if (broadcastSmall && fits) broadcast(salts) else salts
+    val right =
+      if (broadcastSmall && fits) broadcast(salts) else salts.hint("merge")
     saltedBig.join(right,
         saltedBig(bigKey) === right(smallKey) && saltedBig("__salt") === right("__salt"))
       .drop("__salt")

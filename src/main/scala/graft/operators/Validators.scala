@@ -122,11 +122,15 @@ object Validators {
       case c @ RefIntegrity(n, ref, refCol) =>
         // the reference key set scales with the referenced table: a forced
         // broadcast of a 100 TB dimension's keys dies on the driver. Gate
-        // by size (Joins.broadcastIfFits); an oversized key set falls back
-        // to a shuffle join, which the left-join + agg below absorbs.
-        val keys = Joins.broadcastIfFits(
-          ref.select(col(refCol).as("__refkey")).distinct()
-            .withColumn("__hit", lit(1)))
+        // on KEY CARDINALITY (one column-pruned approx-distinct pass) —
+        // not the Catalyst size estimate, which for a Distinct over a big
+        // table is child-scaled and would withhold the hint even for a
+        // 25-key dimension. An oversized key set falls back to a shuffle
+        // join, which the left-join + agg below absorbs.
+        val nKeys = ref.agg(approx_count_distinct(col(refCol))).head.getLong(0)
+        val keyDf = ref.select(col(refCol).as("__refkey")).distinct()
+          .withColumn("__hit", lit(1))
+        val keys = if (nKeys <= 1000000L) broadcast(keyDf) else keyDf
         df.select(col(n)).join(keys, col(n) === col("__refkey"), "left")
           .agg(coalesce(
             sum(when(col(n).isNotNull && col("__hit").isNull, 1L).otherwise(0L)),

@@ -262,11 +262,11 @@ object Streams {
     // bit saturation, no extra pass over the reference).
     require(expectedBandKeys > 0,
       s"crossNearDedupStream: expectedBandKeys must be positive, got $expectedBandKeys")
-    val requestedBits =
-      math.ceil(-expectedBandKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    require(requestedBits / 8 <= maxBloomBytes,
+    val neededBytes =
+      graft.operators.BloomJoin.requiredBloomBytes(expectedBandKeys, fpp)
+    require(neededBytes <= maxBloomBytes,
       s"crossNearDedupStream: a $expectedBandKeys-key filter at fpp=$fpp needs " +
-        s"${requestedBits / 8 >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB " +
+        s"${neededBytes >> 20} MB > maxBloomBytes=${maxBloomBytes >> 20} MB " +
         "— shard the reference gate or raise the bound explicitly")
     // two-step selects so the signature computes once per row (CollapseProject
     // leaves the non-cheap alias alone), not once per band expression
@@ -558,8 +558,11 @@ object Streams {
     * ([[graft.operators.Similarity.ivfWrite]] layout): each micro-batch of
     * embedding rows assigns to the index's EXISTING centroids and appends
     * into the cell-partitioned table
-    * ([[graft.operators.Similarity.ivfAppend]] — idempotent on `idCol`, so
-    * crash-replayed batches add nothing twice). Probes over
+    * ([[graft.operators.Similarity.ivfAppend]] — idempotent on `idCol` by
+    * default, so crash-replayed batches add nothing twice; that id
+    * anti-join costs an id-column scan of the index PER TRIGGER, so size
+    * triggers at epoch cadence or pass `dedupIds = false` for
+    * exactly-once upstreams — see ivfAppend's cost note). Probes over
     * [[graft.operators.Similarity.ivfRead]] see each batch as soon as its
     * append commits; the quantizer never moves mid-stream (assignment
     * consistency), so drive [[graft.operators.Similarity.ivfCellStats]] on
@@ -567,13 +570,15 @@ object Streams {
     * says the quantizer went stale.
     */
   def toIvfAppendSink(streamed: DataFrame, checkpointDir: String,
-                      indexPath: String, vecCol: String, idCol: String)
+                      indexPath: String, vecCol: String, idCol: String,
+                      dedupIds: Boolean = true)
   : org.apache.spark.sql.streaming.StreamingQuery =
     streamed.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Similarity.ivfAppend(
-          batch.sparkSession, indexPath, batch.toDF(), vecCol, idCol)
+          batch.sparkSession, indexPath, batch.toDF(), vecCol, idCol,
+          dedupIds = dedupIds)
         ()
       }
       .start()

@@ -64,17 +64,22 @@ object StreamScale {
 
     def time(streamed: DataFrame, mode: OutputMode): (Double, Long) = {
       val t0 = System.nanoTime()
+      // count triggers in the callback, NOT via recentProgress — that is a
+      // ring buffer (default 100 entries), so nBatches above ~100 would
+      // silently under-report the harness's own every-file-is-a-trigger
+      // sanity signal
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
       val q = streamed.writeStream.outputMode(mode)
         .option("checkpointLocation",
           s"$base/ckpt-${System.nanoTime()}")
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.incrementAndGet()
           b.write.format("noop").mode("overwrite").save()
         }
         .start()
       q.processAllAvailable()
-      val batches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
-      ((System.nanoTime() - t0) / 1e9, batches.toLong)
+      ((System.nanoTime() - t0) / 1e9, batches.get())
     }
 
     val surfaces = Seq[(String, Long, () => (DataFrame, OutputMode))](

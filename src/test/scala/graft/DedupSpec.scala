@@ -477,6 +477,23 @@ class DedupSpec extends AnyFunSuite {
     // cell stats cover the grown corpus exactly
     val stats = Similarity.ivfCellStats(grown)
     assert(stats.agg(sum(col("n"))).as[Long].head() == nBefore + incoming.count())
+    // review-caught: array<double> input (Spark's default for computed
+    // arrays) must CAST to the index's float layout — fed raw it reads
+    // garbage in the float assignment expression AND durably corrupts the
+    // cells table's schema. Identical values under a double type must land
+    // in the same cell as their float twin.
+    val dblRow = e.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 7500000L).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    assert(dblRow.schema("embedding").dataType.simpleString == "array<double>")
+    assert(Similarity.ivfAppend(spark, dir, dblRow, "embedding", "vec_id") == 1L)
+    val after = Similarity.ivfRead(spark, dir)
+    val gotCell = after.indexed.filter(col("corpus_id") === 7500003L)
+      .select("cell").as[Int].head()
+    val parentCell = after.indexed.filter(col("corpus_id") === 3L)
+      .select("cell").as[Int].head()
+    assert(gotCell == parentCell,
+      "a value-identical double-typed vector must assign to its float twin's cell")
   }
 
   test("langId is deterministic and covers zh heuristic") {

@@ -501,20 +501,17 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("l_quantity") >= 45.0)
       .select("l_orderkey", "l_linenumber", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
-    // silence the planner's OWN size-based broadcast (fine at this scale,
-    // absent at the scale the fallback exists for) so any BroadcastHashJoin
-    // left in the plan could only come from the operator's forced hint
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val forced = SkewJoin.salted(li, o, "l_orderkey", "o_orderkey",
-        saltFactor = 4, maxBroadcastBytes = 1L)
-      val plan = forced.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"a 1-byte cap must force the shuffle path:\n$plan")
-      val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
-      assert(forced.count() == expected)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // NO threshold override: the refused path must defeat the planner's
+    // OWN auto-broadcast too (the Generate estimate ignores the salt
+    // replication, so at default settings the planner would broadcast the
+    // oversized side the gate just refused — the review-caught hole)
+    val forced = SkewJoin.salted(li, o, "l_orderkey", "o_orderkey",
+      saltFactor = 4, maxBroadcastBytes = 1L)
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"a 1-byte cap must force the shuffle path even at default auto-threshold:\n$plan")
+    val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    assert(forced.count() == expected)
   }
 
   test("q41's JDBC scan is range-partitioned for parallel pull (4 tasks)") {
