@@ -35,33 +35,53 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // optional comma-separated subset (quiet A-B reruns of a few queries
+    // without paying the full 120-query sweep). Read BEFORE the prebuilds:
+    // a subset run with no consumer of an index/label artifact must not
+    // pay its derivation nor emit an unrelated *_build line item
+    // (Verify gates its prebuild the same way).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def anyPicked(consumers: Set[String]): Boolean =
+      only.forall(_.exists(consumers))
     // Index construction is an offline step (a cell-partitioned table at
     // cluster scale); prebuild it so d_ann_ivf times the probe, not the
     // build — but report the build as its own timed line item so the total
     // still reflects ALL work performed.
-    val tBuild0 = System.nanoTime()
-    try {
-      val idx = graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
-      idx.indexed.count() // materialize the persisted cell assignment
-      // the margin-fixture index the oracle-checked d_ann_ivf probes
-      val idxP = graft.queries.DocumentQueries.ivfIndexPlanted(spark, sfDir)
-      idxP.indexed.count()
-    } catch { case _: Throwable => () }
-    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+    val ivfConsumers =
+      Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append")
+    val buildSec: Option[Double] = if (!anyPicked(ivfConsumers)) None else {
+      val tBuild0 = System.nanoTime()
+      try {
+        val idx = graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
+        idx.indexed.count() // materialize the persisted cell assignment
+        // the margin-fixture index the oracle-checked d_ann_ivf probes
+        val idxP = graft.queries.DocumentQueries.ivfIndexPlanted(spark, sfDir)
+        idxP.indexed.count()
+      } catch { case _: Throwable => () }
+      Some((System.nanoTime() - tBuild0) / 1e9)
+    }
     // Same offline/online split for the PQ codebooks: train once here,
     // reported as its own line item, so d_ann_pq times encode+probe.
-    val tPq0 = System.nanoTime()
-    try graft.queries.DocumentQueries.pqBooks(spark, sfDir)
-    catch { case _: Throwable => () }
-    val pqBuildSec = (System.nanoTime() - tPq0) / 1e9
+    val pqConsumers = Set("d_ann_pq", "d_ann_ivfpq")
+    val pqBuildSec: Option[Double] = if (!anyPicked(pqConsumers)) None else {
+      val tPq0 = System.nanoTime()
+      try graft.queries.DocumentQueries.pqBooks(spark, sfDir)
+      catch { case _: Throwable => () }
+      Some((System.nanoTime() - tPq0) / 1e9)
+    }
     // And for the dedup-apply family's shared cluster labels (r11): the CC
     // loop derives once, its consumers (d_dedup_cluster / apply /
     // keep_best) time what a pipeline times — label CONSUMPTION. Reported
     // as its own line item below so the total still carries the build.
-    val tCc0 = System.nanoTime()
-    try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val ccBuildSec = (System.nanoTime() - tCc0) / 1e9
+    val labelConsumers =
+      Set("d_dedup_cluster", "d_dedup_apply", "d_dedup_keep_best")
+    val ccBuildSec: Option[Double] = if (!anyPicked(labelConsumers)) None else {
+      val tCc0 = System.nanoTime()
+      try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      Some((System.nanoTime() - tCc0) / 1e9)
+    }
     // Several operators (connected components, vancode, the embedding
     // index) pin localCheckpoint blocks that outlive their query; across
     // 80 queries × (warmup + timed) the leaked blocks grow old-gen
@@ -77,10 +97,6 @@ object Bench {
     // measures steady-state execution, not whichever alphabetically-first
     // queries happen to absorb JIT/codegen warmup (disable with
     // SPARK_GRAFT_WARMUP=0 to measure cold).
-    // optional comma-separated subset (quiet A-B reruns of a few queries
-    // without paying the full 120-query sweep)
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
@@ -131,10 +147,10 @@ object Bench {
       repWalls(name) = runs.map(_._1)
       // min wall; CPU from the min-wall run (the least-contended sample)
       name -> runs.minBy(_._1)
-    }.toMap +
-      ("d_ann_ivf_build" -> (buildSec, Double.NaN)) +
-      ("d_ann_pq_build" -> (pqBuildSec, Double.NaN)) +
-      ("d_cluster_labels_build" -> (ccBuildSec, Double.NaN))
+    }.toMap ++
+      buildSec.map(s => "d_ann_ivf_build" -> (s, Double.NaN)) ++
+      pqBuildSec.map(s => "d_ann_pq_build" -> (s, Double.NaN)) ++
+      ccBuildSec.map(s => "d_cluster_labels_build" -> (s, Double.NaN))
     val results = timed.map { case (k, (w, _)) => k -> w }
     val cpuResults = timed.collect { case (k, (_, c)) if !c.isNaN => k -> c }
     // The driver captures only the tail of stdout, and a single line carrying

@@ -125,8 +125,24 @@ object Corpus {
   /** p = 2^61 − 1 (a Mersenne prime): the field [[deterministicShuffle]]
     * permutes in. Mersenne form is what makes the split-multiply cheap:
     * x mod p folds as (x >> 61) + (x & p).
+    *
+    * PERMUTATION-SCHEME VERSION (layout note for shard consumers): this is
+    * scheme v2. v1 (rounds ≤10) permuted in the 2^31−1 field with a plain
+    * multiplier; widening the field, the golden-ratio base multiplier, and
+    * the ≥2^59 re-mix loop each change the permutation for EVERY seed, so
+    * shard exports and other persisted artifacts produced under v1 do not
+    * reproduce byte-identically under v2 with the same (corpus, seed,
+    * nShards) — regenerate, don't mix. [[ShuffleSchemeVersion]] is the
+    * machine-readable tag; writeShuffledShards stamps it into each export's
+    * `_graft_shuffle_scheme` marker file so a reader can tell which scheme
+    * produced a layout.
     */
   val ShufflePrime: Long = (1L << 61) - 1
+
+  /** See [[ShufflePrime]]'s version note. Bump whenever the permutation
+    * for a fixed (corpus, seed, nShards) changes.
+    */
+  val ShuffleSchemeVersion: Int = 2
 
   /** x·a mod (2^61−1) in exact long arithmetic, a ∈ [0, p), x a
     * non-negative column < p. Both operands split into 31/30-bit limbs

@@ -194,7 +194,8 @@ object Profiling {
     * one broadcast join.
     */
   def outliersBySigma(df: DataFrame, valueCol: String, groupCol: String,
-                      mNum: Int, mDen: Int): DataFrame = {
+                      mNum: Int, mDen: Int,
+                      knownGroups: Option[Long] = None): DataFrame = {
     val x = col(valueCol)
     val moments = df.groupBy(col(groupCol)).agg(
       // count(x), not count(*): moments must cover exactly the non-null
@@ -213,8 +214,13 @@ object Profiling {
     // hint would be withheld exactly when df is LARGE even for a 5-value
     // groupCol — and the planner, seeing the same estimate, would then
     // sort-merge-join the whole table onto a handful of keys. One
-    // column-pruned approx-distinct pass decides instead.
-    val nGroups = df.agg(approx_count_distinct(col(groupCol))).head.getLong(0)
+    // column-pruned approx-distinct pass decides instead — unless the
+    // caller already knows the cardinality (`knownGroups`), which keeps
+    // this a lazy plan-construction call with no job at all: repeated
+    // invocations over the same wide table shouldn't re-pay a full
+    // column scan just to re-learn that the group count is 5.
+    val nGroups = knownGroups.getOrElse(
+      df.agg(approx_count_distinct(col(groupCol))).head.getLong(0))
     val right = if (nGroups <= 1000000L) broadcast(moments) else moments
     df.join(right, groupCol)
       .filter(d1 * d1 * lit(mDen * mDen).cast(DecimalType(4, 0)) >

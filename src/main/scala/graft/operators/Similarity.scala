@@ -495,10 +495,14 @@ object Similarity {
         newVecs.schema(vecCol).dataType.simpleString)
     val incoming = newVecs
       .select(col(idCol).as("corpus_id"), col(vecCol).cast(cvType).as("cv"))
+    // dedupIds must also hold WITHIN the batch: an at-least-once upstream
+    // can duplicate an id inside one micro-batch, and the anti-join against
+    // the index cannot see that — both copies are novel w.r.t. disk.
     val novel =
       if (dedupIds)
-        incoming.join(idx.indexed.select(col("corpus_id")),
-          Seq("corpus_id"), "left_anti")
+        incoming.dropDuplicates("corpus_id")
+          .join(idx.indexed.select(col("corpus_id")),
+            Seq("corpus_id"), "left_anti")
       else incoming
     val fresh = novel
       .withColumn("cell", element_at(cellRanking(col("cv"), idx.centroids), 1))

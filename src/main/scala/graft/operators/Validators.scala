@@ -63,8 +63,14 @@ object Validators {
   final case class MatchesRegex(col: String, regex: String) extends Constraint {
     def rule = s"matches:$col"
   }
-  /** Non-null `col` values must exist in `ref`'s `refCol` (FK integrity). */
-  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
+  /** Non-null `col` values must exist in `ref`'s `refCol` (FK integrity).
+    * `knownKeys`: pass the reference side's key cardinality when the
+    * caller already knows it (a dimension table's row count, a catalog
+    * stat) to skip the approx-distinct probe job the broadcast gate
+    * otherwise runs at plan time.
+    */
+  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String,
+                                knownKeys: Option[Long] = None)
       extends Constraint {
     def rule = s"ref:$col"
   }
@@ -119,15 +125,17 @@ object Validators {
           s"stack(${rowWise.size}, $stacked) AS (rule, violations)")))
       }
     val refReports: Seq[DataFrame] = constraints.collect {
-      case c @ RefIntegrity(n, ref, refCol) =>
+      case c @ RefIntegrity(n, ref, refCol, knownKeys) =>
         // the reference key set scales with the referenced table: a forced
         // broadcast of a 100 TB dimension's keys dies on the driver. Gate
-        // on KEY CARDINALITY (one column-pruned approx-distinct pass) —
-        // not the Catalyst size estimate, which for a Distinct over a big
-        // table is child-scaled and would withhold the hint even for a
-        // 25-key dimension. An oversized key set falls back to a shuffle
-        // join, which the left-join + agg below absorbs.
-        val nKeys = ref.agg(approx_count_distinct(col(refCol))).head.getLong(0)
+        // on KEY CARDINALITY (one column-pruned approx-distinct pass,
+        // skipped when the caller supplied `knownKeys`) — not the Catalyst
+        // size estimate, which for a Distinct over a big table is
+        // child-scaled and would withhold the hint even for a 25-key
+        // dimension. An oversized key set falls back to a shuffle join,
+        // which the left-join + agg below absorbs.
+        val nKeys = knownKeys.getOrElse(
+          ref.agg(approx_count_distinct(col(refCol))).head.getLong(0))
         val keyDf = ref.select(col(refCol).as("__refkey")).distinct()
           .withColumn("__hit", lit(1))
         val keys = if (nKeys <= 1000000L) broadcast(keyDf) else keyDf

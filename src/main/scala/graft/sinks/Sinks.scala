@@ -188,6 +188,13 @@ object Sinks extends Serializable {
     * contents, which is what makes a training run reproducible and a
     * resume-after-crash read the same data order.
     *
+    * Determinism is scoped to a PERMUTATION SCHEME version (see
+    * [[graft.operators.Corpus.ShufflePrime]]'s version note): exports made
+    * under different scheme versions legitimately differ under identical
+    * parameters. Each export stamps `_graft_shuffle_scheme` (a one-line
+    * marker file holding [[graft.operators.Corpus.ShuffleSchemeVersion]])
+    * at the root so consumers can tell layouts apart without guessing.
+    *
     * Scale shape: the permutation is one range exchange (DenseId), the
     * shard routing one hash exchange keyed on a per-shard PREIMAGE value
     * ([[shardPartitionPreimages]]) so shard i lands in partition i
@@ -215,6 +222,15 @@ object Sinks extends Serializable {
         element_at(typedLit(shardPartitionPreimages(nShards).toSeq), col("shard") + 1))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(mode).partitionBy("shard").parquet(path)
+    // scheme marker (see scaladoc): written AFTER the data commit so a
+    // half-failed export never carries a version stamp
+    val markerPath = new org.apache.hadoop.fs.Path(path, "_graft_shuffle_scheme")
+    val fs = markerPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(markerPath, true)
+    try out.write(
+      s"${graft.operators.Corpus.ShuffleSchemeVersion}\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** A preimage table for Spark's hash partitioning: entry i is a long x

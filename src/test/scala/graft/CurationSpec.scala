@@ -141,6 +141,15 @@ class CurationSpec extends AnyFunSuite {
     val at30 = graft.operators.Profiling.outliersBySigma(df, "x", "g", 3, 1)
       .select("id").as[Long].collect().toSet
     assert(at30.isEmpty, s"got $at30")
+    // knownGroups hint (r11 advice): skips the approx-distinct probe job
+    // without changing the flag set — on either side of the broadcast gate
+    val hintedLow = graft.operators.Profiling
+      .outliersBySigma(df, "x", "g", 29, 10, knownGroups = Some(1L))
+      .select("id").as[Long].collect().toSet
+    val hintedHigh = graft.operators.Profiling
+      .outliersBySigma(df, "x", "g", 29, 10, knownGroups = Some(2000000L))
+      .select("id").as[Long].collect().toSet
+    assert(hintedLow == Set(9L) && hintedHigh == Set(9L))
   }
 
   test("columnMode tie-breaks on value ascending") {

@@ -477,6 +477,18 @@ class DedupSpec extends AnyFunSuite {
     // cell stats cover the grown corpus exactly
     val stats = Similarity.ivfCellStats(grown)
     assert(stats.agg(sum(col("n"))).as[Long].head() == nBefore + incoming.count())
+    // intra-batch duplicates (r11 advice): an at-least-once upstream can
+    // repeat an id INSIDE one batch — the anti-join against disk can't see
+    // that, so dedupIds must also collapse within the batch
+    val dupBatch = e.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 7200000L).as("vec_id"), col("embedding"))
+      .union(e.filter(col("vec_id") === 1L)
+        .select((col("vec_id") + 7200000L).as("vec_id"), col("embedding")))
+    assert(dupBatch.count() == 2L)
+    assert(Similarity.ivfAppend(spark, dir, dupBatch, "embedding", "vec_id") == 1L,
+      "an id duplicated within one batch must index exactly once")
+    assert(Similarity.ivfRead(spark, dir).indexed
+      .filter(col("corpus_id") === 7200001L).count() == 1L)
     // review-caught: array<double> input (Spark's default for computed
     // arrays) must CAST to the index's float layout — fed raw it reads
     // garbage in the float assignment expression AND durably corrupts the

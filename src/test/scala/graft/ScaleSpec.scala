@@ -301,6 +301,12 @@ class ScaleSpec extends AnyFunSuite {
     val b = spark.read.parquet(out2).select("doc_id", "pos")
       .as[(Long, Long)].collect().toSet
     assert(a == b)
+    // the layout carries its permutation-scheme version (r11 advice:
+    // v1→v2 field widening changed every seed's permutation, so consumers
+    // need a machine-readable tag to tell layouts apart)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_graft_shuffle_scheme")), "UTF-8").trim
+    assert(marker == graft.operators.Corpus.ShuffleSchemeVersion.toString)
   }
 
   test("writeShuffledShards routes shard i to partition i exactly; write plan adds no sort (r11)") {

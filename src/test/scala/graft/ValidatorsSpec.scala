@@ -59,6 +59,14 @@ class ValidatorsSpec extends AnyFunSuite {
       "ref:fk" -> 1L,
       "satisfies:k_positive" -> 0L
     ), got.toString)
+    // knownKeys hint (r11 advice): same violations with the cardinality
+    // probe skipped, on both sides of the broadcast gate
+    Seq(3L, 2000000L).foreach { hint =>
+      val hinted = checkConstraints(df,
+        Seq(RefIntegrity("fk", ref, "id", knownKeys = Some(hint))))
+        .as[(String, Long)].collect().toMap
+      assert(hinted == Map("ref:fk" -> 1L), s"hint=$hint: $hinted")
+    }
   }
 
   test("checkConstraints edge cases: empty frame, empty rule list, null unique keys") {
