@@ -581,6 +581,53 @@ object SourceQueries {
   private val q50DfasdlTokensSql =
     "SELECT o_orderkey, o_orderpriority FROM orders"
 
+  // --------------------------------------------------- q53_dfasdl_mixed
+  // The r12 record-scope choice reader under the rows+schema+hash gate —
+  // the reference's LAST BaseParser shape (BaseParser.scala:244 offset-
+  // reset branch retry: a record mixing plain slots with a MULTI-leaf
+  // choice branch). Orders stage one line per record: even keys carry a
+  // "K:"-labeled priority (the two-leaf branch), odd keys a bare custkey
+  // number (the one-leaf branch), so the record's token COUNT is branch-
+  // dependent — exactly what the fixed-arity readers reject and the
+  // combination-alternation reader handles. The oracle replays the
+  // dispatch with CASE over the original parquet; a mis-framed record, a
+  // wrong branch pick, or a type-coercion miss breaks the hash.
+  private def q53DfasdlMixed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Dfasdl
+    val tmp = cachedArtifact("dfasdlmixed", dir) { out =>
+      Tables.orders(spark, dir)
+        .select(concat(
+          col("o_orderkey"), lit(";"),
+          when(col("o_orderkey") % 2 === 0,
+            concat(lit("K:"), col("o_orderpriority")))
+            .otherwise(col("o_custkey").cast(StringType)),
+          lit(";"), col("o_orderstatus")).as("value"))
+        .write.mode("overwrite").text(s"$out/data")
+    }
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="MIXEDCHOICE">
+        |  <seq id="s"><elem id="r">
+        |    <num id="okey" stop-sign=";"/>
+        |    <choice id="kv">
+        |      <celem id="labeled">
+        |        <str class="label" start-sign="K" stop-sign=":"/>
+        |        <str id="prio" stop-sign=";"/>
+        |      </celem>
+        |      <celem id="plain"><num id="ck" stop-sign=";"/></celem>
+        |    </choice>
+        |    <str id="status"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    Dfasdl.readDelimited(spark, s"$tmp/data", doc)
+  }
+
+  private val q53DfasdlMixedSql =
+    """SELECT o_orderkey AS okey,
+      | CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS prio,
+      | CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END AS ck,
+      | o_orderstatus AS status
+      |FROM orders""".stripMargin
+
   // --------------------------------------------------------- q42_dfasdl
   // The cookbook front-end end-to-end, oracle-checked: customer is staged
   // as a headered CSV, its DFASDL schema document is EMITTED by
@@ -887,6 +934,7 @@ object SourceQueries {
     QueryDef("q32_upsert", q32Upsert, Some(q32UpsertSql)),
     QueryDef("q49_jdbc_upsert", q49JdbcUpsert, Some(q49JdbcUpsertSql)),
     QueryDef("q50_dfasdl_tokens", q50DfasdlTokens, Some(q50DfasdlTokensSql)),
+    QueryDef("q53_dfasdl_mixed", q53DfasdlMixed, Some(q53DfasdlMixedSql)),
     QueryDef("q51_jdbc_if_absent", q51JdbcIfAbsent, Some(q51JdbcIfAbsentSql)),
     QueryDef("q52_cdc_apply", q52CdcApply, Some(q52CdcApplySql)),
     QueryDef("d_shard_export", dShardExport, Some(dShardExportSql)),

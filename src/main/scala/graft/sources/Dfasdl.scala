@@ -406,6 +406,7 @@ object Dfasdl {
   def readDelimited(spark: SparkSession, path: String, doc: Doc): DataFrame = {
     if (isLineChoiceDoc(doc)) return readChoiceLines(spark, path, doc)
     if (isTokenStreamDoc(doc)) return readTokenStream(spark, path, doc)
+    if (isChoiceStreamDoc(doc)) return readChoiceStream(spark, path, doc)
     // a single-field record with no (or a line-break) stop-sign is one
     // whole line per record — the reference reads to DEFAULT_STOP_SIGN
     // (parsers/BaseParser.scala:50, a newline regex). Routing it through
@@ -650,6 +651,105 @@ object Dfasdl {
                               doc: Doc): DataFrame =
     bounded(rawLines(spark, path, doc).select(choiceLineCols(doc): _*), doc)
 
+  // --------------------- record-scope multi-leaf choice documents (r12)
+
+  /** Is this a CHOICE-STREAM document — a record mixing other slots with a
+    * choice that has at least one MULTI-leaf branch? The reference's
+    * BaseParser expresses this with its offset-reset branch retry
+    * (parsers/BaseParser.scala:244 handleChoice + BaseParserChoiceState
+    * .scala — a BROKEN leaf anywhere in the branch rewinds the stream to
+    * the choice start and the next branch re-parses), so a record's token
+    * count is branch-dependent and the fixed-arity delimited readers
+    * cannot represent it (previously a typed reject). Single-slot docs of
+    * this shape stay on the line-choice path ([[isLineChoiceDoc]]).
+    */
+  private def isChoiceStreamDoc(doc: Doc): Boolean =
+    doc.slots.size > 1 && doc.slots.exists {
+      case c: ChoiceSlot => c.branches.exists(_.leaves.size > 1)
+      case _             => false
+    }
+
+  /** Every way the record can parse: the cross product of branch picks
+    * over the record's slots, each combination flattened to the ordered
+    * leaf run the parser would consume. Ordered in BACKTRACKING order —
+    * the LAST choice varies fastest, exactly the retry order of a
+    * sequential parser that commits to the earliest branches first and
+    * rewinds the most recent choice on failure.
+    */
+  private def choiceStreamCombos(doc: Doc): Seq[Seq[Field]] =
+    doc.slots.foldLeft(Seq(Seq.empty[Field])) { (acc, slot) =>
+      val opts: Seq[Seq[Field]] = slot match {
+        case f: Field      => Seq(Seq(f))
+        case c: ChoiceSlot => c.branches.map(_.leaves)
+      }
+      for (prefix <- acc; o <- opts) yield prefix ++ o
+    }
+
+  /** Shared batch/stream plan for a choice-stream doc: the record
+    * extraction pattern (an alternation over every branch combination, so
+    * `regexp_extract_all` frames records no matter which branches each
+    * record takes) and the per-record dispatch projection — combination i
+    * wins when its anchored pattern full-matches AND every leaf passes its
+    * typed-parse predicate and no earlier combination won (the reference's
+    * first-branch-that-parses rule, type failures included, lifted from
+    * the line scope of [[choiceLineCols]] to the whole record). Losing
+    * branches' leaves are null, the either/or nullability the reference's
+    * expected-data fixtures show per record.
+    */
+  private def choiceStreamCols(doc: Doc): (String, Seq[Column]) = {
+    require(doc.preamble.isEmpty,
+      "choice-stream documents with a preamble/header are not supported " +
+        "(the record pattern scans whole files); strip the header upstream")
+    val combos = choiceStreamCombos(doc)
+    // each combination contributes a regex alternative and a dispatch
+    // predicate per record; past a few dozen the pattern itself becomes
+    // the scan cost. No schema the reference ships comes near this.
+    require(combos.size <= 64,
+      s"choice document expands to ${combos.size} branch combinations " +
+        "(> 64); split the record or reduce the choice fan-out")
+    val plans = combos.map(tokenStreamPlan)
+    val rec = col("__rec")
+    val preds = combos.zip(plans).map { case (leaves, (p, idxs)) =>
+      leaves.zip(idxs).map { case (f, g) =>
+        branchMatches(f, applyTrim(f, regexp_extract(rec, "^" + p + "$", g)))
+      }.foldLeft(rec.rlike("^(?:" + p + ")$"))(_ && _)
+    }
+    val firstMatch = preds.zipWithIndex.map { case (p, i) =>
+      preds.take(i).foldLeft(p)((acc, earlier) => acc && !earlier)
+    }
+    val cols = doc.fields.map { f =>
+      val pieces = combos.zipWithIndex.flatMap { case (leaves, i) =>
+        val (p, idxs) = plans(i)
+        leaves.zip(idxs).collectFirst {
+          case (lf, g) if lf.id == f.id =>
+            when(firstMatch(i),
+              coerce(f, applyTrim(f, regexp_extract(rec, "^" + p + "$", g))))
+        }
+      }
+      coalesce(pieces: _*).as(f.id)
+    }
+    val recPattern =
+      "(" + plans.map { case (p, _) => s"(?:$p)" }.mkString("|") + ")"
+    (recPattern, cols)
+  }
+
+  /** Read a choice-stream document ([[isChoiceStreamDoc]]): records frame
+    * by the combination alternation over per-file text (`wholetext`, the
+    * reference's one-stream-per-source unit — see [[readTokenStream]]'s
+    * parallelism note), then each record dispatches to the first branch
+    * combination that fully parses. All dispatch is codegen'd Catalyst
+    * regex/conditional expressions — one distributed scan, no UDFs.
+    */
+  private def readChoiceStream(spark: SparkSession, path: String,
+                               doc: Doc): DataFrame = {
+    val (recPattern, cols) = choiceStreamCols(doc)
+    val recs = spark.read.option("wholetext", "true").text(path)
+      .select(explode(regexp_extract_all(col("value"), lit(recPattern),
+        lit(1))).as("__rec"))
+      .filter(length(col("__rec")) > 0) // see readTokenStream
+    bounded(recs.select(cols: _*), doc)
+  }
+
   /** Streaming twin of [[rawLines]] — same options, `readStream` source. */
   private def rawLinesStream(spark: SparkSession, dirPath: String,
                              doc: Doc): DataFrame =
@@ -698,6 +798,16 @@ object Dfasdl {
         .filter(length(col("__rec")) > 0) // see readTokenStream
         .select(graft.functions.RegexFns
           .regexpGroups(col("__rec"), groupsPattern).as("__g"))
+        .select(cols: _*)
+    }
+    if (isChoiceStreamDoc(doc)) {
+      val (recPattern, cols) = choiceStreamCols(doc)
+      return spark.readStream.option("wholetext", "true")
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(dirPath)
+        .select(explode(regexp_extract_all(col("value"), lit(recPattern),
+          lit(1))).as("__rec"))
+        .filter(length(col("__rec")) > 0) // see readTokenStream
         .select(cols: _*)
     }
     // single-field sign-less records: whole lines, same as the batch
@@ -937,6 +1047,7 @@ object Dfasdl {
     */
   def writeDelimited(df: DataFrame, doc: Doc, path: String): Unit = {
     if (isLineChoiceDoc(doc)) return writeChoiceLines(df, doc, path)
+    if (isChoiceStreamDoc(doc)) return writeChoiceStream(df, doc, path)
     requireNoAnonymous(doc, "writeDelimited")
     val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
     require(missing.isEmpty, s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
@@ -1000,6 +1111,48 @@ object Dfasdl {
         concat(parts: _*))
     }
     df.select(coalesce((rendered :+ lit("")): _*).as("value")).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+  }
+
+  /** Write side of [[readChoiceStream]] (r12): each record renders its
+    * slots in order — plain leaves as value + literal stop-sign text, a
+    * choice as its POPULATED branch's leaf run (the same uninterpreted
+    * value-then-stop-sign emission as [[writeChoiceLines]], and the same
+    * anonymous-label caveat: discarded label bytes are gone, so a branch
+    * keyed only by an anonymous start-sign label does not re-read into
+    * the same branch — name the label leaf if write∘read must invert).
+    * A missing stop-sign defaults to the line separator exactly like the
+    * reference writer (writers/BaseWriter.scala:30), mirroring the read
+    * side's newline framing default.
+    */
+  private def writeChoiceStream(df: DataFrame, doc: Doc, path: String): Unit = {
+    val missing = doc.fields.map(_.id).filterNot(df.columns.toSet)
+    require(missing.isEmpty,
+      s"DataFrame lacks DFASDL fields: ${missing.mkString(", ")}")
+    def leafPart(f: Field, last: Boolean): Seq[Column] = {
+      val v: Column = if (f.anonymous) lit("") else render(f, col(f.id))
+      if (last) Seq(v) else Seq(v, lit(f.attr("stop-sign").getOrElse("\n")))
+    }
+    val parts = doc.slots.zipWithIndex.flatMap { case (slot, i) =>
+      val lastSlot = i == doc.slots.size - 1
+      slot match {
+        case f: Field => leafPart(f, lastSlot)
+        case c: ChoiceSlot =>
+          val rendered = c.branches.map { b =>
+            val addressable = b.leaves.filterNot(_.anonymous)
+            require(addressable.nonEmpty, s"choice ${c.id} branch ${b.id} " +
+              "holds only anonymous leaves; nothing binds it to a " +
+              "DataFrame column")
+            val ps = b.leaves.zipWithIndex.flatMap { case (lf, j) =>
+              leafPart(lf, lastSlot && j == b.leaves.size - 1)
+            }
+            when(addressable.map(f => col(f.id).isNotNull).reduce(_ || _),
+              concat(ps: _*))
+          }
+          Seq(coalesce((rendered :+ lit("")): _*))
+      }
+    }
+    df.select(concat(parts: _*).as("value")).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
   }
 

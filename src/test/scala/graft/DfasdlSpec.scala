@@ -309,6 +309,107 @@ class DfasdlSpec extends AnyFunSuite {
       df.orderBy("num-field1").collect().toSeq)
   }
 
+  test("choice: a multi-leaf branch among other slots reads record-scope (r12)") {
+    // Pre-r12 this shape was the LAST typed reject of the reference's
+    // BaseParser choice machinery ("holds 2 leaves"): a record mixing
+    // plain leaves with a choice whose branch pairs a start-sign label
+    // with a value (BaseParser.scala:244 offset-reset retry). The r12
+    // reader frames records by a branch-combination alternation and
+    // dispatches each record to the first combination that fully parses —
+    // type failures fall through to the next branch, like the reference's
+    // BROKEN-leaf rewind.
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="rec_id" stop-sign=";"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str class="label" start-sign="K" stop-sign=":"/>
+        |      <str id="k_value" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="numeric"><num id="n_value" stop-sign=";"/></celem>
+        |    <celem id="fallback"><str id="s_value" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("choicestream").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "1;K:alpha;tail one\n2;42;tail two\n3;notnum;tail three\n"
+        .getBytes("UTF-8"))
+    val df = Dfasdl.readDelimited(spark, dir, d)
+    assert(df.columns.toSeq ==
+      Seq("rec_id", "k_value", "n_value", "s_value", "tail"))
+    assert(df.schema("n_value").dataType == LongType, df.schema.treeString)
+    val rows = df.orderBy("rec_id").collect()
+    assert(rows.length == 3, rows.mkString("; "))
+    def cells(r: Row) = (1 to 4).map(i =>
+      if (r.isNullAt(i)) null else r.get(i))
+    // record 1: the labeled branch (start-sign K) wins; others null
+    assert(rows(0).getLong(0) == 1L &&
+      cells(rows(0)) == Seq("alpha", null, null, "tail one"),
+      rows(0).toString)
+    // record 2: labeled fails on shape, numeric parses "42" as num
+    assert(rows(1).getLong(0) == 2L &&
+      cells(rows(1)) == Seq(null, 42L, null, "tail two"), rows(1).toString)
+    // record 3: numeric SHAPE-matches but the typed parse fails — the
+    // reference's BROKEN retry, not a silent null in the num branch
+    assert(rows(2).getLong(0) == 3L &&
+      cells(rows(2)) == Seq(null, null, "notnum", "tail three"),
+      rows(2).toString)
+    // streaming twin: identical rows out of the same directory
+    val streamed = graft.streaming.Streams.runToMemory(spark,
+      Dfasdl.readDelimitedStream(spark, dir, d), "choicestream_r12",
+      org.apache.spark.sql.streaming.OutputMode.Append()).collect().toSet
+    assert(streamed == df.collect().toSet, streamed.toString)
+    // the combination cap is a typed error, not a hang: a 2-branch plus
+    // six 3-branch choices expand to 2·3^6 = 1458 combinations
+    val wide = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str id="lead" stop-sign=";"/>
+        |  <choice id="c1"><celem id="two">
+        |    <str class="label" stop-sign=":"/><str id="v1" stop-sign=";"/>
+        |  </celem><celem id="one"><str id="w1" stop-sign=";"/></celem></choice>
+        |""".stripMargin +
+        (2 to 7).map(i =>
+          s"""  <choice id="c$i"><celem id="a$i"><num id="n$i" stop-sign=";"/></celem>
+             |  <celem id="b$i"><str id="s$i" stop-sign=";"/></celem>
+             |  <celem id="d$i"><date id="t$i" stop-sign=";"/></celem></choice>
+             |""".stripMargin).mkString +
+        "</elem></seq></dfasdl>")
+    val e = intercept[IllegalArgumentException](
+      Dfasdl.readDelimited(spark, dir, wide))
+    assert(e.getMessage.contains("branch combinations"), e.getMessage)
+  }
+
+  test("choice: record-scope write renders the populated branch and round-trips (r12)") {
+    // the label leaf is NAMED here (unlike the read test's anonymous one)
+    // so its bytes survive the write and the start-sign re-anchors on the
+    // second read — the writer scaladoc's write∘read inversion condition
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="rec_id" stop-sign=";"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str id="k_label" start-sign="K" stop-sign=":"/>
+        |      <str id="k_value" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="numeric"><num id="n_value" stop-sign=";"/></celem>
+        |    <celem id="fallback"><str id="s_value" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("choicestream_rt").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "1;K:alpha;tail one\n2;42;tail two\n3;zz top;tail three\n"
+        .getBytes("UTF-8"))
+    val df = Dfasdl.readDelimited(spark, dir, d)
+    val out = Files.createTempDirectory("choicestream_out").toString + "/data"
+    Dfasdl.writeDelimited(df, d, out)
+    val back = Dfasdl.readDelimited(spark, out, d)
+    assert(back.count() == 3)
+    assert(back.collect().toSet == df.collect().toSet,
+      back.collect().mkString("; "))
+  }
+
   test("choice: XML reads dispatch by element presence (branch leaves are optional)") {
     // self-describing formats need no token dispatch: each record carries
     // the matched branch's ELEMENT and omits the others — the reference's
