@@ -380,6 +380,43 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("branch combinations"), e.getMessage)
   }
 
+  test("choice: two choices cross-product in backtracking order (r12)") {
+    // two independent choices in one record = 4 branch combinations; a
+    // sequential parser commits to the earliest branches and rewinds the
+    // LAST choice first, so combination order must vary the second choice
+    // fastest. The mid plain field sits in every combination and must
+    // surface from whichever one wins.
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <choice id="c1">
+        |    <celem id="labeled">
+        |      <str class="label" start-sign="L" stop-sign=":"/>
+        |      <str id="lv" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="numeric"><num id="n1" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="mid" stop-sign=";"/>
+        |  <choice id="c2">
+        |    <celem id="num2"><num id="n2"/></celem>
+        |    <celem id="str2"><str id="s2"/></celem>
+        |  </choice>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("choicestream2").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "L:alpha;m1;7\nL:beta;m2;seven\n11;m3;8\n12;m4;eight\n"
+        .getBytes("UTF-8"))
+    val got = Dfasdl.readDelimited(spark, dir, d)
+      .orderBy("mid").collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList).toList
+    // columns: lv, n1, mid, n2, s2
+    assert(got == List(
+      List("alpha", null, "m1", 7L, null),
+      List("beta", null, "m2", null, "seven"),
+      List(null, 11L, "m3", 8L, null),
+      List(null, 12L, "m4", null, "eight")), got.toString)
+  }
+
   test("choice: record-scope write renders the populated branch and round-trips (r12)") {
     // the label leaf is NAMED here (unlike the read test's anonymous one)
     // so its bytes survive the write and the start-sign re-anchors on the
