@@ -417,6 +417,38 @@ class DfasdlSpec extends AnyFunSuite {
       List(null, 12L, "m4", null, "eight")), got.toString)
   }
 
+  test("choice: record-scope reads survive CRLF records and regex-class stop-signs (r12)") {
+    // stop-signs are regex FRAGMENTS (the reference interpolates them into
+    // its patterns verbatim), so a character-class sign like [;|] must
+    // split on either byte; and the sign-less final leaf's newline default
+    // must consume \r\n pairs without leaking the \r into the value
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="okey" stop-sign="[;|]"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str class="label" start-sign="K" stop-sign=":"/>
+        |      <str id="kv_val" stop-sign="[;|]"/>
+        |    </celem>
+        |    <celem id="plain"><num id="nv" stop-sign="[;|]"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("choicestream_crlf").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "1;K:alpha|t1\r\n2|7;t2\r\n3;K:beta;t3\r\n".getBytes("UTF-8"))
+    val got = Dfasdl.readDelimited(spark, dir, d)
+      .orderBy("okey").collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList).toList
+    assert(got == List(
+      List(1L, "alpha", null, "t1"),
+      List(2L, null, 7L, "t2"),
+      List(3L, "beta", null, "t3")), got.toString)
+    // no \r leaked into any tail value (the CRLF default consumed it)
+    assert(got.forall(r => !r(3).asInstanceOf[String].contains("\r")))
+  }
+
   test("choice: record-scope write renders the populated branch and round-trips (r12)") {
     // the label leaf is NAMED here (unlike the read test's anonymous one)
     // so its bytes survive the write and the start-sign re-anchors on the
