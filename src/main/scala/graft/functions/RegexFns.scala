@@ -58,10 +58,16 @@ case class RegexpReplaceSomeExpr(
   * re-runs the whole match per group, so pulling G leaves out of a
   * G-fragment record pattern (the DFASDL token-stream reader) costs G
   * full matches per record — this expression makes it ONE.
+  *
+  * Codegen'd (r12): this sits on the token-stream/choice-stream readers'
+  * per-record hot path, and a CodegenFallback here breaks the whole-stage
+  * span around the record dispatch — the generated code is the same
+  * matcher walk over a per-task compiled Pattern reference.
   */
 case class RegexpGroupsExpr(child: Expression, regex: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.sql.types.ArrayType
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
@@ -82,6 +88,33 @@ case class RegexpGroupsExpr(child: Expression, regex: String)
       }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("pattern", pattern,
+      classOf[java.util.regex.Pattern].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("matcher")
+      val arr = ctx.freshName("groups")
+      val g = ctx.freshName("g")
+      val v = ctx.freshName("v")
+      s"""
+        java.util.regex.Matcher $m = $patternRef.matcher($c.toString());
+        if (!$m.find()) {
+          ${ev.isNull} = true;
+        } else {
+          org.apache.spark.unsafe.types.UTF8String[] $arr =
+            new org.apache.spark.unsafe.types.UTF8String[$m.groupCount()];
+          for (int $g = 1; $g <= $m.groupCount(); $g++) {
+            String $v = $m.group($g);
+            $arr[$g - 1] = $v == null ? null :
+              org.apache.spark.unsafe.types.UTF8String.fromString($v);
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        }
+      """
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

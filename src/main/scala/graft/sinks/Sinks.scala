@@ -215,6 +215,30 @@ object Sinks extends Serializable {
     // "each shard file pos-ordered" contract could silently break at
     // scale. With (shard, pos) the child ordering already satisfies the
     // writer and no sort is inserted.
+    // scheme-marker bookkeeping BEFORE the write: the marker must describe
+    // the data that is actually on disk afterwards, so (a) an Ignore write
+    // that no-ops must not restamp an old layout with the current version,
+    // and (b) an Append onto a DIFFERENT scheme's layout must refuse —
+    // the result would be one directory mixing two permutations under one
+    // tag, unreproducible under either
+    val markerPath = new org.apache.hadoop.fs.Path(path, "_graft_shuffle_scheme")
+    val fs = markerPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val current = graft.operators.Corpus.ShuffleSchemeVersion.toString
+    val existing: Option[String] =
+      if (!fs.exists(markerPath)) None
+      else {
+        val in = fs.open(markerPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val ignoredNoOp =
+      mode == SaveMode.Ignore && fs.exists(new org.apache.hadoop.fs.Path(path))
+    if (mode == SaveMode.Append)
+      existing.filter(_ != current).foreach(v => throw new IllegalStateException(
+        s"writeShuffledShards: $path holds a scheme-v$v layout; appending " +
+          s"scheme-v$current shards would mix permutations under one tag — " +
+          "regenerate the export instead"))
     shuffled
       .withColumn("shard",
         (col("pos") % nShards).cast(org.apache.spark.sql.types.IntegerType))
@@ -223,14 +247,13 @@ object Sinks extends Serializable {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode(mode).partitionBy("shard").parquet(path)
     // scheme marker (see scaladoc): written AFTER the data commit so a
-    // half-failed export never carries a version stamp
-    val markerPath = new org.apache.hadoop.fs.Path(path, "_graft_shuffle_scheme")
-    val fs = markerPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(markerPath, true)
-    try out.write(
-      s"${graft.operators.Corpus.ShuffleSchemeVersion}\n".getBytes("UTF-8"))
-    finally out.close()
+    // half-failed export never carries a version stamp — and not at all
+    // when an Ignore-mode write left the existing layout untouched
+    if (!ignoredNoOp) {
+      val out = fs.create(markerPath, true)
+      try out.write(s"$current\n".getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** A preimage table for Spark's hash partitioning: entry i is a long x

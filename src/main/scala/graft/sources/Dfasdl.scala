@@ -619,17 +619,25 @@ object Dfasdl {
         branchMatches(f, applyTrim(f, regexp_extract(line, p, g)))
       }.foldLeft(line.rlike(p))(_ && _)
     }
+    val first = firstMatchOnly(preds)
     ch.branches.zip(plans).zipWithIndex.flatMap {
       case ((b, (p, idxs)), i) =>
-        val firstMatch =
-          preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
         b.leaves.zip(idxs).collect {
           case (f, g) if !f.anonymous =>
             val v = applyTrim(f, regexp_extract(line, p, g))
-            when(firstMatch, coerce(f, v)).as(f.id)
+            when(first(i), coerce(f, v)).as(f.id)
         }
     }
   }
+
+  /** First-match-wins dispatch: entry i holds "predicate i AND no earlier
+    * predicate" — the in-order branch retry every choice reader shares
+    * ([[choiceCols]], [[choiceLineCols]], [[choiceStreamCols]]).
+    */
+  private def firstMatchOnly(preds: Seq[Column]): Seq[Column] =
+    preds.zipWithIndex.map { case (p, i) =>
+      preds.take(i).foldLeft(p)((acc, earlier) => acc && !earlier)
+    }
 
   /** Raw record lines as ONE string column `value`, with a per-file header
     * skip when the doc declares a preamble: route through the csv source
@@ -688,49 +696,65 @@ object Dfasdl {
   /** Shared batch/stream plan for a choice-stream doc: the record
     * extraction pattern (an alternation over every branch combination, so
     * `regexp_extract_all` frames records no matter which branches each
-    * record takes) and the per-record dispatch projection — combination i
+    * record takes), one STAGED [[graft.functions.RegexpGroupsExpr]] match
+    * per combination (`groupCols` — the same one-match-per-record staging
+    * trick as [[tokenStreamRecCols]]: per-leaf `regexp_extract` would
+    * re-run each combination's full pattern per output column), the
+    * dispatch `keep` predicate, and the output projection — combination i
     * wins when its anchored pattern full-matches AND every leaf passes its
     * typed-parse predicate and no earlier combination won (the reference's
     * first-branch-that-parses rule, type failures included, lifted from
     * the line scope of [[choiceLineCols]] to the whole record). Losing
     * branches' leaves are null, the either/or nullability the reference's
-    * expected-data fixtures show per record.
+    * expected-data fixtures show per record. A record that shape-frames
+    * but type-fails EVERY combination is dropped by `keep` — the
+    * reference parser would mark it BROKEN and stop; a bulk engine
+    * surfaces every well-formed record instead (same convention as
+    * [[readTokenStream]]'s record skip), rather than emitting a phantom
+    * all-null row.
     */
-  private def choiceStreamCols(doc: Doc): (String, Seq[Column]) = {
+  private def choiceStreamCols(doc: Doc)
+      : (String, Seq[Column], Column, Seq[Column]) = {
     require(doc.preamble.isEmpty,
       "choice-stream documents with a preamble/header are not supported " +
         "(the record pattern scans whole files); strip the header upstream")
     val combos = choiceStreamCombos(doc)
-    // each combination contributes a regex alternative and a dispatch
-    // predicate per record; past a few dozen the pattern itself becomes
-    // the scan cost. No schema the reference ships comes near this.
+    // each combination contributes a regex alternative plus one staged
+    // match per record; past a few dozen the pattern itself becomes the
+    // scan cost. No schema the reference ships comes near this.
     require(combos.size <= 64,
       s"choice document expands to ${combos.size} branch combinations " +
         "(> 64); split the record or reduce the choice fan-out")
     val plans = combos.map(tokenStreamPlan)
-    val rec = col("__rec")
-    val preds = combos.zip(plans).map { case (leaves, (p, idxs)) =>
-      leaves.zip(idxs).map { case (f, g) =>
-        branchMatches(f, applyTrim(f, regexp_extract(rec, "^" + p + "$", g)))
-      }.foldLeft(rec.rlike("^(?:" + p + ")$"))(_ && _)
+    val groupCols = plans.zipWithIndex.map { case ((p, _), i) =>
+      graft.functions.RegexFns
+        .regexpGroups(col("__rec"), "^" + p + "$").as(s"__g$i")
     }
-    val firstMatch = preds.zipWithIndex.map { case (p, i) =>
-      preds.take(i).foldLeft(p)((acc, earlier) => acc && !earlier)
+    def arr(i: Int) = col(s"__g$i")
+    // null array = combination's pattern did not match; the isNotNull
+    // seed also keeps str leaves (branchMatches = true) from passing a
+    // non-matching combination
+    val preds = combos.zip(plans).zipWithIndex.map {
+      case ((leaves, (_, idxs)), i) =>
+        leaves.zip(idxs).map { case (f, g) =>
+          branchMatches(f, applyTrim(f, element_at(arr(i), g)))
+        }.foldLeft(arr(i).isNotNull)(_ && _)
     }
+    val firstMatch = firstMatchOnly(preds)
     val cols = doc.fields.map { f =>
       val pieces = combos.zipWithIndex.flatMap { case (leaves, i) =>
-        val (p, idxs) = plans(i)
+        val idxs = plans(i)._2
         leaves.zip(idxs).collectFirst {
           case (lf, g) if lf.id == f.id =>
             when(firstMatch(i),
-              coerce(f, applyTrim(f, regexp_extract(rec, "^" + p + "$", g))))
+              coerce(f, applyTrim(f, element_at(arr(i), g))))
         }
       }
       coalesce(pieces: _*).as(f.id)
     }
     val recPattern =
       "(" + plans.map { case (p, _) => s"(?:$p)" }.mkString("|") + ")"
-    (recPattern, cols)
+    (recPattern, groupCols, preds.reduce(_ || _), cols)
   }
 
   /** Read a choice-stream document ([[isChoiceStreamDoc]]): records frame
@@ -740,14 +764,30 @@ object Dfasdl {
     * combination that fully parses. All dispatch is codegen'd Catalyst
     * regex/conditional expressions — one distributed scan, no UDFs.
     */
+  /** The no-combination-parses drop ([[choiceStreamCols]]' `keep`) as an
+    * explode over a conditional one-element array: `when(keep, ...)` is
+    * null on a dropped record and explode emits nothing for null input.
+    * NOT a `.filter(keep)` — the optimizer pushes a deterministic filter
+    * below the staged groups projection by SUBSTITUTING the alias
+    * definitions, which re-runs every combination's regexp_groups match
+    * inside the filter (measured 45% slower end-to-end). The struct
+    * multi-references each `__g_i`, so CollapseProject leaves the staging
+    * intact.
+    */
+  private def dispatchRows(staged: DataFrame, keep: Column,
+                           cols: Seq[Column]): DataFrame =
+    staged.select(explode(when(keep, array(struct(cols: _*)))).as("__row"))
+      .select("__row.*")
+
   private def readChoiceStream(spark: SparkSession, path: String,
                                doc: Doc): DataFrame = {
-    val (recPattern, cols) = choiceStreamCols(doc)
+    val (recPattern, groupCols, keep, cols) = choiceStreamCols(doc)
     val recs = spark.read.option("wholetext", "true").text(path)
       .select(explode(regexp_extract_all(col("value"), lit(recPattern),
         lit(1))).as("__rec"))
       .filter(length(col("__rec")) > 0) // see readTokenStream
-    bounded(recs.select(cols: _*), doc)
+      .select(groupCols: _*)
+    bounded(dispatchRows(recs, keep, cols), doc)
   }
 
   /** Streaming twin of [[rawLines]] — same options, `readStream` source. */
@@ -801,14 +841,16 @@ object Dfasdl {
         .select(cols: _*)
     }
     if (isChoiceStreamDoc(doc)) {
-      val (recPattern, cols) = choiceStreamCols(doc)
-      return spark.readStream.option("wholetext", "true")
-        .schema(StructType(Seq(StructField("value", StringType))))
-        .text(dirPath)
-        .select(explode(regexp_extract_all(col("value"), lit(recPattern),
-          lit(1))).as("__rec"))
-        .filter(length(col("__rec")) > 0) // see readTokenStream
-        .select(cols: _*)
+      val (recPattern, groupCols, keep, cols) = choiceStreamCols(doc)
+      return dispatchRows(
+        spark.readStream.option("wholetext", "true")
+          .schema(StructType(Seq(StructField("value", StringType))))
+          .text(dirPath)
+          .select(explode(regexp_extract_all(col("value"), lit(recPattern),
+            lit(1))).as("__rec"))
+          .filter(length(col("__rec")) > 0) // see readTokenStream
+          .select(groupCols: _*),
+        keep, cols)
     }
     // single-field sign-less records: whole lines, same as the batch
     // reader (the csv route would split at "," — see readDelimited)
@@ -1149,7 +1191,13 @@ object Dfasdl {
             when(addressable.map(f => col(f.id).isNotNull).reduce(_ || _),
               concat(ps: _*))
           }
-          Seq(coalesce((rendered :+ lit("")): _*))
+          // an all-branches-null record would render the slot EMPTY — no
+          // token, no stop-sign — a malformed record the read side then
+          // silently drops; fail loudly instead (coalesce evaluates its
+          // fallback only when every branch missed)
+          Seq(coalesce(rendered :+ raise_error(lit(
+            s"writeChoiceStream: a record populates no branch of choice " +
+              s"${c.id}; the written record would not re-read")): _*))
       }
     }
     df.select(concat(parts: _*).as("value")).write
@@ -1322,11 +1370,9 @@ object Dfasdl {
     */
   private def choiceCols(ch: ChoiceSlot, raw: Column): Seq[Column] = {
     val leaves = ch.singleLeafBranches
-    val preds = leaves.map(b => branchDispatch(b, raw))
+    val first = firstMatchOnly(leaves.map(b => branchDispatch(b, raw)))
     leaves.zipWithIndex.map { case (b, i) =>
-      val firstMatch =
-        preds.take(i).foldLeft(preds(i))((acc, earlier) => acc && !earlier)
-      when(firstMatch, coerce(b, raw)).as(b.id)
+      when(first(i), coerce(b, raw)).as(b.id)
     }
   }
 

@@ -81,7 +81,6 @@ object SourceScale {
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
     val n = orders.count()
     val base = java.nio.file.Files.createTempDirectory("graft_srcscale")
-    base.toFile.deleteOnExit()
 
     // one staged directory per shape, `files` files each so every leg has
     // identical file-level parallelism (the unit of distribution for the
@@ -122,10 +121,18 @@ object SourceScale {
       (name, walls.min)
     }
 
-    val legs = Seq(
-      leg("csv", () => Dfasdl.readDelimited(spark, csvPath, csvDoc)),
-      leg("token_stream", () => Dfasdl.readDelimited(spark, tokPath, tokenDoc)),
-      leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)))
+    val legs =
+      try Seq(
+        leg("csv", () => Dfasdl.readDelimited(spark, csvPath, csvDoc)),
+        leg("token_stream", () => Dfasdl.readDelimited(spark, tokPath, tokenDoc)),
+        leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)))
+      finally {
+        // deleteOnExit cannot remove non-empty directories — the three
+        // staged corpora are hundreds of MB per run and would pile up
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     val surfaces = legs.map { case (name, sec) =>
       f""""$name":{"sec":$sec%.3f,"rows_per_s":${(n / sec).toLong}}"""
     }.mkString(",")

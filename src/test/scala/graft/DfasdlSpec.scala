@@ -449,6 +449,64 @@ class DfasdlSpec extends AnyFunSuite {
     assert(got.forall(r => !r(3).asInstanceOf[String].contains("\r")))
   }
 
+  test("choice: a record type-failing every combination is dropped, not an all-null row (r12)") {
+    // review-caught: a record that shape-frames but fails every branch's
+    // typed parse previously coalesced to null in EVERY column — plain
+    // fields that parsed fine included — a phantom row inflating counts.
+    // The reference parser would mark it BROKEN; the bulk convention
+    // (readTokenStream's record skip) is to surface well-formed records
+    // only, so the dispatch now drops it.
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="okey" stop-sign=";"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str class="label" start-sign="K" stop-sign=":"/>
+        |      <str id="kv_val" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="plain"><num id="nv" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val dir = Files.createTempDirectory("choicestream_drop").toString
+    Files.write(Paths.get(dir, "a.txt"),
+      "1;42;t1\n2;xx;t2\n3;K:v;t3\n".getBytes("UTF-8"))
+    val rows = Dfasdl.readDelimited(spark, dir, d).orderBy("okey").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      rows.mkString("; ")) // record 2: no branch parses "xx" — dropped
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(3)))
+  }
+
+  test("choice: record-scope write fails loudly on a no-branch record (r12)") {
+    // review-caught: an all-branches-null record rendered the choice slot
+    // EMPTY (no token, no stop-sign) — a malformed record the read side
+    // silently drops; the writer now raises instead
+    val d = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="okey" stop-sign=";"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str id="k_label" start-sign="K" stop-sign=":"/>
+        |      <str id="k_value" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="plain"><num id="nv" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="tail"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    import spark.implicits._
+    val bad = Seq(
+        (1L, Option.empty[String], Option.empty[String], Some(7L), "t"),
+        (2L, Option.empty[String], Option.empty[String], Option.empty[Long], "t"))
+      .toDF("okey", "k_label", "k_value", "nv", "tail")
+    val out = Files.createTempDirectory("choicestream_badout").toString + "/d"
+    val e = intercept[Throwable](Dfasdl.writeDelimited(bad, d, out))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("populates no branch")),
+      messages(e).mkString(" | "))
+  }
+
   test("choice: record-scope write renders the populated branch and round-trips (r12)") {
     // the label leaf is NAMED here (unlike the read test's anonymous one)
     // so its bytes survive the write and the start-sign re-anchors on the

@@ -307,6 +307,35 @@ class ScaleSpec extends AnyFunSuite {
     val marker = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "_graft_shuffle_scheme")), "UTF-8").trim
     assert(marker == graft.operators.Corpus.ShuffleSchemeVersion.toString)
+    // review-caught marker integrity (r12): the tag must describe what is
+    // ON DISK. Simulate an old-scheme layout by rewriting the marker —
+    // (a) an Ignore-mode write that no-ops must NOT restamp it, and
+    // (b) appending current-scheme shards onto it must refuse (one
+    // directory mixing two permutations reproduces under neither)
+    val mPath = java.nio.file.Paths.get(out, "_graft_shuffle_scheme")
+    // drop the local-FS checksum sidecar when hand-editing the marker, or
+    // the next Hadoop read fails on the stale CRC
+    def stampScheme(v: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(out, "._graft_shuffle_scheme.crc"))
+      java.nio.file.Files.write(mPath, s"$v\n".getBytes("UTF-8"))
+    }
+    stampScheme("1")
+    Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
+      mode = org.apache.spark.sql.SaveMode.Ignore)
+    assert(new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8").trim
+      == "1", "Ignore no-op must not restamp an old-scheme layout")
+    val e = intercept[IllegalStateException](
+      Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
+        mode = org.apache.spark.sql.SaveMode.Append))
+    assert(e.getMessage.contains("mix permutations"), e.getMessage)
+    // appending onto a SAME-scheme layout still works and keeps the tag
+    stampScheme(graft.operators.Corpus.ShuffleSchemeVersion.toString)
+    Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.read.parquet(out).count() == 2 * n)
+    assert(new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8").trim
+      == graft.operators.Corpus.ShuffleSchemeVersion.toString)
   }
 
   test("writeShuffledShards routes shard i to partition i exactly; write plan adds no sort (r11)") {
