@@ -740,13 +740,23 @@ object Dfasdl {
           branchMatches(f, applyTrim(f, element_at(arr(i), g)))
         }.foldLeft(arr(i).isNotNull)(_ && _)
     }
-    val firstMatch = firstMatchOnly(preds)
+    // The winning combination as ONE staged index column: coalesce picks
+    // the first true predicate (in-order retry), null = no combination
+    // parses. Expressing first-match-wins this way keeps the dispatch
+    // LINEAR in combination count — the [[firstMatchOnly]] fold embeds
+    // every earlier predicate's subtree into each later one, O(C²·L)
+    // expression NODES, which at the 64-combination cap is ~10⁶ nodes and
+    // OOMs the planner before a single row moves (found by SourceScale's
+    // cap stressor).
+    val winner =
+      coalesce(preds.zipWithIndex.map { case (p, i) => when(p, lit(i)) }: _*)
+        .as("__winner")
     val cols = doc.fields.map { f =>
       val pieces = combos.zipWithIndex.flatMap { case (leaves, i) =>
         val idxs = plans(i)._2
         leaves.zip(idxs).collectFirst {
           case (lf, g) if lf.id == f.id =>
-            when(firstMatch(i),
+            when(col("__winner") === i,
               coerce(f, applyTrim(f, element_at(arr(i), g))))
         }
       }
@@ -754,7 +764,7 @@ object Dfasdl {
     }
     val recPattern =
       "(" + plans.map { case (p, _) => s"(?:$p)" }.mkString("|") + ")"
-    (recPattern, groupCols, preds.reduce(_ || _), cols)
+    (recPattern, groupCols, winner, cols)
   }
 
   /** Read a choice-stream document ([[isChoiceStreamDoc]]): records frame
@@ -764,30 +774,34 @@ object Dfasdl {
     * combination that fully parses. All dispatch is codegen'd Catalyst
     * regex/conditional expressions — one distributed scan, no UDFs.
     */
-  /** The no-combination-parses drop ([[choiceStreamCols]]' `keep`) as an
-    * explode over a conditional one-element array: `when(keep, ...)` is
-    * null on a dropped record and explode emits nothing for null input.
-    * NOT a `.filter(keep)` — the optimizer pushes a deterministic filter
-    * below the staged groups projection by SUBSTITUTING the alias
-    * definitions, which re-runs every combination's regexp_groups match
-    * inside the filter (measured 45% slower end-to-end). The struct
-    * multi-references each `__g_i`, so CollapseProject leaves the staging
+  /** The per-record dispatch over the staged group arrays: one projection
+    * derives `__winner` (it references sibling `__g_i` aliases, so it
+    * needs its own stage), then the no-combination-parses drop runs as an
+    * explode over a conditional one-element array — `when(winner set,
+    * ...)` is null on a dropped record and explode emits nothing for null
+    * input. NOT a `.filter` — the optimizer pushes a deterministic filter
+    * below the staged projections by SUBSTITUTING the alias definitions,
+    * which re-runs every combination's regexp_groups match inside the
+    * filter (measured 45% slower end-to-end). The struct multi-references
+    * `__winner` and the arrays, so CollapseProject leaves the staging
     * intact.
     */
-  private def dispatchRows(staged: DataFrame, keep: Column,
+  private def dispatchRows(staged: DataFrame, winner: Column,
                            cols: Seq[Column]): DataFrame =
-    staged.select(explode(when(keep, array(struct(cols: _*)))).as("__row"))
+    staged.select(col("*"), winner)
+      .select(explode(when(col("__winner").isNotNull,
+        array(struct(cols: _*)))).as("__row"))
       .select("__row.*")
 
   private def readChoiceStream(spark: SparkSession, path: String,
                                doc: Doc): DataFrame = {
-    val (recPattern, groupCols, keep, cols) = choiceStreamCols(doc)
+    val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
     val recs = spark.read.option("wholetext", "true").text(path)
       .select(explode(regexp_extract_all(col("value"), lit(recPattern),
         lit(1))).as("__rec"))
       .filter(length(col("__rec")) > 0) // see readTokenStream
       .select(groupCols: _*)
-    bounded(dispatchRows(recs, keep, cols), doc)
+    bounded(dispatchRows(recs, winner, cols), doc)
   }
 
   /** Streaming twin of [[rawLines]] — same options, `readStream` source. */
@@ -841,7 +855,7 @@ object Dfasdl {
         .select(cols: _*)
     }
     if (isChoiceStreamDoc(doc)) {
-      val (recPattern, groupCols, keep, cols) = choiceStreamCols(doc)
+      val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
       return dispatchRows(
         spark.readStream.option("wholetext", "true")
           .schema(StructType(Seq(StructField("value", StringType))))
@@ -850,7 +864,7 @@ object Dfasdl {
             lit(1))).as("__rec"))
           .filter(length(col("__rec")) > 0) // see readTokenStream
           .select(groupCols: _*),
-        keep, cols)
+        winner, cols)
     }
     // single-field sign-less records: whole lines, same as the batch
     // reader (the csv route would split at "," — see readDelimited)

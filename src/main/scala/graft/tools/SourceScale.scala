@@ -76,6 +76,34 @@ object SourceScale {
       |  </elem></seq>
       |</dfasdl>""".stripMargin)
 
+  /** The combination-cap stressor: five [num|str] choices after a
+    * multi-leaf one = 2^6 = 64 combinations, exactly the typed-error
+    * bound. Honest worst-case pricing for the alternation framing + 64
+    * staged matches per record — the number that justifies (or indicts)
+    * the cap.
+    */
+  private val choice64Doc = Dfasdl.parseSchema(
+    """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="SRC64">
+      |  <seq id="s"><elem id="r">
+      |    <num id="okey" stop-sign=";"/>
+      |    <choice id="kv">
+      |      <celem id="labeled">
+      |        <str class="label" start-sign="K" stop-sign=":"/>
+      |        <str id="prio" stop-sign=";"/>
+      |      </celem>
+      |      <celem id="plain"><num id="ck" stop-sign=";"/></celem>
+      |    </choice>
+      |""".stripMargin +
+      (1 to 5).map(i =>
+        s"""    <choice id="c$i">
+           |      <celem id="n$i-b"><num id="n$i" stop-sign=";"/></celem>
+           |      <celem id="s$i-b"><str id="s$i" stop-sign=";"/></celem>
+           |    </choice>
+           |""".stripMargin).mkString +
+      """    <str id="status"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+
   def run(spark: SparkSession, src: String, files: Int, reps: Int): Unit = {
     val orders = spark.read.parquet(s"$src/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
@@ -103,6 +131,21 @@ object SourceScale {
           .otherwise(col("o_custkey").cast(StringType)),
         lit(";"), col("o_orderstatus")).as("value"))
       .write.mode("overwrite").text(chPath)
+    // 64-combination stressor data: the five extra tokens alternate
+    // num/str by key so records land across the combination space
+    val ch64Path = s"$base/choice64"
+    orders.repartition(files)
+      .select(concat(col("o_orderkey"), lit(";"),
+        when(col("o_orderkey") % 2 === 0,
+          concat(lit("K:"), col("o_orderpriority")))
+          .otherwise(col("o_custkey").cast(StringType)),
+        lit(";"),
+        concat_ws(";", (1 to 5).map(i =>
+          when((col("o_orderkey") / i.toDouble).cast("long") % 2 === 0,
+            (col("o_custkey") + i).cast(StringType))
+            .otherwise(concat(lit("tok"), lit(i)))): _*),
+        lit(";"), col("o_orderstatus")).as("value"))
+      .write.mode("overwrite").text(ch64Path)
 
     def scan(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum(col("okey"))).collect()(0)
@@ -125,7 +168,9 @@ object SourceScale {
       try Seq(
         leg("csv", () => Dfasdl.readDelimited(spark, csvPath, csvDoc)),
         leg("token_stream", () => Dfasdl.readDelimited(spark, tokPath, tokenDoc)),
-        leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)))
+        leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)),
+        leg("choice_stream_64", () =>
+          Dfasdl.readDelimited(spark, ch64Path, choice64Doc)))
       finally {
         // deleteOnExit cannot remove non-empty directories — the three
         // staged corpora are hundreds of MB per run and would pile up
