@@ -232,13 +232,20 @@ object Sinks extends Serializable {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    val ignoredNoOp =
-      mode == SaveMode.Ignore && fs.exists(new org.apache.hadoop.fs.Path(path))
-    if (mode == SaveMode.Append)
-      existing.filter(_ != current).foreach(v => throw new IllegalStateException(
+    val pathExists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val ignoredNoOp = mode == SaveMode.Ignore && pathExists
+    if (mode == SaveMode.Append) existing match {
+      case Some(v) if v != current => throw new IllegalStateException(
         s"writeShuffledShards: $path holds a scheme-v$v layout; appending " +
           s"scheme-v$current shards would mix permutations under one tag — " +
-          "regenerate the export instead"))
+          "regenerate the export instead")
+      case None if pathExists => throw new IllegalStateException(
+        s"writeShuffledShards: $path holds an UNVERSIONED layout (a " +
+          "pre-marker scheme-v1 export); appending current-scheme shards " +
+          "would mix permutations under one tag — regenerate the export " +
+          "instead")
+      case _ => ()
+    }
     shuffled
       .withColumn("shard",
         (col("pos") % nShards).cast(org.apache.spark.sql.types.IntegerType))

@@ -329,6 +329,15 @@ class ScaleSpec extends AnyFunSuite {
       Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
         mode = org.apache.spark.sql.SaveMode.Append))
     assert(e.getMessage.contains("mix permutations"), e.getMessage)
+    // appending onto an UNVERSIONED layout (pre-marker v1 export) refuses
+    // too — marker absence means scheme v1, not "anything goes"
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out, "._graft_shuffle_scheme.crc"))
+    java.nio.file.Files.deleteIfExists(mPath)
+    val e2 = intercept[IllegalStateException](
+      Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
+        mode = org.apache.spark.sql.SaveMode.Append))
+    assert(e2.getMessage.contains("UNVERSIONED"), e2.getMessage)
     // appending onto a SAME-scheme layout still works and keeps the tag
     stampScheme(graft.operators.Corpus.ShuffleSchemeVersion.toString)
     Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
