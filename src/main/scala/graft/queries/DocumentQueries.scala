@@ -787,8 +787,7 @@ object DocumentQueries {
     ivfDiskCache.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdisk")
       Similarity.ivfWrite(ivfIndexPlanted(spark, dir), tmp.toString)
-      tmp.toFile.deleteOnExit()
-      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      SourceQueries.registerCleanup(tmp) // see cachedArtifact's rationale
       tmp.toString
     })
 
@@ -820,8 +819,7 @@ object DocumentQueries {
       val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       Similarity.ivfAppend(spark, tmp.toString,
         annPlanted(e).filter(col("vec_id") >= 100000L), "embedding", "vec_id")
-      tmp.toFile.deleteOnExit()
-      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      SourceQueries.registerCleanup(tmp) // see cachedArtifact's rationale
       tmp.toString
     })
 

@@ -37,10 +37,21 @@ object SourceQueries {
     artifactCache.computeIfAbsent((kind, dir), { _ =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind")
       write(tmp.toString)
-      tmp.toFile.deleteOnExit()
-      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      // a shutdown-hook recursive delete, not deleteOnExit: deleteOnExit
+      // only removes what existed at registration, and several artifacts
+      // keep writing afterwards (Derby transaction logs) — each
+      // short-lived Verify/Bench JVM then leaks its staging dirs
+      registerCleanup(tmp)
       tmp.toString
     })
+
+  private[queries] def registerCleanup(tmp: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () } // exit-time best effort
+    }))
 
   private def q21FixedWidth(spark: SparkSession, dir: String): DataFrame = {
     val tmp = cachedArtifact("fw", dir) { out =>
