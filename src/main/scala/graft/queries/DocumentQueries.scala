@@ -787,7 +787,7 @@ object DocumentQueries {
     ivfDiskCache.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdisk")
       Similarity.ivfWrite(ivfIndexPlanted(spark, dir), tmp.toString)
-      SourceQueries.registerCleanup(tmp) // see cachedArtifact's rationale
+      graft.TempFiles.cleanupAtExit(tmp) // see cachedArtifact's rationale
       tmp.toString
     })
 
@@ -819,7 +819,7 @@ object DocumentQueries {
       val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       Similarity.ivfAppend(spark, tmp.toString,
         annPlanted(e).filter(col("vec_id") >= 100000L), "embedding", "vec_id")
-      SourceQueries.registerCleanup(tmp) // see cachedArtifact's rationale
+      graft.TempFiles.cleanupAtExit(tmp) // see cachedArtifact's rationale
       tmp.toString
     })
 

@@ -26,9 +26,10 @@ object SourceQueries {
   /** Round-trip queries write a temp artifact as INPUT for the read side.
     * That write is an eager action, so memoize it per data dir (the content
     * is a pure function of the dir) — one write per JVM instead of one per
-    * warmup/timed/sweep invocation, and no unbounded temp-disk growth. The
-    * files are registered for deletion at JVM exit (dir first: deleteOnExit
-    * runs in reverse registration order, so files go before their dir).
+    * warmup/timed/sweep invocation, and no unbounded temp-disk growth.
+    * Each staging dir is removed by an exit-time recursive delete
+    * ([[graft.TempFiles.cleanupAtExit]]) so files written AFTER staging
+    * (Derby transaction logs) go too.
     */
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
@@ -41,17 +42,9 @@ object SourceQueries {
       // only removes what existed at registration, and several artifacts
       // keep writing afterwards (Derby transaction logs) — each
       // short-lived Verify/Bench JVM then leaks its staging dirs
-      registerCleanup(tmp)
+      graft.TempFiles.cleanupAtExit(tmp)
       tmp.toString
     })
-
-  private[queries] def registerCleanup(tmp: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Throwable => () } // exit-time best effort
-    }))
 
   private def q21FixedWidth(spark: SparkSession, dir: String): DataFrame = {
     val tmp = cachedArtifact("fw", dir) { out =>

@@ -234,16 +234,22 @@ object Sinks extends Serializable {
       }
     val pathExists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val ignoredNoOp = mode == SaveMode.Ignore && pathExists
+    // marker absence only means "pre-marker v1 layout" when shard data is
+    // actually present — an empty pre-created directory (or a first
+    // Append that died before writing anything) must stay appendable
+    def hasShardData = pathExists &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("shard="))
     if (mode == SaveMode.Append) existing match {
       case Some(v) if v != current => throw new IllegalStateException(
         s"writeShuffledShards: $path holds a scheme-v$v layout; appending " +
           s"scheme-v$current shards would mix permutations under one tag — " +
           "regenerate the export instead")
-      case None if pathExists => throw new IllegalStateException(
-        s"writeShuffledShards: $path holds an UNVERSIONED layout (a " +
-          "pre-marker scheme-v1 export); appending current-scheme shards " +
-          "would mix permutations under one tag — regenerate the export " +
-          "instead")
+      case None if hasShardData => throw new IllegalStateException(
+        s"writeShuffledShards: $path holds UNVERSIONED shard data (a " +
+          "pre-marker scheme-v1 export, or an export that died before its " +
+          "marker stamp); appending current-scheme shards could mix " +
+          "permutations under one tag — regenerate the export instead")
       case _ => ()
     }
     shuffled

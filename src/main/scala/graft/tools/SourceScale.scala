@@ -172,11 +172,9 @@ object SourceScale {
         leg("choice_stream_64", () =>
           Dfasdl.readDelimited(spark, ch64Path, choice64Doc)))
       finally {
-        // deleteOnExit cannot remove non-empty directories — the three
-        // staged corpora are hundreds of MB per run and would pile up
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // the four staged corpora are hundreds of MB per run — remove
+        // them as soon as the legs finish
+        graft.TempFiles.deleteRecursively(base)
       }
     val surfaces = legs.map { case (name, sec) =>
       f""""$name":{"sec":$sec%.3f,"rows_per_s":${(n / sec).toLong}}"""

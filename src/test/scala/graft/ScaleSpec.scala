@@ -338,6 +338,14 @@ class ScaleSpec extends AnyFunSuite {
       Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
         mode = org.apache.spark.sql.SaveMode.Append))
     assert(e2.getMessage.contains("UNVERSIONED"), e2.getMessage)
+    // ...but a merely EXISTING empty directory (pre-created target, or a
+    // first Append that died before writing data) must stay appendable —
+    // marker absence only means v1 when shard data is present
+    val empty = java.nio.file.Files.createTempDirectory("shards_empty")
+      .toString
+    Sinks.writeShuffledShards(docs, empty, "doc_id", seed = 11L, nShards = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.read.parquet(empty).count() == n)
     // appending onto a SAME-scheme layout still works and keeps the tag
     stampScheme(graft.operators.Corpus.ShuffleSchemeVersion.toString)
     Sinks.writeShuffledShards(docs, out, "doc_id", seed = 11L, nShards = 4,
