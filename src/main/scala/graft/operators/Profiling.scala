@@ -85,6 +85,48 @@ object Profiling {
         col("n"))
   }
 
+  /** Distribution drift between two snapshots of a numeric column as a
+    * per-bin population-stability-index table — the "did the new crawl
+    * shift my feature?" check a training pipeline runs between ingests.
+    * Fixed equi-width bins over `[lo, hi]` (same contract as
+    * [[histogram]]); out-of-range values CLAMP into the edge bins rather
+    * than drop, so range drift cannot silently vanish from the report.
+    * Output: (`bucket`, `count_a`, `count_b`, `psi_term`) where
+    * `psi_term` = (pA−pB)·ln((pA+ε)/(pB+ε)), ε = 1e-9, rounded to
+    * DECIMAL(38,6) (ln's last-ulp can differ across libm builds; six
+    * decimals is far above that noise and far below any real drift).
+    * PSI = SUM(psi_term); the usual read is <0.1 stable, >0.25 shifted.
+    *
+    * Scale shape: two scans union into one keyed aggregate over at most
+    * `nBuckets` groups (partial combine → `nBuckets` rows per task on
+    * the exchange at any table size), then a one-row totals broadcast —
+    * no data-sized shuffle at 100 TB.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                        lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val v = df(valueCol).cast(DoubleType)
+      df.filter(v.isNotNull).select(
+        least(greatest(floor((v - lo) / width), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast(LongType).as("bucket"),
+        lit(tag).as("__side"))
+    }
+    val counts = side(a, "a").unionByName(side(b, "b"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("count_b"))
+    val totals = counts.agg(sum(col("count_a")).as("__na"),
+      sum(col("count_b")).as("__nb"))
+    val pa = col("count_a") / col("__na")
+    val pb = col("count_b") / col("__nb")
+    counts.crossJoin(broadcast(totals)) // one-row totals: bounded by construction
+      .select(col("bucket"), col("count_a"), col("count_b"),
+        ((pa - pb) * log((pa + lit(1e-9)) / (pb + lit(1e-9))))
+          .cast(DecimalType(38, 6)).as("psi_term"))
+  }
+
   /** Exact Pearson correlation between two columns, engine-portably: the
     * five moment sums accumulate as DECIMAL (exact, order-independent —
     * a plain float `corr()` depends on partition addition order), and only

@@ -1226,6 +1226,58 @@ object DocumentQueries {
       | WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0.0 AND o_totalprice <= 500000.0
       | GROUP BY 1)""".stripMargin
 
+  // -------------------------------------------------------------- p_drift
+  // Distribution drift (per-bin PSI) between the q22 snapshot pair: A is
+  // orders as-is, B the deterministic mutation (keys %97 removed, %101
+  // repriced +1.0, %103 re-added) — the "did the new ingest shift my
+  // feature?" check between two crawls. Same fixed 20-bin [0, 500000]
+  // range as p_histogram, out-of-range CLAMPED into edge bins; the oracle
+  // replays binning, the conditional counts, and the ε-smoothed ln term
+  // in the same double arithmetic, quantized through DECIMAL(38,6).
+  private def pDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(when(pmod(col("o_orderkey"), lit(101)) === 0,
+        col("o_totalprice") + lit(1.0d))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+        .select(col("o_totalprice")))
+    graft.operators.Profiling.distributionDrift(
+      o.select(col("o_totalprice")), b, "o_totalprice",
+      lo = 0.0, hi = 500000.0, nBuckets = 20)
+      // p_corr's comparator convention: quantize through the decimal, hand
+      // the oracle a DOUBLE (decimal column renderings differ per engine)
+      .withColumn("psi_term", col("psi_term").cast(DoubleType))
+  }
+
+  private val pDriftSql =
+    """WITH b AS (
+      | SELECT CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+      |  ELSE o_totalprice END AS x
+      | FROM orders WHERE o_orderkey % 97 <> 0
+      | UNION ALL
+      | SELECT o_totalprice FROM orders WHERE o_orderkey % 103 = 0),
+      |u AS (
+      | SELECT 'a' AS s,
+      |  CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19) AS BIGINT) AS bucket
+      | FROM orders WHERE o_totalprice IS NOT NULL
+      | UNION ALL
+      | SELECT 'b',
+      |  CAST(least(greatest(floor((x - 0.0) / 25000.0), 0), 19) AS BIGINT)
+      | FROM b WHERE x IS NOT NULL),
+      |c AS (
+      | SELECT bucket,
+      |  count(*) FILTER (WHERE s = 'a') AS count_a,
+      |  count(*) FILTER (WHERE s = 'b') AS count_b
+      | FROM u GROUP BY bucket),
+      |t AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM c)
+      |SELECT bucket, count_a, count_b,
+      | CAST(CAST((count_a * 1.0 / na - count_b * 1.0 / nb)
+      |  * ln((count_a * 1.0 / na + 1e-9) / (count_b * 1.0 / nb + 1e-9))
+      |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
+      |FROM c, t""".stripMargin
+
   // ----------------------------------------------------------------- p_corr
   // Exact Pearson correlation between line-item quantity and price
   // (Profiling.corrExact): moment sums accumulate as exact DECIMAL (order-
@@ -1314,6 +1366,7 @@ object DocumentQueries {
     QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
+    QueryDef("p_drift", pDrift, Some(pDriftSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),

@@ -152,6 +152,38 @@ class CurationSpec extends AnyFunSuite {
     assert(hintedLow == Set(9L) && hintedHigh == Set(9L))
   }
 
+  test("distributionDrift: exact zero on identical snapshots, clamped edges, shift sign (r12)") {
+    // identical snapshots: pa == pb per bin -> (pa-pb)=0 -> every psi_term
+    // EXACTLY 0.000000 (no epsilon residue — the smoothing sits inside ln,
+    // multiplied by an exact zero)
+    val a = Seq(1.0, 2.0, 5.0, 9.0, 9.5).toDF("x")
+    val same = Profiling.distributionDrift(a, a, "x",
+        lo = 0.0, hi = 10.0, nBuckets = 5)
+      .collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2))
+      assert(r.getDecimal(3).signum == 0, r.toString)
+    }
+    // clamping: values outside [lo,hi] land in the EDGE bins (range drift
+    // must not silently vanish), and a mass shift prices with the right
+    // sign — bin losing mass in B gets a positive term (pa>pb), the bin
+    // gaining mass a positive term too only when ... sign = (pa-pb)*ln(pa/pb):
+    // both factors flip together, so every nonzero term is positive
+    val b = Seq(-3.0, 42.0, 5.0, 5.1, 9.0).toDF("x") // -3 -> bin 0, 42 -> bin 4
+    val drift = Profiling.distributionDrift(a, b, "x",
+        lo = 0.0, hi = 10.0, nBuckets = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    // B bin populations: 0 -> {-3.0 clamped}, 2 -> {5.0, 5.1}, 4 -> {9.0, 42.0 clamped}
+    assert(drift(0)._2 == 1L && drift(2)._2 == 2L && drift(4)._2 == 2L,
+      drift.toString)
+    // PSI terms are nonnegative by construction; a shifted bin is > 0
+    assert(drift.values.forall(_._3.signum >= 0))
+    assert(drift(1)._3.signum > 0, // A had 2.0 in bin 1, B has nothing
+      drift(1).toString)
+  }
+
   test("columnMode tie-breaks on value ascending") {
     val df = Seq("b", "b", "a", "a", "c").toDF("v")
     val m = Profiling.columnMode(df, "v").as[(String, String, Long)].collect().head
