@@ -127,6 +127,49 @@ object Profiling {
           .cast(DecimalType(38, 6)).as("psi_term"))
   }
 
+  /** [[distributionDrift]]'s categorical twin: per-category PSI between
+    * two snapshots of a discrete column (source, language, label — the
+    * features a numeric binning can't see). The category vocabulary is
+    * the BASELINE's top-`topK` values by count (ties broken by value
+    * ascending, so the vocabulary is deterministic); everything else —
+    * including categories that appear only in B, the classic new-source
+    * drift — folds into the `__other__` row, so novel mass is reported,
+    * never dropped. Output and smoothing contract identical to
+    * [[distributionDrift]].
+    *
+    * Scale shape: one keyed aggregate per side (partial combine), a
+    * driver-bounded top-K vocabulary (≤ topK rows collected via sort),
+    * then the same ≤(topK+1)-group aggregate + one-row totals broadcast.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String,
+                       topK: Int): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    val vocab = a.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast(StringType).as("category"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("category"))
+      .limit(topK)
+      .select(col("category"))
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .select(col(catCol).cast(StringType).as("__v"), lit(tag).as("__side"))
+        .join(broadcast(vocab), col("__v") === col("category"), "left")
+        .select(coalesce(col("category"), lit("__other__")).as("category"),
+          col("__side"))
+    val counts = side(a, "a").unionByName(side(b, "b"))
+      .groupBy(col("category"))
+      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("count_b"))
+    val totals = counts.agg(sum(col("count_a")).as("__na"),
+      sum(col("count_b")).as("__nb"))
+    val pa = col("count_a") / col("__na")
+    val pb = col("count_b") / col("__nb")
+    counts.crossJoin(broadcast(totals)) // one-row totals: bounded by construction
+      .select(col("category"), col("count_a"), col("count_b"),
+        ((pa - pb) * log((pa + lit(1e-9)) / (pb + lit(1e-9))))
+          .cast(DecimalType(38, 6)).as("psi_term"))
+  }
+
   /** Exact Pearson correlation between two columns, engine-portably: the
     * five moment sums accumulate as DECIMAL (exact, order-independent —
     * a plain float `corr()` depends on partition addition order), and only

@@ -1278,6 +1278,53 @@ object DocumentQueries {
       |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
       |FROM c, t""".stripMargin
 
+  // ---------------------------------------------------------- p_drift_cat
+  // Categorical drift over the same q22 snapshot pair: order PRIORITY
+  // distribution before/after the mutation, vocabulary = A's top-3
+  // priorities (count desc, value asc — deterministic even under count
+  // ties), the two remaining priorities folding into __other__ — the
+  // new-source/new-language check a numeric binning can't see. Oracle
+  // replays vocabulary, folding, counts, and the ln term.
+  private def pDriftCat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0))
+      .select(col("o_orderpriority"))
+    graft.operators.Profiling.categoricalDrift(
+      o.select(col("o_orderpriority")), b, "o_orderpriority", topK = 3)
+      .withColumn("psi_term", col("psi_term").cast(DoubleType))
+  }
+
+  private val pDriftCatSql =
+    """WITH b AS (
+      | SELECT o_orderpriority AS v FROM orders WHERE o_orderkey % 97 <> 0
+      | UNION ALL
+      | SELECT o_orderpriority FROM orders WHERE o_orderkey % 103 = 0),
+      |vocab AS (
+      | SELECT o_orderpriority AS category FROM orders
+      | WHERE o_orderpriority IS NOT NULL
+      | GROUP BY 1 ORDER BY count(*) DESC, category LIMIT 3),
+      |u AS (
+      | SELECT 'a' AS s, COALESCE(vo.category, '__other__') AS category
+      | FROM orders LEFT JOIN vocab vo ON o_orderpriority = vo.category
+      | WHERE o_orderpriority IS NOT NULL
+      | UNION ALL
+      | SELECT 'b', COALESCE(vo.category, '__other__')
+      | FROM b LEFT JOIN vocab vo ON b.v = vo.category
+      | WHERE b.v IS NOT NULL),
+      |c AS (
+      | SELECT category,
+      |  count(*) FILTER (WHERE s = 'a') AS count_a,
+      |  count(*) FILTER (WHERE s = 'b') AS count_b
+      | FROM u GROUP BY category),
+      |t AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM c)
+      |SELECT category, count_a, count_b,
+      | CAST(CAST((count_a * 1.0 / na - count_b * 1.0 / nb)
+      |  * ln((count_a * 1.0 / na + 1e-9) / (count_b * 1.0 / nb + 1e-9))
+      |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
+      |FROM c, t""".stripMargin
+
   // ----------------------------------------------------------------- p_corr
   // Exact Pearson correlation between line-item quantity and price
   // (Profiling.corrExact): moment sums accumulate as exact DECIMAL (order-
@@ -1367,6 +1414,7 @@ object DocumentQueries {
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_drift", pDrift, Some(pDriftSql)),
+    QueryDef("p_drift_cat", pDriftCat, Some(pDriftCatSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),

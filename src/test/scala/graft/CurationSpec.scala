@@ -184,6 +184,33 @@ class CurationSpec extends AnyFunSuite {
       drift(1).toString)
   }
 
+  test("categoricalDrift: baseline-topK vocabulary, novel-category fold, exact zero (r12)") {
+    val a = Seq("en", "en", "en", "de", "de", "fr").toDF("lang")
+    // identical snapshots: every term exactly zero
+    val same = Profiling.categoricalDrift(a, a, "lang", topK = 2).collect()
+    assert(same.map(_.getString(0)).toSet == Set("en", "de", "__other__"))
+    same.foreach(r => assert(r.getDecimal(3).signum == 0, r.toString))
+    // vocabulary comes from A's top-K (count desc, value asc): "fr" folds
+    // to __other__; a category ONLY in B (the new-source drift) folds
+    // there too instead of vanishing
+    val b = Seq("en", "de", "de", "zz", "zz", "zz").toDF("lang")
+    val drift = Profiling.categoricalDrift(a, b, "lang", topK = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    assert(drift("en") == ((3L, 1L, drift("en")._3)))
+    assert(drift("de") == ((2L, 2L, drift("de")._3)))
+    assert(drift("__other__")._1 == 1L && drift("__other__")._2 == 3L,
+      drift.toString)
+    assert(drift("de")._3.signum == 0) // 2/6 both sides
+    assert(drift("en")._3.signum > 0 && drift("__other__")._3.signum > 0)
+    // count ties in the vocabulary break by value ascending: with topK=1
+    // over {x:2, y:2} the vocabulary is {x}, deterministically
+    val t = Seq("y", "x", "y", "x").toDF("lang")
+    val v1 = Profiling.categoricalDrift(t, t, "lang", topK = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(v1 == Set("x", "__other__"), v1.toString)
+  }
+
   test("columnMode tie-breaks on value ascending") {
     val df = Seq("b", "b", "a", "a", "c").toDF("v")
     val m = Profiling.columnMode(df, "v").as[(String, String, Long)].collect().head
