@@ -566,6 +566,67 @@ object Dedup {
         expr("dup_spans * 1000 div n_spans").as("dup_pm"))
   }
 
+  /** Substring-level dedup REWRITE: the span-REMOVED corpus — the actual
+    * output of Lee et al. (ACL'22) exact-substring deduplication, where
+    * [[duplicatedSpanCoverage]] is only the per-document signal. Every word
+    * `k`-shingle occurrence whose span text occurs anywhere else in the
+    * corpus (another document OR another position of the same document) is
+    * removed EXCEPT the corpus-wide first occurrence, deterministically
+    * ordered by (`idCol`, position). Tokens covered by at least one removed
+    * span drop; survivors reassemble in position order.
+    *
+    * Tokenization contract (shared with [[duplicatedSpanCoverage]] via
+    * [[graft.functions.ShingleHash.positionShingleHashes]]): lowercase,
+    * split on whitespace runs, empties dropped — so `clean_text` is
+    * whitespace-normalized lowercase, the shape a training pipeline feeds
+    * the tokenizer anyway. Documents shorter than `k` tokens have no spans
+    * and pass through (normalized); documents whose every token was covered
+    * return an empty string.
+    *
+    * Scale shape: the corpus-wide KEEP/DROP decision never touches text —
+    * span occurrences hash map-side in one fused codegen pass, the
+    * occurrence-stats aggregate groups on the 8-byte hash carrying
+    * (count, min (id,pos)) with map-side partial combine, and only
+    * occurrences of spans with count ≥ 2 survive the inner join back (the
+    * overwhelmingly-unique spans of a real corpus drop before any wide
+    * exchange). Covered token positions fan out ×k as (id, int) pairs. The
+    * single text-bearing exchange is the final per-document reassembly
+    * (anti-join + groupBy on (id, pos)) — that exchange is the OUTPUT
+    * corpus itself, the same one-rewrite floor [[lineDedup]] has. A 64-bit
+    * span-hash collision can only merge two span identities (over-delete
+    * one span occurrence), never fabricate text, at ~2⁻⁶⁴ per span pair.
+    */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)))
+      .toDF("id", "pos", "tok")
+    val spans = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.ShingleHash.positionShingleHashes(col(textCol), k)))
+      .toDF("id", "pos", "h")
+    // count ≥ 2 filters BEFORE the join back: unique spans (the vast
+    // majority) never re-shuffle. min(struct(id,pos)) is the deterministic
+    // first occurrence — struct ordering is field-lexicographic.
+    val dupStats = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("h"), col("__first"))
+    val removedStarts = spans.join(dupStats, "h")
+      .filter(struct(col("id"), col("pos")) =!= col("__first"))
+    val covered = removedStarts
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Resolve near-duplicate PAIRS into connected components — the cluster
     * step every production dedup pipeline runs after candidate scoring
     * (pairs alone under-delete: A~B and B~C must collapse to one cluster

@@ -103,6 +103,57 @@ object CurationQueries {
       | CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS dup_pm
       |FROM sp JOIN f USING (g) GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------ d_substring_rewrite
+  // Substring-dedup REWRITE: the span-REMOVED corpus (Lee et al. ACL'22's
+  // actual output, where d_substring_dedup is only the signal). Same
+  // planted footer as d_substring_dedup so cross-document duplicated spans
+  // exist by construction; every duplicated 5-shingle occurrence except the
+  // corpus-wide (doc_id, pos)-first one is removed, and tokens covered by a
+  // removed span drop. The oracle replays keep/drop on span TEXT (the
+  // operator's 8-byte hashes are a pure grouping device).
+  private def dSubstringRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(plantedFooter)))
+        .otherwise(col("text")).as("text"))
+    Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 5)
+  }
+
+  private val dSubstringRewriteSql =
+    """WITH d AS (
+      | SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |  THEN text || ' subscribe to our newsletter for updates today'
+      |  ELSE text END AS text
+      | FROM documents),
+      |t AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      | FROM d),
+      |tok AS (
+      | SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[CAST(u.i + 1 AS INT)] AS tok
+      | FROM t, UNNEST(range(0, len(toks))) AS u(i)),
+      |sp AS (
+      | SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+      |  array_to_string(toks[CAST(u.i + 1 AS INT):CAST(u.i + 5 AS INT)], ' ') AS g
+      | FROM t, UNNEST(range(0, len(toks) - 4)) AS u(i)
+      | WHERE len(toks) >= 5),
+      |r AS (
+      | SELECT doc_id, pos,
+      |  COUNT(*) OVER (PARTITION BY g) AS cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      | FROM sp),
+      |cov AS (
+      | SELECT DISTINCT doc_id, pos + u.o AS cpos
+      | FROM r, UNNEST(range(0, 5)) AS u(o)
+      | WHERE cnt >= 2 AND rn > 1),
+      |kept AS (
+      | SELECT tok.doc_id, tok.pos, tok.tok
+      | FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+      | WHERE cov.cpos IS NULL),
+      |agg AS (
+      | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      | FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text
+      |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   // ------------------------------------------------- d_embed_centroid
   // Per-label embedding centroids in fixed point: each element contributes
   // floor(v·2^20) as a 64-bit integer, so the sums are exact and
@@ -467,6 +518,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_inverted_index", dInvertedIndex, Some(dInvertedIndexSql)),
     QueryDef("d_weighted_sample", dWeightedSample, Some(dWeightedSampleSql)),
     QueryDef("d_substring_dedup", dSubstringDedup, Some(dSubstringDedupSql)),
+    QueryDef("d_substring_rewrite", dSubstringRewrite, Some(dSubstringRewriteSql)),
     QueryDef("d_embed_centroid", dEmbedCentroid, Some(dEmbedCentroidSql)),
     QueryDef("d_doc_chunk", dDocChunk, Some(dDocChunkSql)),
     QueryDef("d_curation_pipeline", dCurationPipeline, Some(dCurationPipelineSql)),

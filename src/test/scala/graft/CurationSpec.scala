@@ -92,6 +92,30 @@ class CurationSpec extends AnyFunSuite {
       s"got $cov")
   }
 
+  test("removeDuplicatedSpans: keeps first occurrence, rewrites the rest") {
+    val shared = "one two three four five"
+    val df = Seq(
+      (1L, s"alpha beta $shared"),          // first occurrence of the span
+      (2L, s"$shared gamma delta"),         // later occurrence → span removed
+      (3L, "Too SHORT"),                    // < 5 tokens → normalized pass-through
+      (4L, ""),                             // empty → ""
+      (5L, "x y z w v x y z w v")           // self-repetition: second copy removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "text", "doc_id", k = 5)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "alpha beta one two three four five"), // corpus-wide first: untouched
+      (2L, "gamma delta"),                        // covered tokens dropped
+      (3L, "too short"),                          // lowercase-normalized, no spans
+      (4L, ""),
+      (5L, "x y z w v")                           // within-doc repeat removed
+    ), s"got $out")
+    // partitioning-independent: the (id, pos)-first tie-break is data-driven
+    val again = Dedup.removeDuplicatedSpans(df.repartition(7), "text", "doc_id", k = 5)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
   test("centroidsFixedPoint is exact and partitioning-independent") {
     val df = Seq(
       (0, Array(1.0f, -0.5f)),
