@@ -103,28 +103,97 @@ object Profiling {
     * no data-sized shuffle at 100 TB.
     */
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
-                        lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+                        lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    psiFromCounts(
+      bucketCounts(a, valueCol, lo, hi, nBuckets, "count_a")
+        .join(bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("bucket"), "distributionDrift")
+
+  /** One side's equi-width bucket counts — the persistable half of
+    * [[distributionDrift]]. NULL and NaN values are EXCLUDED (floor(NaN)
+    * would otherwise coerce into bucket 0 and silently inflate edge-bin
+    * mass); out-of-range values clamp into the edge bins as documented on
+    * [[distributionDrift]]. ≤ `nBuckets` rows, map-side partial combine.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                   nBuckets: Int, countName: String = "count"): DataFrame = {
     require(nBuckets > 0 && hi > lo, s"need hi > lo and nBuckets > 0")
     val width = (hi - lo) / nBuckets
-    def side(df: DataFrame, tag: String): DataFrame = {
-      val v = df(valueCol).cast(DoubleType)
-      df.filter(v.isNotNull).select(
+    val v = df(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull && !isnan(v)).select(
         least(greatest(floor((v - lo) / width), lit(0.0)),
-          lit((nBuckets - 1).toDouble)).cast(LongType).as("bucket"),
-        lit(tag).as("__side"))
-    }
-    val counts = side(a, "a").unionByName(side(b, "b"))
+          lit((nBuckets - 1).toDouble)).cast(LongType).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("count_a"),
-        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("count_b"))
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** The shared PSI tail: per-key counts → ε-smoothed psi_term. A zero-row
+    * side RAISES (assert_true) instead of nulling every psi_term through a
+    * 0/0 — a drift report silently full of nulls reads as "no drift".
+    */
+  private def psiFromCounts(counts: DataFrame, keyCols: Seq[String],
+                            opName: String): DataFrame = {
     val totals = counts.agg(sum(col("count_a")).as("__na"),
       sum(col("count_b")).as("__nb"))
     val pa = col("count_a") / col("__na")
     val pb = col("count_b") / col("__nb")
+    val term = ((pa - pb) * log((pa + lit(1e-9)) / (pb + lit(1e-9))))
+      .cast(DecimalType(38, 6))
     counts.crossJoin(broadcast(totals)) // one-row totals: bounded by construction
-      .select(col("bucket"), col("count_a"), col("count_b"),
-        ((pa - pb) * log((pa + lit(1e-9)) / (pb + lit(1e-9))))
-          .cast(DecimalType(38, 6)).as("psi_term"))
+      .select(keyCols.map(col) ++ Seq(col("count_a"), col("count_b"),
+        coalesce(
+          assert_true(col("__na") > 0 && col("__nb") > 0,
+            lit(s"$opName: a snapshot side has zero rows in range — PSI undefined"))
+            .cast(DecimalType(38, 6)),
+          term).as("psi_term")): _*)
+  }
+
+  /** One-row (`lo`, `hi`, `n`) bounds of a numeric column, NaN-excluded —
+    * compute ONCE on the baseline snapshot and persist next to
+    * [[bucketCounts]] so recurring drift checks never re-scan the baseline
+    * (see [[writeDriftBaseline]]).
+    */
+  def driftBounds(df: DataFrame, valueCol: String): DataFrame = {
+    val v = df(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull && !isnan(v))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+  }
+
+  /** Persist a numeric drift baseline: bucket counts + the binning contract
+    * (`lo`, `hi`, `n_buckets` as columns — self-describing, ≤ nBuckets
+    * rows). Recurring checks ([[distributionDriftFromBaseline]], the
+    * streaming drift sink) read THIS instead of re-scanning the snapshot.
+    */
+  def writeDriftBaseline(df: DataFrame, valueCol: String, lo: Double,
+                         hi: Double, nBuckets: Int, dir: String): Unit =
+    bucketCounts(df, valueCol, lo, hi, nBuckets)
+      .withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** [[distributionDrift]] against a PERSISTED baseline (the
+    * [[writeDriftBaseline]] layout): only snapshot B scans; the baseline
+    * side is its ≤ nBuckets stored counts. Result is row-identical to
+    * `distributionDrift(a, b, …)` with the baseline's binning contract
+    * (pinned by spec). The one driver action is a ≤ nBuckets-row collect
+    * of the binning params — bounded by construction.
+    */
+  def distributionDriftFromBaseline(baseline: DataFrame, b: DataFrame,
+                                    valueCol: String): DataFrame = {
+    val head = baseline.select(col("lo"), col("hi"), col("n_buckets")).head()
+    val (lo, hi, nBuckets) = (head.getDouble(0), head.getDouble(1), head.getInt(2))
+    psiFromCounts(
+      baseline.select(col("bucket"), col("count").as("count_a"))
+        .join(bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("bucket"), "distributionDriftFromBaseline")
   }
 
   /** [[distributionDrift]]'s categorical twin: per-category PSI between
@@ -133,41 +202,104 @@ object Profiling {
     * the BASELINE's top-`topK` values by count (ties broken by value
     * ascending, so the vocabulary is deterministic); everything else —
     * including categories that appear only in B, the classic new-source
-    * drift — folds into the `__other__` row, so novel mass is reported,
-    * never dropped. Output and smoothing contract identical to
-    * [[distributionDrift]].
+    * drift — folds into the (`__other__`, `is_fold` = true) row, so novel
+    * mass is reported, never dropped — and never conflated with a genuine
+    * data category that happens to be NAMED `__other__` (which groups
+    * under `is_fold` = false). Output adds the `is_fold` key; smoothing
+    * contract identical to [[distributionDrift]].
     *
     * Scale shape: one keyed aggregate per side (partial combine), a
     * driver-bounded top-K vocabulary (≤ topK rows collected via sort),
     * then the same ≤(topK+1)-group aggregate + one-row totals broadcast.
     */
   def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String,
-                       topK: Int): DataFrame = {
+                       topK: Int): DataFrame =
+    categoricalDrift(a, b, catCol, categoricalVocabulary(a, catCol, topK))
+
+  /** [[categoricalDrift]] with a PRECOMPUTED vocabulary (one `category`
+    * column) — recurring checks pass the persisted baseline vocabulary
+    * instead of paying the top-K sort over the baseline on every call (the
+    * known-cardinality-hint pattern; spec pins hint == no-hint results).
+    *
+    * The fold bucket is keyed by `is_fold`, NOT by the `__other__` label
+    * alone: a genuine data category named `__other__` groups as
+    * (`__other__`, false) while folded novel mass is (`__other__`, true) —
+    * the two never merge.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String,
+                       vocab: DataFrame): DataFrame = {
+    def side(df: DataFrame, countName: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .select(col(catCol).cast(StringType).as("__v"))
+        .join(broadcast(vocab), col("__v") === col("category"), "left")
+        .select(coalesce(col("category"), lit("__other__")).as("category"),
+          col("category").isNull.as("is_fold"))
+        .groupBy(col("category"), col("is_fold"))
+        .agg(count(lit(1)).as(countName))
+    psiFromCounts(
+      side(a, "count_a").join(side(b, "count_b"),
+          Seq("category", "is_fold"), "full_outer")
+        .select(col("category"), col("is_fold"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("category", "is_fold"), "categoricalDrift")
+  }
+
+  /** The deterministic baseline top-`topK` vocabulary (count desc, value
+    * asc under ties) — [[categoricalDrift]]'s default, exposed so a
+    * recurring check can compute it ONCE and persist it (one `category`
+    * column, ≤ topK rows).
+    */
+  def categoricalVocabulary(df: DataFrame, catCol: String, topK: Int): DataFrame = {
     require(topK > 0, "need topK > 0")
-    val vocab = a.filter(col(catCol).isNotNull)
+    df.filter(col(catCol).isNotNull)
       .groupBy(col(catCol).cast(StringType).as("category"))
       .agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("category"))
       .limit(topK)
       .select(col("category"))
-    def side(df: DataFrame, tag: String): DataFrame =
-      df.filter(col(catCol).isNotNull)
-        .select(col(catCol).cast(StringType).as("__v"), lit(tag).as("__side"))
-        .join(broadcast(vocab), col("__v") === col("category"), "left")
-        .select(coalesce(col("category"), lit("__other__")).as("category"),
-          col("__side"))
-    val counts = side(a, "a").unionByName(side(b, "b"))
-      .groupBy(col("category"))
-      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("count_a"),
-        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("count_b"))
-    val totals = counts.agg(sum(col("count_a")).as("__na"),
-      sum(col("count_b")).as("__nb"))
-    val pa = col("count_a") / col("__na")
-    val pb = col("count_b") / col("__nb")
-    counts.crossJoin(broadcast(totals)) // one-row totals: bounded by construction
-      .select(col("category"), col("count_a"), col("count_b"),
-        ((pa - pb) * log((pa + lit(1e-9)) / (pb + lit(1e-9))))
-          .cast(DecimalType(38, 6)).as("psi_term"))
+  }
+
+  /** Persist a categorical drift baseline: the folded per-category counts
+    * (`category`, `is_fold`, `count`) — ≤ topK+1 rows, self-describing.
+    * Recurring checks ([[categoricalDriftFromBaseline]], the streaming
+    * sink) read this instead of re-scanning the baseline snapshot.
+    */
+  def writeCategoricalBaseline(df: DataFrame, catCol: String, topK: Int,
+                               dir: String): Unit = {
+    val vocab = categoricalVocabulary(df, catCol, topK)
+    df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast(StringType).as("__v"))
+      .join(broadcast(vocab), col("__v") === col("category"), "left")
+      .select(coalesce(col("category"), lit("__other__")).as("category"),
+        col("category").isNull.as("is_fold"))
+      .groupBy(col("category"), col("is_fold"))
+      .agg(count(lit(1)).as("count"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[categoricalDrift]] against a persisted [[writeCategoricalBaseline]]
+    * layout: only snapshot B scans; its vocabulary is the baseline's
+    * non-fold categories. Row-identical to `categoricalDrift(a, b, …)`
+    * with the baseline's topK (pinned by spec).
+    */
+  def categoricalDriftFromBaseline(baseline: DataFrame, b: DataFrame,
+                                   catCol: String): DataFrame = {
+    val vocab = baseline.filter(!col("is_fold")).select(col("category"))
+    val bCounts = b.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast(StringType).as("__v"))
+      .join(broadcast(vocab), col("__v") === col("category"), "left")
+      .select(coalesce(col("category"), lit("__other__")).as("category"),
+        col("category").isNull.as("is_fold"))
+      .groupBy(col("category"), col("is_fold"))
+      .agg(count(lit(1)).as("count_b"))
+    psiFromCounts(
+      baseline.select(col("category"), col("is_fold"), col("count").as("count_a"))
+        .join(bCounts, Seq("category", "is_fold"), "full_outer")
+        .select(col("category"), col("is_fold"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("category", "is_fold"), "categoricalDriftFromBaseline")
   }
 
   /** Exact Pearson correlation between two columns, engine-portably: the

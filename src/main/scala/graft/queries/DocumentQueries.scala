@@ -1234,17 +1234,25 @@ object DocumentQueries {
   // range as p_histogram, out-of-range CLAMPED into edge bins; the oracle
   // replays binning, the conditional counts, and the ε-smoothed ln term
   // in the same double arithmetic, quantized through DECIMAL(38,6).
-  private def pDrift(spark: SparkSession, dir: String): DataFrame = {
+  // the q22 mutation as a price-only snapshot B — shared by p_drift
+  // (two-static-snapshot form) and s_drift (streamed against the
+  // persisted baseline); identical inputs make the two oracles twins
+  private def driftSnapshotB(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val b = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
       .select(when(pmod(col("o_orderkey"), lit(101)) === 0,
         col("o_totalprice") + lit(1.0d))
         .otherwise(col("o_totalprice")).as("o_totalprice"))
       .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
         .select(col("o_totalprice")))
+  }
+
+  private def pDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
     graft.operators.Profiling.distributionDrift(
-      o.select(col("o_totalprice")), b, "o_totalprice",
+      o.select(col("o_totalprice")), driftSnapshotB(spark, dir), "o_totalprice",
       lo = 0.0, hi = 500000.0, nBuckets = 20)
       // p_corr's comparator convention: quantize through the decimal, hand
       // the oracle a DOUBLE (decimal column renderings differ per engine)
@@ -1306,24 +1314,67 @@ object DocumentQueries {
       | WHERE o_orderpriority IS NOT NULL
       | GROUP BY 1 ORDER BY count(*) DESC, category LIMIT 3),
       |u AS (
-      | SELECT 'a' AS s, COALESCE(vo.category, '__other__') AS category
+      | SELECT 'a' AS s, COALESCE(vo.category, '__other__') AS category,
+      |  vo.category IS NULL AS is_fold
       | FROM orders LEFT JOIN vocab vo ON o_orderpriority = vo.category
       | WHERE o_orderpriority IS NOT NULL
       | UNION ALL
-      | SELECT 'b', COALESCE(vo.category, '__other__')
+      | SELECT 'b', COALESCE(vo.category, '__other__'), vo.category IS NULL
       | FROM b LEFT JOIN vocab vo ON b.v = vo.category
       | WHERE b.v IS NOT NULL),
       |c AS (
-      | SELECT category,
+      | SELECT category, is_fold,
       |  count(*) FILTER (WHERE s = 'a') AS count_a,
       |  count(*) FILTER (WHERE s = 'b') AS count_b
-      | FROM u GROUP BY category),
+      | FROM u GROUP BY category, is_fold),
       |t AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM c)
-      |SELECT category, count_a, count_b,
+      |SELECT category, is_fold, count_a, count_b,
       | CAST(CAST((count_a * 1.0 / na - count_b * 1.0 / nb)
       |  * ln((count_a * 1.0 / na + 1e-9) / (count_b * 1.0 / nb + 1e-9))
       |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
       |FROM c, t""".stripMargin
+
+  // ------------------------------------------------------------- s_drift
+  // The STREAMING drift monitor under the hash gate (the recurring-check
+  // form of p_drift): the numeric baseline persists ONCE per (JVM, dir) —
+  // bucket counts + binning contract, never the snapshot — snapshot B
+  // stages as a parquet drop directory, and a real readStream →
+  // toDriftSink query scores it against the stored baseline (one batch →
+  // batch_id 0). Fresh report/checkpoint dirs per invocation. The oracle
+  // is p_drift's with the batch_id constant — a baseline/stream count
+  // divergence, a re-binning drift, or a double-append breaks the hash.
+  private val driftStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sDrift(spark: SparkSession, dir: String): DataFrame = {
+    // baseline (root/b) + staged snapshot-B drop dir (root/in), once per
+    // (JVM, dir) — the recurring invocations only read them
+    val root = driftStageCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_driftstage")
+      graft.operators.Profiling.writeDriftBaseline(
+        Tables.orders(spark, dir).select(col("o_totalprice")),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20,
+        dir = tmp.toString + "/b")
+      driftSnapshotB(spark, dir).write.mode("overwrite")
+        .parquet(tmp.toString + "/in")
+      graft.TempFiles.cleanupAtExit(tmp) // see cachedArtifact's rationale
+      tmp.toString
+    })
+    val rep = java.nio.file.Files.createTempDirectory("graft_driftrep")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val q = graft.streaming.Streams.toDriftSink(stream, "o_totalprice",
+      root + "/b", rep.toString + "/r", rep.toString + "/ckpt")
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+      .select(col("bucket"), col("count_a"), col("count_b"),
+        col("psi_term").cast(DoubleType).as("psi_term"), col("batch_id"))
+  }
+
+  private val sDriftSql = pDriftSql.replace(
+    "SELECT bucket, count_a, count_b,",
+    "SELECT bucket, count_a, count_b, CAST(0 AS BIGINT) AS batch_id,")
 
   // ----------------------------------------------------------------- p_corr
   // Exact Pearson correlation between line-item quantity and price
@@ -1415,6 +1466,7 @@ object DocumentQueries {
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_drift", pDrift, Some(pDriftSql)),
     QueryDef("p_drift_cat", pDriftCat, Some(pDriftCatSql)),
+    QueryDef("s_drift", sDrift, Some(sDriftSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),

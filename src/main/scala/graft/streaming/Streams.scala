@@ -364,6 +364,61 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Continuous distribution-drift monitor: every micro-batch is scored
+    * against a PERSISTED numeric baseline
+    * ([[graft.operators.Profiling.writeDriftBaseline]]'s layout — bucket
+    * counts + binning contract, written ONCE), and the per-bin PSI report
+    * appends to `reportDir` tagged with the batch id. The recurring-check
+    * cost is one scan of the BATCH plus a ≤ nBuckets-row baseline read —
+    * the baseline snapshot itself is never re-scanned, which is the whole
+    * point of persisting it.
+    *
+    * The report is append-only (batch_id, bucket, count_a, count_b,
+    * psi_term): a monitor reads `SUM(psi_term) GROUP BY batch_id` and
+    * alerts past its threshold (the usual read: <0.1 stable, >0.25
+    * shifted). Batches with zero in-range rows RAISE (the batch-side
+    * totals guard) rather than appending a silently-null report.
+    */
+  def toDriftSink(streamed: DataFrame, valueCol: String, baselineDir: String,
+                  reportDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val baseline = batch.sparkSession.read.parquet(baselineDir)
+        graft.operators.Profiling
+          .distributionDriftFromBaseline(baseline, batch, valueCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(reportDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** [[toDriftSink]]'s categorical twin: micro-batches score against a
+    * persisted [[graft.operators.Profiling.writeCategoricalBaseline]]
+    * (vocabulary + folded counts, ≤ topK+1 rows) — the baseline
+    * vocabulary is READ, never recomputed, per batch. Report rows:
+    * (batch_id, category, is_fold, count_a, count_b, psi_term).
+    */
+  def toCatDriftSink(streamed: DataFrame, catCol: String, baselineDir: String,
+                     reportDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val baseline = batch.sparkSession.read.parquet(baselineDir)
+        graft.operators.Profiling
+          .categoricalDriftFromBaseline(baseline, batch, catCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(reportDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Streaming CDC apply: maintain a CURRENT-state parquet table from a
     * stream of change rows (upserts). Each micro-batch first collapses its
     * own rows to one winner per key — max `seqCol` wins, so out-of-order

@@ -213,14 +213,14 @@ class CurationSpec extends AnyFunSuite {
     // identical snapshots: every term exactly zero
     val same = Profiling.categoricalDrift(a, a, "lang", topK = 2).collect()
     assert(same.map(_.getString(0)).toSet == Set("en", "de", "__other__"))
-    same.foreach(r => assert(r.getDecimal(3).signum == 0, r.toString))
+    same.foreach(r => assert(r.getDecimal(4).signum == 0, r.toString))
     // vocabulary comes from A's top-K (count desc, value asc): "fr" folds
     // to __other__; a category ONLY in B (the new-source drift) folds
     // there too instead of vanishing
     val b = Seq("en", "de", "de", "zz", "zz", "zz").toDF("lang")
     val drift = Profiling.categoricalDrift(a, b, "lang", topK = 2)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getDecimal(4)))).toMap
     assert(drift("en") == ((3L, 1L, drift("en")._3)))
     assert(drift("de") == ((2L, 2L, drift("de")._3)))
     assert(drift("__other__")._1 == 1L && drift("__other__")._2 == 3L,
@@ -233,6 +233,69 @@ class CurationSpec extends AnyFunSuite {
     val v1 = Profiling.categoricalDrift(t, t, "lang", topK = 1)
       .collect().map(_.getString(0)).toSet
     assert(v1 == Set("x", "__other__"), v1.toString)
+  }
+
+  test("categoricalDrift: a genuine '__other__' category never merges with the fold bucket (r13)") {
+    // '__other__' is a REAL data value here, frequent enough to make the
+    // vocabulary — folded novel mass must stay a separate row
+    val a = Seq("__other__", "__other__", "en", "fr").toDF("lang")
+    val b = Seq("__other__", "zz", "zz", "en").toDF("lang")
+    val rows = Profiling.categoricalDrift(a, b, "lang", topK = 2)
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // vocab = {__other__: 2, en: 1} (fr loses the asc tie-break to en)
+    assert(rows(("__other__", false)) == ((2L, 1L)), rows.toString)
+    // fold bucket: A's fr, B's zz+zz — disjoint from the genuine category
+    assert(rows(("__other__", true)) == ((1L, 2L)), rows.toString)
+    assert(rows(("en", false)) == ((1L, 1L)))
+    assert(rows.size == 3)
+  }
+
+  test("distributionDrift: NaN excluded, empty side raises instead of null PSI (r13)") {
+    val a = Seq(1.0, Double.NaN, 5.0).toDF("x")
+    val b = Seq(1.0, 5.0).toDF("x")
+    // NaN is excluded, not coerced into bucket 0: sides are then identical
+    val rows = Profiling.distributionDrift(a, b, "x", lo = 0.0, hi = 10.0,
+      nBuckets = 5).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      .toSeq == Seq((0L, 1L, 1L), (2L, 1L, 1L)))
+    rows.foreach(r => assert(r.getDecimal(3).signum == 0))
+    // an empty side must raise (a null-PSI report reads as "no drift")
+    val empty = Seq.empty[Double].toDF("x")
+    val e = intercept[Exception] {
+      Profiling.distributionDrift(a, empty, "x", 0.0, 10.0, 5).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("zero rows"),
+      e.getMessage)
+  }
+
+  test("drift baselines: persisted round-trip == two-snapshot form; vocab hint == no-hint (r13)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_driftspec").toString
+    graft.TempFiles.cleanupAtExit(java.nio.file.Paths.get(tmp))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // numeric: write bucket counts + binning once, score B against the file
+    val a = Seq(1.0, 2.0, 5.0, 9.0, 9.5).toDF("x")
+    val b = Seq(-3.0, 42.0, 5.0, 5.1, 9.0).toDF("x")
+    Profiling.writeDriftBaseline(a, "x", lo = 0.0, hi = 10.0, nBuckets = 5,
+      dir = s"$tmp/nb")
+    assert(canon(Profiling.distributionDriftFromBaseline(
+        spark.read.parquet(s"$tmp/nb"), b, "x"))
+      == canon(Profiling.distributionDrift(a, b, "x", 0.0, 10.0, 5)))
+    // driftBounds feeds the binning contract without a caller-side scan
+    val bounds = Profiling.driftBounds(a, "x").as[(Double, Double, Long)]
+      .collect().head
+    assert(bounds == ((1.0, 9.5, 5L)))
+    // categorical: precomputed vocabulary == recomputed; persisted == direct
+    val ca = Seq("en", "en", "en", "de", "de", "fr").toDF("lang")
+    val cb = Seq("en", "de", "de", "zz", "zz", "zz").toDF("lang")
+    val vocab = Profiling.categoricalVocabulary(ca, "lang", topK = 2)
+    assert(canon(Profiling.categoricalDrift(ca, cb, "lang", vocab))
+      == canon(Profiling.categoricalDrift(ca, cb, "lang", topK = 2)))
+    Profiling.writeCategoricalBaseline(ca, "lang", topK = 2, dir = s"$tmp/cb")
+    assert(canon(Profiling.categoricalDriftFromBaseline(
+        spark.read.parquet(s"$tmp/cb"), cb, "lang"))
+      == canon(Profiling.categoricalDrift(ca, cb, "lang", topK = 2)))
   }
 
   test("columnMode tie-breaks on value ascending") {

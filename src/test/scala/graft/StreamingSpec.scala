@@ -520,6 +520,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("drift sinks score each micro-batch against the persisted baseline (r13)") {
+    import graft.operators.Profiling
+    val base = Files.createTempDirectory("drift_base").toString
+    val in = Files.createTempDirectory("drift_in").toString
+    val rep = Files.createTempDirectory("drift_rep").toString + "/r"
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    val o = Tables.orders(spark, TestSpark.sf).select(col("o_totalprice"))
+    Profiling.writeDriftBaseline(o, "o_totalprice",
+      lo = 0.0, hi = 500000.0, nBuckets = 10, dir = s"$base/n")
+    // batch 0: the baseline snapshot itself — every psi_term exactly zero
+    o.write.mode("overwrite").parquet(in)
+    def stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q1 = Streams.toDriftSink(stream, "o_totalprice", s"$base/n", rep, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // batch 1 (same checkpoint → only the appended files): a +150000 shift
+    o.select((col("o_totalprice") + 150000.0).as("o_totalprice"))
+      .write.mode("append").parquet(in)
+    val q2 = Streams.toDriftSink(stream, "o_totalprice", s"$base/n", rep, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val report = spark.read.parquet(rep)
+    val psi = report.groupBy(col("batch_id"))
+      .agg(sum(col("psi_term")).as("psi"))
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(psi.keySet == Set(0L, 1L), psi.toString)
+    assert(psi(0L).signum == 0, s"identical batch must read PSI 0: $psi")
+    assert(psi(1L).doubleValue > 0.25, s"shifted batch must alarm: $psi")
+    // per-batch parity with the batch operator against the same baseline
+    val batchRef = Profiling.distributionDriftFromBaseline(
+        spark.read.parquet(s"$base/n"), o, "o_totalprice")
+      .collect().map(_.toString).sorted.toSeq
+    val streamedB0 = report.filter(col("batch_id") === 0L).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedB0 == batchRef)
+    // categorical twin: baseline vocabulary read from disk, never recomputed
+    val cat = Tables.orders(spark, TestSpark.sf).select(col("o_orderpriority"))
+    Profiling.writeCategoricalBaseline(cat, "o_orderpriority", topK = 3,
+      dir = s"$base/c")
+    val cin = Files.createTempDirectory("drift_cin").toString
+    val crep = Files.createTempDirectory("drift_crep").toString + "/r"
+    val cckpt = Files.createTempDirectory("drift_cckpt").toString
+    cat.write.mode("overwrite").parquet(cin)
+    val q3 = Streams.toCatDriftSink(
+      spark.readStream.schema(spark.read.parquet(cin).schema).parquet(cin),
+      "o_orderpriority", s"$base/c", crep, cckpt)
+    q3.processAllAvailable(); q3.stop()
+    val catRef = Profiling.categoricalDriftFromBaseline(
+        spark.read.parquet(s"$base/c"), cat, "o_orderpriority")
+      .collect().map(_.toString).sorted.toSeq
+    val catStreamed = spark.read.parquet(crep)
+      .filter(col("batch_id") === 0L).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(catStreamed == catRef)
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
