@@ -48,8 +48,10 @@ object Bench {
     // cluster scale); prebuild it so d_ann_ivf times the probe, not the
     // build — but report the build as its own timed line item so the total
     // still reflects ALL work performed.
-    val ivfConsumers =
-      Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append")
+    // consumer sets live NEXT TO the artifact accessors (single source of
+    // truth — a new consumer registered without updating them would pay
+    // the build inside its timed run under SPARK_GRAFT_ONLY)
+    val ivfConsumers = graft.queries.DocumentQueries.ivfConsumers
     val buildSec: Option[Double] = if (!anyPicked(ivfConsumers)) None else {
       val tBuild0 = System.nanoTime()
       try {
@@ -63,7 +65,7 @@ object Bench {
     }
     // Same offline/online split for the PQ codebooks: train once here,
     // reported as its own line item, so d_ann_pq times encode+probe.
-    val pqConsumers = Set("d_ann_pq", "d_ann_ivfpq")
+    val pqConsumers = graft.queries.DocumentQueries.pqConsumers
     val pqBuildSec: Option[Double] = if (!anyPicked(pqConsumers)) None else {
       val tPq0 = System.nanoTime()
       try graft.queries.DocumentQueries.pqBooks(spark, sfDir)
@@ -74,8 +76,7 @@ object Bench {
     // loop derives once, its consumers (d_dedup_cluster / apply /
     // keep_best) time what a pipeline times — label CONSUMPTION. Reported
     // as its own line item below so the total still carries the build.
-    val labelConsumers =
-      Set("d_dedup_cluster", "d_dedup_apply", "d_dedup_keep_best")
+    val labelConsumers = graft.queries.DocumentQueries.labelConsumers
     val ccBuildSec: Option[Double] = if (!anyPicked(labelConsumers)) None else {
       val tCc0 = System.nanoTime()
       try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()

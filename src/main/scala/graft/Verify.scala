@@ -27,8 +27,7 @@ object Verify {
     // their blocks after the first consumer — the remaining two then die
     // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (caught by this round's
     // gate, not hypothetical).
-    val labelConsumers =
-      Set("d_dedup_cluster", "d_dedup_apply", "d_dedup_keep_best")
+    val labelConsumers = graft.queries.DocumentQueries.labelConsumers
     if (only.forall(o => o.exists(labelConsumers)))
       try graft.queries.DocumentQueries.clusterLabels(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -475,8 +475,8 @@ object Similarity {
     * centroid drift would silently change existing assignments and break
     * probe/layout consistency. Watch [[ivfCellStats]] per epoch: when new
     * content concentrates into few cells (population skew growing), the
-    * quantizer is stale — rebuild offline and swap, the same
-    * rebuild-and-swap lifecycle as the training-shard export.
+    * quantizer is stale — run [[ivfRebuildSwap]] offline (retrain,
+    * re-assign, atomic publish; the old index serves until the swap).
     */
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                 newVecs: DataFrame, vecCol: String, idCol: String,
@@ -524,6 +524,53 @@ object Similarity {
     index.indexed.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"))
       .select(col("cell"), col("n"))
+
+  /** Execute the rebuild the [[ivfAppend]] lifecycle calls for when
+    * [[ivfCellStats]] says the quantizer has gone stale: retrain from the
+    * GROWN cells table ([[ivfBuildDistributed]] — sampled k-means++ seed +
+    * distributed Lloyd refinement), re-assign every vector, stage the new
+    * index beside the old one, and publish with an atomic swap — the same
+    * write-and-swap discipline the upsert sinks use. The live index at
+    * `path` stays fully readable for the entire (long) retrain+reassign;
+    * the only mutation is the final pair of directory renames. A reader
+    * that opened the index before the swap keeps its results; one opening
+    * after sees the rebuilt index. (On object storage the same shape is a
+    * transactional table commit — the swap is the only storage-specific
+    * piece, as with toUpsertSink.)
+    *
+    * Crash safety: a previous attempt that died mid-swap leaves
+    * `path.old` as the only copy — restored before rebuilding, never
+    * deleted while `path` is absent. A stale `path.next` from a crashed
+    * rebuild is simply overwritten.
+    *
+    * Returns the count of indexed vectors (unchanged by construction —
+    * the rebuild re-homes rows, never drops or invents them; spec-pinned).
+    */
+  def ivfRebuildSwap(spark: org.apache.spark.sql.SparkSession, path: String,
+                     nCentroids: Int, iters: Int = 3): Long = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    val next = path + ".next"
+    // recover a crashed previous swap (dir was renamed aside and the
+    // publish never happened): .old is the only live copy — restore it
+    if (old.exists() && !dir.exists() && !old.renameTo(dir))
+      throw new java.io.IOException(s"cannot restore staged index $old -> $path")
+    val corpus = ivfRead(spark, path).indexed.select(col("corpus_id"), col("cv"))
+    val rebuilt = ivfBuildDistributed(corpus, "cv", "corpus_id",
+      nCentroids, iters, persist = false)
+    ivfWrite(rebuilt, next) // reads old cells, writes the staged dir
+    val n = spark.read.parquet(s"$next/cells").count()
+    // publish: the two renames are the entire unavailability window
+    if (old.exists()) graft.TempFiles.deleteRecursively(old.toPath)
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"cannot stage current index $path aside")
+    if (!new java.io.File(next).renameTo(dir)) {
+      old.renameTo(dir) // roll back: the old index stays live
+      throw new java.io.IOException(s"cannot publish rebuilt index $next -> $path")
+    }
+    graft.TempFiles.deleteRecursively(old.toPath)
+    n
+  }
 
   /** One-shot convenience: build + probe, index discarded afterwards.
     * STRONGLY prefer ivfBuild (once, offline) + ivfQuery (per probe) for any

@@ -440,6 +440,22 @@ object DocumentQueries {
       _ => Dedup.components(clusterPairs(clusterInput(spark, dir))))
   }
 
+  /** Registry queries consuming [[clusterLabels]] — the SINGLE source of
+    * truth Bench/Verify gate the prebuild on. Register a new consumer of
+    * an artifact accessor? Add it to the accessor's consumer set HERE, or
+    * a subset (SPARK_GRAFT_ONLY) run silently pays the build inside that
+    * query's timed window and skews A-B comparisons.
+    */
+  val labelConsumers: Set[String] =
+    Set("d_dedup_cluster", "d_dedup_apply", "d_dedup_keep_best")
+
+  /** Consumers of [[ivfIndex]]/[[ivfIndexPlanted]] — see [[labelConsumers]]. */
+  val ivfConsumers: Set[String] =
+    Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append")
+
+  /** Consumers of [[pqBooks]] — see [[labelConsumers]]. */
+  val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")
+
   private def dDedupCluster(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir).select(col("id"), col("cluster"))
 

@@ -712,6 +712,22 @@ object Dfasdl {
     * surfaces every well-formed record instead (same convention as
     * [[readTokenStream]]'s record skip), rather than emitting a phantom
     * all-null row.
+    *
+    * FRAMING CAVEAT (shape-first dispatch): record BOUNDARIES commit at
+    * the `regexp_extract_all` framing pass — the first alternation branch
+    * whose SHAPE matches fixes the record's span BEFORE the typed-parse
+    * predicates run. The reference's offset-reset retry
+    * (BaseParser.scala:244) is type-aware: a branch that shape-matches
+    * but type-fails resets the cursor and re-frames with the next
+    * alternative, which can pick a DIFFERENT span. Here a record whose
+    * type-correct combination spans differently than an earlier
+    * shape-matching one is dropped by `keep` (never mis-parsed), and the
+    * framing of SUBSEQUENT records can shift off the reference's. Every
+    * supported schema's competing branches frame the same span (the
+    * corpus sweep's passing shapes), so the divergence is latent; if a
+    * schema needs span-divergent alternatives, order the alternation
+    * longest/strictest-first so the type-correct combination frames
+    * first.
     */
   private def choiceStreamCols(doc: Doc)
       : (String, Seq[Column], Column, Seq[Column]) = {

@@ -109,78 +109,84 @@ object SourceScale {
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
     val n = orders.count()
     val base = java.nio.file.Files.createTempDirectory("graft_srcscale")
-
-    // one staged directory per shape, `files` files each so every leg has
-    // identical file-level parallelism (the unit of distribution for the
-    // wholetext paths)
-    val csvPath = s"$base/csv"
-    orders.repartition(files)
-      .select(concat_ws(";", col("o_orderkey"), col("o_custkey"),
-        col("o_orderpriority"), col("o_orderstatus")).as("value"))
-      .write.mode("overwrite").text(csvPath)
-    val tokPath = s"$base/tok"
-    orders.repartition(files)
-      .select(concat(lit("KEY:"), col("o_orderkey"),
-        lit("\nPRI:"), col("o_orderpriority")).as("value"))
-      .write.mode("overwrite").text(tokPath)
-    val chPath = s"$base/choice"
-    orders.repartition(files)
-      .select(concat(col("o_orderkey"), lit(";"),
+    // the staged corpora are hundreds of MB per run: EVERYTHING from the
+    // first write on sits inside this try so a failure mid-staging (e.g.
+    // the second write) still removes the directory
+    try {
+      // one staged directory per shape, `files` files each so every leg
+      // has identical file-level parallelism (the unit of distribution
+      // for the wholetext paths)
+      val csvPath = s"$base/csv"
+      orders.repartition(files)
+        .select(concat_ws(";", col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_orderstatus")).as("value"))
+        .write.mode("overwrite").text(csvPath)
+      val tokPath = s"$base/tok"
+      orders.repartition(files)
+        .select(concat(lit("KEY:"), col("o_orderkey"),
+          lit("\nPRI:"), col("o_orderpriority")).as("value"))
+        .write.mode("overwrite").text(tokPath)
+      val choiceLine = concat(col("o_orderkey"), lit(";"),
         when(col("o_orderkey") % 2 === 0,
           concat(lit("K:"), col("o_orderpriority")))
           .otherwise(col("o_custkey").cast(StringType)),
-        lit(";"), col("o_orderstatus")).as("value"))
-      .write.mode("overwrite").text(chPath)
-    // 64-combination stressor data: the five extra tokens alternate
-    // num/str by key so records land across the combination space
-    val ch64Path = s"$base/choice64"
-    orders.repartition(files)
-      .select(concat(col("o_orderkey"), lit(";"),
-        when(col("o_orderkey") % 2 === 0,
-          concat(lit("K:"), col("o_orderpriority")))
-          .otherwise(col("o_custkey").cast(StringType)),
-        lit(";"),
-        concat_ws(";", (1 to 5).map(i =>
-          when((col("o_orderkey") / i.toDouble).cast("long") % 2 === 0,
-            (col("o_custkey") + i).cast(StringType))
-            .otherwise(concat(lit("tok"), lit(i)))): _*),
-        lit(";"), col("o_orderstatus")).as("value"))
-      .write.mode("overwrite").text(ch64Path)
+        lit(";"), col("o_orderstatus")).as("value")
+      val chPath = s"$base/choice"
+      orders.repartition(files).select(choiceLine)
+        .write.mode("overwrite").text(chPath)
+      // the documented single-file ceiling: wholetext makes parallelism =
+      // file count, so the SAME records in ONE file run one task — this
+      // leg prices that constraint instead of just documenting it
+      val ch1Path = s"$base/choice1"
+      orders.repartition(1).select(choiceLine)
+        .write.mode("overwrite").text(ch1Path)
+      // 64-combination stressor data: the five extra tokens alternate
+      // num/str by key so records land across the combination space
+      val ch64Path = s"$base/choice64"
+      orders.repartition(files)
+        .select(concat(col("o_orderkey"), lit(";"),
+          when(col("o_orderkey") % 2 === 0,
+            concat(lit("K:"), col("o_orderpriority")))
+            .otherwise(col("o_custkey").cast(StringType)),
+          lit(";"),
+          concat_ws(";", (1 to 5).map(i =>
+            when((col("o_orderkey") / i.toDouble).cast("long") % 2 === 0,
+              (col("o_custkey") + i).cast(StringType))
+              .otherwise(concat(lit("tok"), lit(i)))): _*),
+          lit(";"), col("o_orderstatus")).as("value"))
+        .write.mode("overwrite").text(ch64Path)
 
-    def scan(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("okey"))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val expect = scan(orders.select(col("o_orderkey").as("okey")))
-
-    def leg(name: String, mk: () => DataFrame): (String, Double) = {
-      val walls = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val got = scan(mk())
-        require(got == expect, s"$name: scanned $got, expected $expect — " +
-          "a reader mis-framed records at scale")
-        (System.nanoTime() - t0) / 1e9
+      def scan(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("okey"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
       }
-      (name, walls.min)
-    }
+      val expect = scan(orders.select(col("o_orderkey").as("okey")))
 
-    val legs =
-      try Seq(
+      def leg(name: String, mk: () => DataFrame): (String, Double) = {
+        val walls = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val got = scan(mk())
+          require(got == expect, s"$name: scanned $got, expected $expect — " +
+            "a reader mis-framed records at scale")
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, walls.min)
+      }
+
+      val legs = Seq(
         leg("csv", () => Dfasdl.readDelimited(spark, csvPath, csvDoc)),
         leg("token_stream", () => Dfasdl.readDelimited(spark, tokPath, tokenDoc)),
         leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)),
+        leg("choice_stream_1file", () =>
+          Dfasdl.readDelimited(spark, ch1Path, choiceDoc)),
         leg("choice_stream_64", () =>
           Dfasdl.readDelimited(spark, ch64Path, choice64Doc)))
-      finally {
-        // the four staged corpora are hundreds of MB per run — remove
-        // them as soon as the legs finish
-        graft.TempFiles.deleteRecursively(base)
-      }
-    val surfaces = legs.map { case (name, sec) =>
-      f""""$name":{"sec":$sec%.3f,"rows_per_s":${(n / sec).toLong}}"""
-    }.mkString(",")
-    // one parseable line, same convention as Bench/StreamScale
-    println(s"""{"metric":"source_scale","orders_n":$n,"files":$files,""" +
-      s""""reps":$reps,"surfaces":{$surfaces}}""")
+      val surfaces = legs.map { case (name, sec) =>
+        f""""$name":{"sec":$sec%.3f,"rows_per_s":${(n / sec).toLong}}"""
+      }.mkString(",")
+      // one parseable line, same convention as Bench/StreamScale
+      println(s"""{"metric":"source_scale","orders_n":$n,"files":$files,""" +
+        s""""reps":$reps,"surfaces":{$surfaces}}""")
+    } finally graft.TempFiles.deleteRecursively(base)
   }
 }

@@ -508,6 +508,53 @@ class DedupSpec extends AnyFunSuite {
       "a value-identical double-typed vector must assign to its float twin's cell")
   }
 
+  test("ivfRebuildSwap retrains from the grown cells table and publishes atomically (r13)") {
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_rb")
+    graft.TempFiles.cleanupAtExit(root)
+    val dir = root.toString + "/idx"
+    Similarity.ivfWrite(Similarity.ivfBuild(e, "embedding", "vec_id",
+      nCentroids = 4, persist = false), dir)
+    // grow with shifted novel content — the quantizer-staleness scenario
+    // ivfCellStats flags and this operator answers
+    val incoming = e.select((col("vec_id") + 8000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(0.5d) + lit(0.3d))
+        .cast("array<float>").as("embedding"))
+    Similarity.ivfAppend(spark, dir, incoming, "embedding", "vec_id")
+    val total = Similarity.ivfRead(spark, dir).indexed.count()
+    // a read served before the swap comes from the old index, undisturbed
+    val q = e.filter(col("vec_id") < 5)
+    val preSwap = Similarity.ivfQuery(Similarity.ivfRead(spark, dir), q,
+      "embedding", "vec_id", k = 5, nProbe = 4).collect()
+    assert(preSwap.nonEmpty)
+    // rebuild with MORE cells (the capacity response to growth)
+    assert(Similarity.ivfRebuildSwap(spark, dir, nCentroids = 8, iters = 2)
+      == total, "the rebuild must re-home every row, never drop or invent")
+    val after = Similarity.ivfRead(spark, dir)
+    assert(after.centroids.length == 8)
+    assert(after.indexed.count() == total)
+    // publish left no staging residue
+    assert(!new java.io.File(dir + ".next").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+    // recall parity with a fresh build: probing every cell of the swapped
+    // index scores the full corpus — must equal brute force exactly
+    val got = Similarity.ivfQuery(after, q, "embedding", "vec_id",
+        k = 10, nProbe = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val corpus = after.indexed
+      .select(col("corpus_id").as("vec_id"), col("cv").as("embedding"))
+    val brute = Similarity.bruteForceTopK(corpus, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    // crash recovery: an attempt that died mid-swap (index staged aside,
+    // publish never happened) leaves .old as the only copy — the next
+    // rebuild restores it instead of failing on a missing path
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    assert(Similarity.ivfRebuildSwap(spark, dir, nCentroids = 4, iters = 1)
+      == total)
+    assert(Similarity.ivfRead(spark, dir).centroids.length == 4)
+  }
+
   test("langId is deterministic and covers zh heuristic") {
     val r = Seq("the cat is on the mat and it is fine",
       "der hund ist nicht auf der matte und das ist gut",

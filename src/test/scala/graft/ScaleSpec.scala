@@ -251,6 +251,61 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("drift pair: no raw value column ever crosses an exchange (r13)") {
+    // the scale contract of p_drift / p_drift_cat: every exchange carries
+    // bucket/category keys + partially-combined counts (≤ nBuckets /
+    // topK+1 groups per task), never the scanned rows — so the report
+    // costs the same at any snapshot size
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("p_drift" -> "o_totalprice", "p_drift_cat" -> "o_orderpriority",
+        "s_drift" -> "o_totalprice").foreach { case (q, raw) =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // finalize AQE so the executed tree is real
+      val plan = df.queryExecution.executedPlan
+      def deep(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deep(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deep(s.plan)
+        case other => other.children.flatMap(deep)
+      })
+      deep(plan).collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        e.child.output.foreach { attr =>
+          assert(!attr.name.equalsIgnoreCase(raw) &&
+            !attr.name.equalsIgnoreCase("__v"),
+            s"$q shuffles the raw value column '${attr.name}' — " +
+              s"the aggregate must partial-combine map-side:\n$plan")
+        }
+      }
+    }
+  }
+
+  test("q53: each choice combination's regex stages exactly once; no filter re-match (r13)") {
+    // the r12 dispatchRows contract: the no-combination-parses drop is an
+    // explode over a conditional array, NOT a .filter — the optimizer
+    // would push a deterministic filter below the staged projection by
+    // SUBSTITUTING the alias definitions, re-running every combination's
+    // full-record match per predicate (measured 45% slower). Pin both:
+    // regexp_groups appears once per combination (2 for q53's two-branch
+    // choice), and never inside a Filter condition.
+    import graft.functions.RegexpGroupsExpr
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val optimized = SparkEntry.queries("q53_dfasdl_mixed")(spark, sf)
+      .queryExecution.optimizedPlan
+    def countGroups(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      (if (e.isInstanceOf[RegexpGroupsExpr]) 1 else 0) +
+        e.children.map(countGroups).sum
+    val total = optimized.collect { case p => p }
+      .flatMap(_.expressions).map(countGroups).sum
+    assert(total == 2,
+      s"q53 must stage each combination's match exactly once, found $total:\n$optimized")
+    optimized.collect { case f: Filter => f }.foreach { f =>
+      assert(countGroups(f.condition) == 0,
+        s"a combination match leaked into a Filter (alias substitution):\n$f")
+    }
+  }
+
   test("compactParquet collapses a many-small-files dataset, content intact") {
     val in = java.nio.file.Files.createTempDirectory("compact_in").toString
     val out = java.nio.file.Files.createTempDirectory("compact_out").toString + "/t"
