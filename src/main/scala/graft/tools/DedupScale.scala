@@ -228,6 +228,16 @@ object DedupScale {
         Dedup.semanticDedup(e, "embedding", "vec_id",
           nCells = 16, threshold = 0.92).count()
       },
+      time("substring_rewrite") { // r13: the span-REMOVED corpus at fresh-
+        // content scale — every fanned copy shares its parent's full text
+        // as duplicated spans, so nearly the whole corpus rewrites (the
+        // worst case). sum(length) forces the text assembly, not just the
+        // survivor count; the KEEP/DROP decision exchanges carry only
+        // (id, pos, hash) — pinned by ScaleSpec.
+        val out = Dedup.removeDuplicatedSpans(d, "text", "doc_id", k = 5)
+        out.agg(count(lit(1)), sum(length(col("clean_text"))))
+          .collect()(0).getLong(0)
+      },
       // ---- curation family at the same fresh-content scale (r11): the
       // non-dedup §2e workhorses at their registered-query settings. The
       // inverted index's df band scales WITH the fan-out ([50,400]·factor):

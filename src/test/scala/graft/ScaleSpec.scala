@@ -281,6 +281,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("substring rewrite: span-decision exchanges carry only (id, pos, hash) (r13)") {
+    // removeDuplicatedSpans' corpus-wide KEEP/DROP decision must never
+    // shuffle text: every exchange whose payload includes the span hash
+    // `h` carries fixed-width columns only. The reassembly exchanges
+    // (token text grouped per doc) are the OUTPUT corpus itself — the
+    // same one-rewrite floor lineDedup has — and are keyed by (id, pos),
+    // never by h.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("d_substring_rewrite")(spark, sf)
+    df.collect()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(s.plan)
+      case other => other.children.flatMap(deep)
+    })
+    val exchanges = deep(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    val decision = exchanges.filter(_.child.output.exists(_.name == "h"))
+    assert(decision.nonEmpty, "expected hash-keyed decision exchanges")
+    decision.foreach { e =>
+      e.child.output.foreach(attr =>
+        assert(attr.dataType != StringType,
+          s"span-decision exchange shuffles text column '${attr.name}'"))
+    }
+  }
+
   test("q53: each choice combination's regex stages exactly once; no filter re-match (r13)") {
     // the r12 dispatchRows contract: the no-combination-parses drop is an
     // explode over a conditional array, NOT a .filter — the optimizer
