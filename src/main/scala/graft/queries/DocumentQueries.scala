@@ -1392,6 +1392,46 @@ object DocumentQueries {
     "SELECT bucket, count_a, count_b,",
     "SELECT bucket, count_a, count_b, CAST(0 AS BIGINT) AS batch_id,")
 
+  // --------------------------------------------------------- s_drift_cat
+  // s_drift's categorical twin under the gate: the vocabulary + folded
+  // counts persist once (writeCategoricalBaseline), the priority-only B
+  // snapshot streams through toCatDriftSink, and the batch-tagged report
+  // must hash-match p_drift_cat's oracle — a recomputed-instead-of-read
+  // vocabulary, a fold-key drift, or a count divergence breaks it.
+  private def sDriftCat(spark: SparkSession, dir: String): DataFrame = {
+    val root = catDriftStageCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdriftstage")
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Profiling.writeCategoricalBaseline(
+        o.select(col("o_orderpriority")), "o_orderpriority", topK = 3,
+        dir = tmp.toString + "/b")
+      o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0))
+        .select(col("o_orderpriority"))
+        .write.mode("overwrite").parquet(tmp.toString + "/in")
+      graft.TempFiles.cleanupAtExit(tmp)
+      tmp.toString
+    })
+    val rep = java.nio.file.Files.createTempDirectory("graft_cdriftrep")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val q = graft.streaming.Streams.toCatDriftSink(stream, "o_orderpriority",
+      root + "/b", rep.toString + "/r", rep.toString + "/ckpt")
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+      .select(col("category"), col("is_fold"), col("count_a"), col("count_b"),
+        col("psi_term").cast(DoubleType).as("psi_term"), col("batch_id"))
+  }
+
+  private val catDriftStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val sDriftCatSql = pDriftCatSql.replace(
+    "SELECT category, is_fold, count_a, count_b,",
+    "SELECT category, is_fold, count_a, count_b, CAST(0 AS BIGINT) AS batch_id,")
+
   // ----------------------------------------------------------------- p_corr
   // Exact Pearson correlation between line-item quantity and price
   // (Profiling.corrExact): moment sums accumulate as exact DECIMAL (order-
@@ -1483,6 +1523,7 @@ object DocumentQueries {
     QueryDef("p_drift", pDrift, Some(pDriftSql)),
     QueryDef("p_drift_cat", pDriftCat, Some(pDriftCatSql)),
     QueryDef("s_drift", sDrift, Some(sDriftSql)),
+    QueryDef("s_drift_cat", sDriftCat, Some(sDriftCatSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),

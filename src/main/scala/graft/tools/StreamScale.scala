@@ -109,6 +109,25 @@ object StreamScale {
       val rps = (rows / math.max(sec, 1e-9)).round
       println(s"[streamscale] $name: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
       s""""$name":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
+    } :+ {
+      // r13: the drift monitor — every micro-batch scores against the
+      // PERSISTED baseline (one ≤nBuckets-row read + one batch scan per
+      // trigger), so the per-batch cost prices the recurring-check path,
+      // baseline never re-scanned
+      graft.operators.Profiling.writeDriftBaseline(
+        spark.read.parquet(docDir), "n_chars",
+        lo = 0.0, hi = 4096.0, nBuckets = 32, dir = s"$base/driftbase")
+      val rep = s"$base/driftrep-${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = Streams.toDriftSink(docsStream, "n_chars", s"$base/driftbase",
+        rep, s"$base/ckpt-${System.nanoTime()}")
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = spark.read.parquet(rep)
+        .select(col("batch_id")).distinct().count()
+      val rps = (docsN / math.max(sec, 1e-9)).round
+      println(s"[streamscale] drift_sink: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
+      s""""drift_sink":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
     }
     println(s"""{"metric":"stream_scale","events_n":$eventsN,""" +
       s""""docs_n":$docsN,"n_batches":$nBatches,""" +
