@@ -595,6 +595,9 @@ object Dedup {
     * corpus itself, the same one-rewrite floor [[lineDedup]] has. A 64-bit
     * span-hash collision can only merge two span identities (over-delete
     * one span occurrence), never fabricate text, at ~2⁻⁶⁴ per span pair.
+    * The input scans twice (token stream + span stream, different
+    * cardinalities — not fusable into one generate), both pruned to
+    * (`idCol`, `textCol`); cache upstream if producing it is expensive.
     */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
                             k: Int): DataFrame = {

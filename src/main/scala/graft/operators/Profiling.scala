@@ -184,7 +184,11 @@ object Profiling {
     */
   def distributionDriftFromBaseline(baseline: DataFrame, b: DataFrame,
                                     valueCol: String): DataFrame = {
-    val head = baseline.select(col("lo"), col("hi"), col("n_buckets")).head()
+    val params = baseline.select(col("lo"), col("hi"), col("n_buckets"))
+      .limit(1).collect()
+    require(params.nonEmpty, "distributionDriftFromBaseline: the baseline " +
+      "is empty — write it from a non-empty snapshot (writeDriftBaseline)")
+    val head = params(0)
     val (lo, hi, nBuckets) = (head.getDouble(0), head.getDouble(1), head.getInt(2))
     psiFromCounts(
       baseline.select(col("bucket"), col("count").as("count_a"))
