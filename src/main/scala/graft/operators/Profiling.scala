@@ -131,6 +131,98 @@ object Profiling {
       .agg(count(lit(1)).as(countName))
   }
 
+  /** The EQUI-MASS form of [[distributionDrift]]: bins are the baseline's
+    * own quantile cuts ([[quantileCuts]] — the classic PSI convention is
+    * its deciles), so every bin holds ~1/nBuckets of baseline mass and the
+    * report is sensitive across the whole distribution, not just where
+    * equi-width bins happen to be populated. `cuts` are the n−1 interior
+    * thresholds ascending; bucket(v) = #{cuts ≤ v} — an open-ended chain,
+    * so range drift lands in the edge bins like the equi-width form.
+    * Duplicate cuts (a mass point spanning quantiles) merely leave a bin
+    * structurally empty on BOTH sides — harmless under the ε smoothing.
+    * Same output, smoothing, and bounded-exchange contract.
+    */
+  def distributionDriftByCuts(a: DataFrame, b: DataFrame, valueCol: String,
+                              cuts: Seq[Double]): DataFrame =
+    psiFromCounts(
+      bucketCountsByCuts(a, valueCol, cuts, "count_a")
+        .join(bucketCountsByCuts(b, valueCol, cuts, "count_b"),
+          Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("bucket"), "distributionDriftByCuts")
+
+  /** One side's counts over irregular cut thresholds — bucket(v) =
+    * #{cuts ≤ v}, a codegen'd indicator chain (fine for the ≤ dozens of
+    * cuts PSI uses). NULL/NaN excluded as in [[bucketCounts]].
+    */
+  def bucketCountsByCuts(df: DataFrame, valueCol: String, cuts: Seq[Double],
+                         countName: String = "count"): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      "cuts must be nonempty ascending interior thresholds")
+    val v = df(valueCol).cast(DoubleType)
+    df.filter(v.isNotNull && !isnan(v)).select(
+        cuts.map(t => when(v >= lit(t), 1L).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(countName))
+  }
+
+  /** The n−1 interior quantile thresholds of `valueCol` (EXACT linear-
+    * interpolation percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the definition bit-for-bit, the p_percentiles
+    * evidence), NaN-excluded. One aggregate, n−1 doubles to the driver —
+    * compute ONCE on the baseline and persist next to its counts; deciles
+    * (nBuckets = 10) are the classic PSI convention.
+    */
+  def quantileCuts(df: DataFrame, valueCol: String, nBuckets: Int): Seq[Double] = {
+    require(nBuckets > 1, "need nBuckets > 1")
+    val v = df(valueCol).cast(DoubleType)
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    df.filter(v.isNotNull && !isnan(v))
+      .select(percentile(v, lit(ps.toArray)).as("q"))
+      .head().getSeq[Double](0).toSeq
+  }
+
+  /** Merge two same-contract numeric baselines ([[writeDriftBaseline]]'s
+    * layout) into one: counts sum per bucket, the binning contract must
+    * match exactly (required — summing counts binned under different
+    * contracts is meaningless). The epoch-rolling update: merge each new
+    * epoch's counts into the standing baseline instead of re-scanning
+    * history; spec pins merged == recomputed-over-union.
+    */
+  def mergeDriftBaselines(a: DataFrame, b: DataFrame): DataFrame = {
+    def contract(df: DataFrame) =
+      df.select(col("lo"), col("hi"), col("n_buckets")).limit(1).collect()
+        .headOption.map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
+    (contract(a), contract(b)) match {
+      case (Some(ca), Some(cb)) =>
+        require(ca == cb, s"mergeDriftBaselines: binning contracts differ " +
+          s"($ca vs $cb) — counts binned under different contracts cannot sum")
+        a.unionByName(b)
+          .groupBy(col("bucket"), col("lo"), col("hi"), col("n_buckets"))
+          .agg(sum(col("count")).as("count"))
+          .select(col("bucket"), col("count"), col("lo"), col("hi"),
+            col("n_buckets"))
+      case _ => if (contract(a).isEmpty) b else a // an empty side is a no-op
+    }
+  }
+
+  /** PSI from two PRECOMPUTED count tables — `aCounts` as (bucket,
+    * count_a), `bCounts` as (bucket, count_b); buckets missing on a side
+    * count 0. The primitive under every drift form; exposed for callers
+    * that maintain counts themselves (the rolling streaming ledger).
+    */
+  def distributionDriftFromCountPair(aCounts: DataFrame,
+                                     bCounts: DataFrame): DataFrame =
+    psiFromCounts(
+      aCounts.join(bCounts, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("count_a"), lit(0L)).as("count_a"),
+          coalesce(col("count_b"), lit(0L)).as("count_b")),
+      Seq("bucket"), "distributionDriftFromCountPair")
+
   /** The shared PSI tail: per-key counts → ε-smoothed psi_term. A zero-row
     * side RAISES (assert_true) instead of nulling every psi_term through a
     * 0/0 — a drift report silently full of nulls reads as "no drift".

@@ -1302,6 +1302,53 @@ object DocumentQueries {
       |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
       |FROM c, t""".stripMargin
 
+  // ------------------------------------------------------- p_drift_decile
+  // The EQUI-MASS PSI form — the industry convention bins by the
+  // BASELINE'S OWN DECILES (every bin ~10% of baseline mass) so the
+  // report is sensitive across the whole distribution, not only where
+  // equi-width bins happen to be populated. Cuts come from Spark's exact
+  // `percentile` (bit-for-bit the same linear-interpolation definition as
+  // DuckDB's quantile_cont — the p_percentiles evidence), bucket(v) =
+  // #{cuts ≤ v}; the oracle recomputes the cuts and replays the
+  // indicator-chain binning + counts + ln term.
+  private def pDriftDecile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_totalprice"))
+    val cuts = graft.operators.Profiling.quantileCuts(o, "o_totalprice", 10)
+    graft.operators.Profiling.distributionDriftByCuts(
+      o, driftSnapshotB(spark, dir), "o_totalprice", cuts)
+      .withColumn("psi_term", col("psi_term").cast(DoubleType))
+  }
+
+  private val pDriftDecileSql =
+    """WITH b AS (
+      | SELECT CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+      |  ELSE o_totalprice END AS x
+      | FROM orders WHERE o_orderkey % 97 <> 0
+      | UNION ALL
+      | SELECT o_totalprice FROM orders WHERE o_orderkey % 103 = 0),
+      |q AS (
+      | SELECT quantile_cont(o_totalprice,
+      |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      | FROM orders WHERE o_totalprice IS NOT NULL),
+      |u AS (
+      | SELECT 'a' AS s,
+      |  CAST(len(list_filter(qs, t -> o_totalprice >= t)) AS BIGINT) AS bucket
+      | FROM orders, q WHERE o_totalprice IS NOT NULL
+      | UNION ALL
+      | SELECT 'b', CAST(len(list_filter(qs, t -> x >= t)) AS BIGINT)
+      | FROM b, q WHERE x IS NOT NULL),
+      |c AS (
+      | SELECT bucket,
+      |  count(*) FILTER (WHERE s = 'a') AS count_a,
+      |  count(*) FILTER (WHERE s = 'b') AS count_b
+      | FROM u GROUP BY bucket),
+      |t AS (SELECT sum(count_a) AS na, sum(count_b) AS nb FROM c)
+      |SELECT bucket, count_a, count_b,
+      | CAST(CAST((count_a * 1.0 / na - count_b * 1.0 / nb)
+      |  * ln((count_a * 1.0 / na + 1e-9) / (count_b * 1.0 / nb + 1e-9))
+      |  AS DECIMAL(38,6)) AS DOUBLE) AS psi_term
+      |FROM c, t""".stripMargin
+
   // ---------------------------------------------------------- p_drift_cat
   // Categorical drift over the same q22 snapshot pair: order PRIORITY
   // distribution before/after the mutation, vocabulary = A's top-3
@@ -1521,6 +1568,7 @@ object DocumentQueries {
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_drift", pDrift, Some(pDriftSql)),
+    QueryDef("p_drift_decile", pDriftDecile, Some(pDriftDecileSql)),
     QueryDef("p_drift_cat", pDriftCat, Some(pDriftCatSql)),
     QueryDef("s_drift", sDrift, Some(sDriftSql)),
     QueryDef("s_drift_cat", sDriftCat, Some(sDriftCatSql)),

@@ -396,6 +396,82 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** ROLLING-window variant of [[toDriftSink]]: each micro-batch scores
+    * against the accumulated counts of the PREVIOUS `window` batches
+    * instead of a fixed baseline — the "is this batch unlike the recent
+    * stream?" check, which tracks legitimate seasonal movement where a
+    * static baseline would alarm forever after the first real shift.
+    *
+    * State is a tiny parquet ledger under `stateDir`: (batch_id, bucket,
+    * count) — ≤ window·nBuckets rows, rewritten per batch (read ledger →
+    * append this batch's counts → prune past `window` → atomic swap, the
+    * toUpsertSink discipline, so a crashed batch never half-updates the
+    * window). The first batch has no history and seeds the ledger without
+    * a report; replayed batch ids (checkpoint recovery) overwrite their
+    * own ledger rows instead of double-counting.
+    *
+    * Report rows: (batch_id, bucket, count_a, count_b, psi_term) where
+    * count_a is the rolling-window total — per batch, row-identical to
+    * `distributionDrift(previous-window-union, batch, …)` (spec-pinned).
+    */
+  def toRollingDriftSink(streamed: DataFrame, valueCol: String,
+                         lo: Double, hi: Double, nBuckets: Int,
+                         windowBatches: Int,
+                         stateDir: String, reportDir: String,
+                         checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowBatches > 0, "need windowBatches > 0")
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val batchCounts = graft.operators.Profiling
+          .bucketCounts(batch, valueCol, lo, hi, nBuckets)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint() // consumed twice (report + ledger update)
+        val dir = new java.io.File(stateDir)
+        val staged = new java.io.File(stateDir + ".old")
+        if (staged.exists() && !dir.exists() && !staged.renameTo(dir))
+          throw new java.io.IOException(
+            s"cannot restore staged ledger $staged -> $stateDir")
+        val history: Option[DataFrame] =
+          if (dir.exists()) Some(spark.read.parquet(stateDir)) else None
+        // replays (checkpoint recovery) re-deliver a batch id: its own
+        // ledger rows must not count as its history nor double-insert
+        val priorWindow = history
+          .map(_.filter(col("batch_id") < batchId &&
+            col("batch_id") >= batchId - windowBatches))
+          .filter(!_.isEmpty)
+        priorWindow.foreach { h =>
+          graft.operators.Profiling.distributionDriftFromCountPair(
+              h.groupBy(col("bucket")).agg(sum(col("count")).as("count_a")),
+              batchCounts.select(col("bucket"), col("count").as("count_b")))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(reportDir)
+        }
+        val newLedger = history
+          .map(_.filter(col("batch_id") =!= batchId &&
+            col("batch_id") > batchId - windowBatches)
+            .unionByName(batchCounts))
+          .getOrElse(batchCounts)
+          .localCheckpoint() // sever lineage from the dir being swapped
+        val tmp = stateDir + ".tmp"
+        newLedger.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (dir.exists() && !dir.renameTo(staged))
+          throw new java.io.IOException(s"cannot stage ledger $stateDir aside")
+        if (!new java.io.File(tmp).renameTo(dir)) {
+          staged.renameTo(dir)
+          throw new java.io.IOException(s"cannot publish ledger $tmp")
+        }
+        if (staged.exists()) graft.TempFiles.deleteRecursively(staged.toPath)
+        batchCounts.unpersist(); newLedger.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** [[toDriftSink]]'s categorical twin: micro-batches score against a
     * persisted [[graft.operators.Profiling.writeCategoricalBaseline]]
     * (vocabulary + folded counts, ≤ topK+1 rows) — the baseline

@@ -298,6 +298,45 @@ class CurationSpec extends AnyFunSuite {
       == canon(Profiling.categoricalDrift(ca, cb, "lang", topK = 2)))
   }
 
+  test("equi-mass drift: quantile cuts, open edge bins, merge == recompute (r13)") {
+    // quantileCuts: exact linear-interpolation percentiles, NaN excluded
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val cuts = Profiling.quantileCuts(a, "x", nBuckets = 4)
+    assert(cuts == Seq(25.75, 50.5, 75.25), cuts.toString) // 1..100 quartiles
+    // bucket(v) = #{cuts <= v}: equal mass per bin on the baseline itself
+    val self = Profiling.distributionDriftByCuts(a, a, "x", cuts)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(3))))
+      .toMap
+    assert(self.keySet == Set(0L, 1L, 2L, 3L))
+    assert(self.values.map(_._1).toSeq.sorted == Seq(25L, 25L, 25L, 25L))
+    self.values.foreach(v => assert(v._2.signum == 0))
+    // range drift lands in the open edge bins, never vanishes
+    val b = Seq(-50.0, 1e9).toDF("x")
+    val edges = Profiling.distributionDriftByCuts(a, b, "x", cuts)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(edges(0L) == 1L && edges(3L) == 1L, edges.toString)
+    // mergeDriftBaselines: epoch-merged counts == recomputed over union,
+    // and mismatched binning contracts refuse
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mergespec").toString
+    graft.TempFiles.cleanupAtExit(java.nio.file.Paths.get(tmp))
+    val e1 = (1 to 40).map(_.toDouble).toDF("x")
+    val e2 = (30 to 90).map(_.toDouble).toDF("x")
+    Profiling.writeDriftBaseline(e1, "x", 0.0, 100.0, 5, s"$tmp/e1")
+    Profiling.writeDriftBaseline(e2, "x", 0.0, 100.0, 5, s"$tmp/e2")
+    Profiling.writeDriftBaseline(e1.unionByName(e2), "x", 0.0, 100.0, 5, s"$tmp/u")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Profiling.mergeDriftBaselines(
+        spark.read.parquet(s"$tmp/e1"), spark.read.parquet(s"$tmp/e2")))
+      == canon(spark.read.parquet(s"$tmp/u")))
+    Profiling.writeDriftBaseline(e2, "x", 0.0, 200.0, 5, s"$tmp/bad")
+    val err = intercept[IllegalArgumentException] {
+      Profiling.mergeDriftBaselines(
+        spark.read.parquet(s"$tmp/e1"), spark.read.parquet(s"$tmp/bad"))
+    }
+    assert(err.getMessage.contains("contracts differ"))
+  }
+
   test("columnMode tie-breaks on value ascending") {
     val df = Seq("b", "b", "a", "a", "c").toDF("v")
     val m = Profiling.columnMode(df, "v").as[(String, String, Long)].collect().head

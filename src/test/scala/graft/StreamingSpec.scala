@@ -575,6 +575,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(catStreamed == catRef)
   }
 
+  test("rolling drift sink scores each batch against the previous window (r13)") {
+    import graft.operators.Profiling
+    val in = Files.createTempDirectory("rdrift_in").toString
+    val state = Files.createTempDirectory("rdrift_state").toString + "/ledger"
+    val rep = Files.createTempDirectory("rdrift_rep").toString + "/r"
+    val ckpt = Files.createTempDirectory("rdrift_ckpt").toString
+    val o = Tables.orders(spark, TestSpark.sf).select(col("o_totalprice"))
+    def sink() = Streams.toRollingDriftSink(
+      spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+      "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10,
+      windowBatches = 2, stateDir = state, reportDir = rep,
+      checkpointDir = ckpt)
+    // batch 0: seeds the ledger, no history -> no report
+    o.write.mode("overwrite").parquet(in)
+    val q0 = sink(); q0.processAllAvailable(); q0.stop()
+    assert(!new java.io.File(rep).exists(),
+      "the seed batch has no window to score against")
+    // batch 1: identical data -> scored vs batch 0, PSI exactly 0
+    o.write.mode("append").parquet(in)
+    val q1 = sink(); q1.processAllAvailable(); q1.stop()
+    // batch 2: shifted -> scored vs batches {0, 1}, alarms
+    o.select((col("o_totalprice") + 150000.0).as("o_totalprice"))
+      .write.mode("append").parquet(in)
+    val q2 = sink(); q2.processAllAvailable(); q2.stop()
+    val report = spark.read.parquet(rep)
+    val psi = report.groupBy(col("batch_id"))
+      .agg(sum(col("psi_term")).as("psi"))
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(psi.keySet == Set(1L, 2L), psi.toString)
+    assert(psi(1L).signum == 0, s"identical batch must read PSI 0: $psi")
+    assert(psi(2L).doubleValue > 0.25, s"shifted batch must alarm: $psi")
+    // per-batch parity: batch 2's row set equals the batch operator over
+    // (window union, batch) — count_a is the two-batch rolling total
+    val ref = Profiling.distributionDrift(
+        o.unionByName(o), // batches 0 and 1 were each the full snapshot
+        spark.read.parquet(in).limit(0) // placeholder, replaced below
+          .unionByName(o.select((col("o_totalprice") + 150000.0)
+            .as("o_totalprice"))),
+        "o_totalprice", 0.0, 500000.0, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val got = report.filter(col("batch_id") === 2L).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == ref)
+    // the ledger holds only the last `windowBatches` batches
+    val ledger = spark.read.parquet(state)
+    assert(ledger.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L))
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
