@@ -104,19 +104,15 @@ object Profiling {
     */
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
                         lo: Double, hi: Double, nBuckets: Int): DataFrame =
-    psiFromCounts(
-      bucketCounts(a, valueCol, lo, hi, nBuckets, "count_a")
-        .join(bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"),
-          Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          coalesce(col("count_a"), lit(0L)).as("count_a"),
-          coalesce(col("count_b"), lit(0L)).as("count_b")),
-      Seq("bucket"), "distributionDrift")
+    distributionDriftFromCountPair(
+      bucketCounts(a, valueCol, lo, hi, nBuckets, "count_a"),
+      bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"))
 
   /** One side's equi-width bucket counts — the persistable half of
-    * [[distributionDrift]]. NULL and NaN values are EXCLUDED (floor(NaN)
-    * would otherwise coerce into bucket 0 and silently inflate edge-bin
-    * mass); out-of-range values clamp into the edge bins as documented on
+    * [[distributionDrift]]. NULL and NaN values are EXCLUDED (under
+    * Spark's NaN-is-largest ordering the clamp would otherwise land NaN
+    * in the TOP edge bin and silently inflate its mass); out-of-range
+    * values clamp into the edge bins as documented on
     * [[distributionDrift]]. ≤ `nBuckets` rows, map-side partial combine.
     */
   def bucketCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
@@ -144,14 +140,9 @@ object Profiling {
     */
   def distributionDriftByCuts(a: DataFrame, b: DataFrame, valueCol: String,
                               cuts: Seq[Double]): DataFrame =
-    psiFromCounts(
-      bucketCountsByCuts(a, valueCol, cuts, "count_a")
-        .join(bucketCountsByCuts(b, valueCol, cuts, "count_b"),
-          Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          coalesce(col("count_a"), lit(0L)).as("count_a"),
-          coalesce(col("count_b"), lit(0L)).as("count_b")),
-      Seq("bucket"), "distributionDriftByCuts")
+    distributionDriftFromCountPair(
+      bucketCountsByCuts(a, valueCol, cuts, "count_a"),
+      bucketCountsByCuts(b, valueCol, cuts, "count_b"))
 
   /** One side's counts over irregular cut thresholds — bucket(v) =
     * #{cuts ≤ v}, a codegen'd indicator chain (fine for the ≤ dozens of
@@ -180,9 +171,12 @@ object Profiling {
     require(nBuckets > 1, "need nBuckets > 1")
     val v = df(valueCol).cast(DoubleType)
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    df.filter(v.isNotNull && !isnan(v))
+    val row = df.filter(v.isNotNull && !isnan(v))
       .select(percentile(v, lit(ps.toArray)).as("q"))
-      .head().getSeq[Double](0).toSeq
+      .head()
+    require(!row.isNullAt(0), s"quantileCuts: $valueCol has no " +
+      "non-null/non-NaN values — cannot derive cuts from an empty baseline")
+    row.getSeq[Double](0).toSeq
   }
 
   /** Merge two same-contract numeric baselines ([[writeDriftBaseline]]'s
@@ -196,16 +190,17 @@ object Profiling {
     def contract(df: DataFrame) =
       df.select(col("lo"), col("hi"), col("n_buckets")).limit(1).collect()
         .headOption.map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
-    (contract(a), contract(b)) match {
-      case (Some(ca), Some(cb)) =>
-        require(ca == cb, s"mergeDriftBaselines: binning contracts differ " +
-          s"($ca vs $cb) — counts binned under different contracts cannot sum")
+    val (ca, cb) = (contract(a), contract(b))
+    (ca, cb) match {
+      case (Some(x), Some(y)) =>
+        require(x == y, s"mergeDriftBaselines: binning contracts differ " +
+          s"($x vs $y) — counts binned under different contracts cannot sum")
         a.unionByName(b)
           .groupBy(col("bucket"), col("lo"), col("hi"), col("n_buckets"))
           .agg(sum(col("count")).as("count"))
           .select(col("bucket"), col("count"), col("lo"), col("hi"),
             col("n_buckets"))
-      case _ => if (contract(a).isEmpty) b else a // an empty side is a no-op
+      case _ => if (ca.isEmpty) b else a // an empty side is a no-op
     }
   }
 
@@ -226,6 +221,11 @@ object Profiling {
   /** The shared PSI tail: per-key counts → ε-smoothed psi_term. A zero-row
     * side RAISES (assert_true) instead of nulling every psi_term through a
     * 0/0 — a drift report silently full of nulls reads as "no drift".
+    * When BOTH sides are empty there are no rows to evaluate the guard on:
+    * the report is EMPTY (zero buckets) — distinguishable from "no drift"
+    * (which has rows with psi_term 0) by its row count; the persisted-
+    * baseline and sink paths can't reach it (writeDriftBaseline refuses an
+    * empty snapshot, FromBaseline requires a non-empty file).
     */
   private def psiFromCounts(counts: DataFrame, keyCols: Seq[String],
                             opName: String): DataFrame = {
@@ -261,11 +261,19 @@ object Profiling {
     * streaming drift sink) read THIS instead of re-scanning the snapshot.
     */
   def writeDriftBaseline(df: DataFrame, valueCol: String, lo: Double,
-                         hi: Double, nBuckets: Int, dir: String): Unit =
+                         hi: Double, nBuckets: Int, dir: String): Unit = {
+    // refuse an empty baseline at the WRITE (the error belongs where the
+    // cause is — every later read would otherwise fail far from it, or
+    // score batches against nothing); a limit-1 probe, early-exits
+    val v = df(valueCol).cast(DoubleType)
+    require(!df.filter(v.isNotNull && !isnan(v)).isEmpty,
+      s"writeDriftBaseline: $valueCol has no non-null/non-NaN values — " +
+        "refusing to persist an empty baseline")
     bucketCounts(df, valueCol, lo, hi, nBuckets)
       .withColumn("lo", lit(lo)).withColumn("hi", lit(hi))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
 
   /** [[distributionDrift]] against a PERSISTED baseline (the
     * [[writeDriftBaseline]] layout): only snapshot B scans; the baseline
@@ -282,14 +290,9 @@ object Profiling {
       "is empty — write it from a non-empty snapshot (writeDriftBaseline)")
     val head = params(0)
     val (lo, hi, nBuckets) = (head.getDouble(0), head.getDouble(1), head.getInt(2))
-    psiFromCounts(
-      baseline.select(col("bucket"), col("count").as("count_a"))
-        .join(bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"),
-          Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          coalesce(col("count_a"), lit(0L)).as("count_a"),
-          coalesce(col("count_b"), lit(0L)).as("count_b")),
-      Seq("bucket"), "distributionDriftFromBaseline")
+    distributionDriftFromCountPair(
+      baseline.select(col("bucket"), col("count").as("count_a")),
+      bucketCounts(b, valueCol, lo, hi, nBuckets, "count_b"))
   }
 
   /** [[distributionDrift]]'s categorical twin: per-category PSI between
@@ -323,23 +326,37 @@ object Profiling {
     * the two never merge.
     */
   def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String,
-                       vocab: DataFrame): DataFrame = {
-    def side(df: DataFrame, countName: String): DataFrame =
-      df.filter(col(catCol).isNotNull)
-        .select(col(catCol).cast(StringType).as("__v"))
-        .join(broadcast(vocab), col("__v") === col("category"), "left")
-        .select(coalesce(col("category"), lit("__other__")).as("category"),
-          col("category").isNull.as("is_fold"))
-        .groupBy(col("category"), col("is_fold"))
-        .agg(count(lit(1)).as(countName))
+                       vocab: DataFrame): DataFrame =
+    categoricalDriftFromCountPair(
+      foldedCounts(a, catCol, vocab, "count_a"),
+      foldedCounts(b, catCol, vocab, "count_b"))
+
+  /** One side's vocabulary-folded category counts — the shared primitive
+    * under every categorical drift form (two-snapshot, persisted
+    * baseline, streaming); ≤ topK+1 groups, map-side partial combine.
+    */
+  def foldedCounts(df: DataFrame, catCol: String, vocab: DataFrame,
+                   countName: String = "count"): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .select(col(catCol).cast(StringType).as("__v"))
+      .join(broadcast(vocab), col("__v") === col("category"), "left")
+      .select(coalesce(col("category"), lit("__other__")).as("category"),
+        col("category").isNull.as("is_fold"))
+      .groupBy(col("category"), col("is_fold"))
+      .agg(count(lit(1)).as(countName))
+
+  /** Categorical PSI from two precomputed [[foldedCounts]] tables —
+    * (category, is_fold, count_a/count_b); keys missing on a side count
+    * 0. The categorical twin of [[distributionDriftFromCountPair]].
+    */
+  def categoricalDriftFromCountPair(aCounts: DataFrame,
+                                    bCounts: DataFrame): DataFrame =
     psiFromCounts(
-      side(a, "count_a").join(side(b, "count_b"),
-          Seq("category", "is_fold"), "full_outer")
+      aCounts.join(bCounts, Seq("category", "is_fold"), "full_outer")
         .select(col("category"), col("is_fold"),
           coalesce(col("count_a"), lit(0L)).as("count_a"),
           coalesce(col("count_b"), lit(0L)).as("count_b")),
-      Seq("category", "is_fold"), "categoricalDrift")
-  }
+      Seq("category", "is_fold"), "categoricalDriftFromCountPair")
 
   /** The deterministic baseline top-`topK` vocabulary (count desc, value
     * asc under ties) — [[categoricalDrift]]'s default, exposed so a
@@ -362,17 +379,9 @@ object Profiling {
     * sink) read this instead of re-scanning the baseline snapshot.
     */
   def writeCategoricalBaseline(df: DataFrame, catCol: String, topK: Int,
-                               dir: String): Unit = {
-    val vocab = categoricalVocabulary(df, catCol, topK)
-    df.filter(col(catCol).isNotNull)
-      .select(col(catCol).cast(StringType).as("__v"))
-      .join(broadcast(vocab), col("__v") === col("category"), "left")
-      .select(coalesce(col("category"), lit("__other__")).as("category"),
-        col("category").isNull.as("is_fold"))
-      .groupBy(col("category"), col("is_fold"))
-      .agg(count(lit(1)).as("count"))
+                               dir: String): Unit =
+    foldedCounts(df, catCol, categoricalVocabulary(df, catCol, topK))
       .coalesce(1).write.mode("overwrite").parquet(dir)
-  }
 
   /** [[categoricalDrift]] against a persisted [[writeCategoricalBaseline]]
     * layout: only snapshot B scans; its vocabulary is the baseline's
@@ -382,20 +391,10 @@ object Profiling {
   def categoricalDriftFromBaseline(baseline: DataFrame, b: DataFrame,
                                    catCol: String): DataFrame = {
     val vocab = baseline.filter(!col("is_fold")).select(col("category"))
-    val bCounts = b.filter(col(catCol).isNotNull)
-      .select(col(catCol).cast(StringType).as("__v"))
-      .join(broadcast(vocab), col("__v") === col("category"), "left")
-      .select(coalesce(col("category"), lit("__other__")).as("category"),
-        col("category").isNull.as("is_fold"))
-      .groupBy(col("category"), col("is_fold"))
-      .agg(count(lit(1)).as("count_b"))
-    psiFromCounts(
-      baseline.select(col("category"), col("is_fold"), col("count").as("count_a"))
-        .join(bCounts, Seq("category", "is_fold"), "full_outer")
-        .select(col("category"), col("is_fold"),
-          coalesce(col("count_a"), lit(0L)).as("count_a"),
-          coalesce(col("count_b"), lit(0L)).as("count_b")),
-      Seq("category", "is_fold"), "categoricalDriftFromBaseline")
+    categoricalDriftFromCountPair(
+      baseline.select(col("category"), col("is_fold"),
+        col("count").as("count_a")),
+      foldedCounts(b, catCol, vocab, "count_b"))
   }
 
   /** Exact Pearson correlation between two columns, engine-portably: the

@@ -1406,23 +1406,17 @@ object DocumentQueries {
   // batch_id 0). Fresh report/checkpoint dirs per invocation. The oracle
   // is p_drift's with the batch_id constant — a baseline/stream count
   // divergence, a re-binning drift, or a double-append breaks the hash.
-  private val driftStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def sDrift(spark: SparkSession, dir: String): DataFrame = {
     // baseline (root/b) + staged snapshot-B drop dir (root/in), once per
     // (JVM, dir) — the recurring invocations only read them
-    val root = driftStageCache.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_driftstage")
+    val root = SourceQueries.cachedArtifact("driftstage", dir) { tmp =>
       graft.operators.Profiling.writeDriftBaseline(
         Tables.orders(spark, dir).select(col("o_totalprice")),
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20,
-        dir = tmp.toString + "/b")
+        dir = tmp + "/b")
       driftSnapshotB(spark, dir).write.mode("overwrite")
-        .parquet(tmp.toString + "/in")
-      graft.TempFiles.cleanupAtExit(tmp) // see cachedArtifact's rationale
-      tmp.toString
-    })
+        .parquet(tmp + "/in")
+    }
     val rep = java.nio.file.Files.createTempDirectory("graft_driftrep")
     graft.TempFiles.cleanupAtExit(rep)
     val stream = spark.readStream
@@ -1432,7 +1426,10 @@ object DocumentQueries {
     q.processAllAvailable(); q.stop()
     spark.read.parquet(rep.toString + "/r")
       .select(col("bucket"), col("count_a"), col("count_b"),
-        col("psi_term").cast(DoubleType).as("psi_term"), col("batch_id"))
+        col("psi_term").cast(DoubleType).as("psi_term"),
+        // batch_id is the report's PARTITION column (replay-idempotent
+        // per-batch overwrite layout); inference reads it as int
+        col("batch_id").cast(LongType).as("batch_id"))
   }
 
   private val sDriftSql = pDriftSql.replace(
@@ -1446,20 +1443,17 @@ object DocumentQueries {
   // must hash-match p_drift_cat's oracle — a recomputed-instead-of-read
   // vocabulary, a fold-key drift, or a count divergence breaks it.
   private def sDriftCat(spark: SparkSession, dir: String): DataFrame = {
-    val root = catDriftStageCache.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cdriftstage")
+    val root = SourceQueries.cachedArtifact("cdriftstage", dir) { tmp =>
       val o = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
       graft.operators.Profiling.writeCategoricalBaseline(
         o.select(col("o_orderpriority")), "o_orderpriority", topK = 3,
-        dir = tmp.toString + "/b")
+        dir = tmp + "/b")
       o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
         .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0))
         .select(col("o_orderpriority"))
-        .write.mode("overwrite").parquet(tmp.toString + "/in")
-      graft.TempFiles.cleanupAtExit(tmp)
-      tmp.toString
-    })
+        .write.mode("overwrite").parquet(tmp + "/in")
+    }
     val rep = java.nio.file.Files.createTempDirectory("graft_cdriftrep")
     graft.TempFiles.cleanupAtExit(rep)
     val stream = spark.readStream
@@ -1469,11 +1463,9 @@ object DocumentQueries {
     q.processAllAvailable(); q.stop()
     spark.read.parquet(rep.toString + "/r")
       .select(col("category"), col("is_fold"), col("count_a"), col("count_b"),
-        col("psi_term").cast(DoubleType).as("psi_term"), col("batch_id"))
+        col("psi_term").cast(DoubleType).as("psi_term"),
+        col("batch_id").cast(LongType).as("batch_id")) // partition column
   }
-
-  private val catDriftStageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val sDriftCatSql = pDriftCatSql.replace(
     "SELECT category, is_fold, count_a, count_b,",

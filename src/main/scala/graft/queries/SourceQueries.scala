@@ -34,7 +34,7 @@ object SourceQueries {
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def cachedArtifact(kind: String, dir: String)(write: String => Unit): String =
+  private[queries] def cachedArtifact(kind: String, dir: String)(write: String => Unit): String =
     artifactCache.computeIfAbsent((kind, dir), { _ =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_$kind")
       write(tmp.toString)

@@ -373,8 +373,12 @@ object Streams {
     * the baseline snapshot itself is never re-scanned, which is the whole
     * point of persisting it.
     *
-    * The report is append-only (batch_id, bucket, count_a, count_b,
-    * psi_term): a monitor reads `SUM(psi_term) GROUP BY batch_id` and
+    * The report is a batch_id-partitioned parquet table of (bucket,
+    * count_a, count_b, psi_term) — each batch's partition is OVERWRITTEN
+    * on write, so a batch replayed after checkpoint recovery rewrites its
+    * own rows instead of double-counting its PSI (the replay-idempotence
+    * rule the keyed sinks follow): a monitor reads
+    * `SUM(psi_term) GROUP BY batch_id` and
     * alerts past its threshold (the usual read: <0.1 stable, >0.25
     * shifted). Batches with zero in-range rows RAISE (the batch-side
     * totals guard) rather than appending a silently-null report.
@@ -386,10 +390,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         val baseline = batch.sparkSession.read.parquet(baselineDir)
+        // one Hive-style partition dir per batch, OVERWRITTEN on write: a
+        // batch replayed after checkpoint recovery rewrites its own rows
+        // instead of appending duplicates that double the batch's PSI
+        // (the repo-wide replay-idempotence rule; batch_id comes back as
+        // the partition column on read)
         graft.operators.Profiling
           .distributionDriftFromBaseline(baseline, batch, valueCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(reportDir)
+          .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -443,11 +451,11 @@ object Streams {
             col("batch_id") >= batchId - windowBatches))
           .filter(!_.isEmpty)
         priorWindow.foreach { h =>
+          // replay-idempotent per-batch partition overwrite — see toDriftSink
           graft.operators.Profiling.distributionDriftFromCountPair(
               h.groupBy(col("bucket")).agg(sum(col("count")).as("count_a")),
               batchCounts.select(col("bucket"), col("count").as("count_b")))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(reportDir)
+            .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
         }
         val newLedger = history
           .map(_.filter(col("batch_id") =!= batchId &&
@@ -485,10 +493,10 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         val baseline = batch.sparkSession.read.parquet(baselineDir)
+        // replay-idempotent per-batch partition overwrite — see toDriftSink
         graft.operators.Profiling
           .categoricalDriftFromBaseline(baseline, batch, catCol)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(reportDir)
+          .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -140,16 +140,8 @@ object DedupSf10 {
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       println(s"[dedup-sf10] $name dumped")
     }
-    def q(s: String): String = "\"" + s.flatMap { // Verify's escaping
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    val json = oracles
+      .map { case (k, v) => s"${graft.Jsons.quote(k)}: ${graft.Jsons.quote(v)}" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
       json.getBytes("UTF-8"))

@@ -257,28 +257,43 @@ class ScaleSpec extends AnyFunSuite {
     // topK+1 groups per task), never the scanned rows — so the report
     // costs the same at any snapshot size
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    Seq("p_drift" -> "o_totalprice", "p_drift_cat" -> "o_orderpriority",
-        "s_drift" -> "o_totalprice").foreach { case (q, raw) =>
-      val df = SparkEntry.queries(q)(spark, sf)
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(s.plan)
+      case other => other.children.flatMap(deep)
+    })
+    def pinNoRawShuffle(name: String, df: org.apache.spark.sql.DataFrame,
+                        raw: String): Unit = {
       df.collect() // finalize AQE so the executed tree is real
       val plan = df.queryExecution.executedPlan
-      def deep(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          deep(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          deep(s.plan)
-        case other => other.children.flatMap(deep)
-      })
-      deep(plan).collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val exchanges = deep(plan).collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, s"$name: expected aggregate exchanges")
+      exchanges.foreach { e =>
         e.child.output.foreach { attr =>
           assert(!attr.name.equalsIgnoreCase(raw) &&
             !attr.name.equalsIgnoreCase("__v"),
-            s"$q shuffles the raw value column '${attr.name}' — " +
+            s"$name shuffles the raw value column '${attr.name}' — " +
               s"the aggregate must partial-combine map-side:\n$plan")
         }
       }
     }
+    pinNoRawShuffle("p_drift",
+      SparkEntry.queries("p_drift")(spark, sf), "o_totalprice")
+    pinNoRawShuffle("p_drift_cat",
+      SparkEntry.queries("p_drift_cat")(spark, sf), "o_orderpriority")
+    // the persisted-baseline path is what the drift SINKS execute per
+    // micro-batch; the registered s_drift query only reads back the tiny
+    // report (no exchanges), so pin the OPERATOR's plan directly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_driftpin").toString
+    graft.TempFiles.cleanupAtExit(java.nio.file.Paths.get(tmp))
+    val o = Tables.orders(spark, sf).select(col("o_totalprice"))
+    Profiling.writeDriftBaseline(o, "o_totalprice", 0.0, 500000.0, 20, s"$tmp/b")
+    pinNoRawShuffle("distributionDriftFromBaseline",
+      Profiling.distributionDriftFromBaseline(
+        spark.read.parquet(s"$tmp/b"), o, "o_totalprice"), "o_totalprice")
   }
 
   test("substring rewrite: span-decision exchanges carry only (id, pos, hash) (r13)") {

@@ -541,12 +541,17 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = Streams.toDriftSink(stream, "o_totalprice", s"$base/n", rep, ckpt)
     q2.processAllAvailable(); q2.stop()
     val report = spark.read.parquet(rep)
-    val psi = report.groupBy(col("batch_id"))
+    val psi = report.groupBy(col("batch_id").cast("long"))
       .agg(sum(col("psi_term")).as("psi"))
       .as[(Long, java.math.BigDecimal)].collect().toMap
     assert(psi.keySet == Set(0L, 1L), psi.toString)
     assert(psi(0L).signum == 0, s"identical batch must read PSI 0: $psi")
     assert(psi(1L).doubleValue > 0.25, s"shifted batch must alarm: $psi")
+    // replay-idempotent layout: one OVERWRITTEN partition dir per batch —
+    // a redelivered batch rewrites its own rows, never appends duplicates
+    val parts = new java.io.File(rep).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=0", "batch_id=1"), parts.toString)
     // per-batch parity with the batch operator against the same baseline
     val batchRef = Profiling.distributionDriftFromBaseline(
         spark.read.parquet(s"$base/n"), o, "o_totalprice")
