@@ -373,6 +373,43 @@ object Profiling {
       .select(col("category"))
   }
 
+  /** Persist the baseline vocabulary alone (one `category` column, ≤ topK
+    * rows) — the fixed fold key a rolling categorical check
+    * ([[graft.streaming.Streams.toRollingCatDriftSink]]) folds every
+    * batch through: the window's ledger counts are only summable under
+    * ONE vocabulary, so it must persist independently of any counts.
+    */
+  def writeCategoricalVocabulary(df: DataFrame, catCol: String, topK: Int,
+                                 dir: String): Unit =
+    categoricalVocabulary(df, catCol, topK)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Merge two same-vocabulary categorical baselines
+    * ([[writeCategoricalBaseline]]'s layout) — the categorical twin of
+    * [[mergeDriftBaselines]]: folded counts sum per (category, is_fold);
+    * the two baselines' NON-FOLD category sets (their vocabularies) must
+    * be equal, or folded mass from different vocabularies would mix.
+    * The check compares OBSERVED non-fold sets — exact for baselines
+    * written from their vocabulary's own snapshot (every top-K category
+    * has mass there by construction); a hint-vocabulary baseline whose
+    * snapshot had zero mass in some vocab category can trip it
+    * spuriously — prefer same-vocabulary epochs for rolling merges.
+    */
+  def mergeCategoricalBaselines(a: DataFrame, b: DataFrame): DataFrame = {
+    def vocabOf(df: DataFrame): Set[String] =
+      df.filter(!col("is_fold")).select(col("category"))
+        .collect().map(_.getString(0)).toSet // ≤ topK rows by construction
+    val (va, vb) = (vocabOf(a), vocabOf(b))
+    if (va.nonEmpty && vb.nonEmpty)
+      require(va == vb, s"mergeCategoricalBaselines: vocabularies differ " +
+        s"(${va.diff(vb).take(3)} vs ${vb.diff(va).take(3)} …) — folded " +
+        "counts under different vocabularies cannot sum")
+    a.unionByName(b)
+      .groupBy(col("category"), col("is_fold"))
+      .agg(sum(col("count")).as("count"))
+      .select(col("category"), col("is_fold"), col("count"))
+  }
+
   /** Persist a categorical drift baseline: the folded per-category counts
     * (`category`, `is_fold`, `count`) — ≤ topK+1 rows, self-describing.
     * Recurring checks ([[categoricalDriftFromBaseline]], the streaming

@@ -427,14 +427,52 @@ object Streams {
                          windowBatches: Int,
                          stateDir: String, reportDir: String,
                          checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    rollingLedgerSink(streamed,
+      batch => graft.operators.Profiling
+        .bucketCounts(batch, valueCol, lo, hi, nBuckets),
+      keyCols = Seq("bucket"),
+      psiOf = graft.operators.Profiling.distributionDriftFromCountPair,
+      windowBatches, stateDir, reportDir, checkpointDir)
+
+  /** [[toRollingDriftSink]]'s categorical twin: batches fold through a
+    * PERSISTED vocabulary (one `category` column —
+    * [[graft.operators.Profiling.writeCategoricalVocabulary]]; the fold
+    * key must stay FIXED across the window or ledger counts would mix
+    * vocabularies) and score against the previous `windowBatches`
+    * batches' folded counts. Same ledger/replay/report contract.
+    */
+  def toRollingCatDriftSink(streamed: DataFrame, catCol: String,
+                            vocabDir: String, windowBatches: Int,
+                            stateDir: String, reportDir: String,
+                            checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    rollingLedgerSink(streamed,
+      batch => graft.operators.Profiling.foldedCounts(batch, catCol,
+        batch.sparkSession.read.parquet(vocabDir)),
+      keyCols = Seq("category", "is_fold"),
+      psiOf = graft.operators.Profiling.categoricalDriftFromCountPair,
+      windowBatches, stateDir, reportDir, checkpointDir)
+
+  /** The shared rolling-ledger core: `countsOf` reduces a batch to its
+    * bounded per-key counts (`keyCols`… , `count`), the ledger keeps the
+    * last `windowBatches` batches' counts, and `psiOf` scores this
+    * batch's counts against the window total. See [[toRollingDriftSink]]
+    * for the state/replay/crash contract.
+    */
+  private def rollingLedgerSink(streamed: DataFrame,
+                                countsOf: DataFrame => DataFrame,
+                                keyCols: Seq[String],
+                                psiOf: (DataFrame, DataFrame) => DataFrame,
+                                windowBatches: Int, stateDir: String,
+                                reportDir: String, checkpointDir: String)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     require(windowBatches > 0, "need windowBatches > 0")
     streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
-        val batchCounts = graft.operators.Profiling
-          .bucketCounts(batch, valueCol, lo, hi, nBuckets)
+        val batchCounts = countsOf(batch)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint() // consumed twice (report + ledger update)
         val dir = new java.io.File(stateDir)
@@ -452,9 +490,11 @@ object Streams {
           .filter(!_.isEmpty)
         priorWindow.foreach { h =>
           // replay-idempotent per-batch partition overwrite — see toDriftSink
-          graft.operators.Profiling.distributionDriftFromCountPair(
-              h.groupBy(col("bucket")).agg(sum(col("count")).as("count_a")),
-              batchCounts.select(col("bucket"), col("count").as("count_b")))
+          psiOf(
+              h.groupBy(keyCols.map(col): _*)
+                .agg(sum(col("count")).as("count_a")),
+              batchCounts.select(keyCols.map(col) :+
+                col("count").as("count_b"): _*))
             .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
         }
         val newLedger = history

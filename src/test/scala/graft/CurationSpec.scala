@@ -335,6 +335,24 @@ class CurationSpec extends AnyFunSuite {
         spark.read.parquet(s"$tmp/e1"), spark.read.parquet(s"$tmp/bad"))
     }
     assert(err.getMessage.contains("contracts differ"))
+    // categorical twin: same-vocabulary epochs sum; foreign vocab refuses
+    val c1 = Seq("en", "en", "de", "fr").toDF("lang")
+    val c2 = Seq("en", "de", "de", "zz").toDF("lang")
+    val vocab = Profiling.categoricalVocabulary(c1, "lang", topK = 2)
+    Profiling.foldedCounts(c1, "lang", vocab).write.parquet(s"$tmp/c1")
+    Profiling.foldedCounts(c2, "lang", vocab).write.parquet(s"$tmp/c2")
+    Profiling.foldedCounts(c1.unionByName(c2), "lang", vocab)
+      .write.parquet(s"$tmp/cu")
+    assert(canon(Profiling.mergeCategoricalBaselines(
+        spark.read.parquet(s"$tmp/c1"), spark.read.parquet(s"$tmp/c2")))
+      == canon(spark.read.parquet(s"$tmp/cu")))
+    Profiling.writeCategoricalBaseline(
+      Seq("xx", "xx", "yy").toDF("lang"), "lang", topK = 2, s"$tmp/cbad")
+    val cerr = intercept[IllegalArgumentException] {
+      Profiling.mergeCategoricalBaselines(
+        spark.read.parquet(s"$tmp/c1"), spark.read.parquet(s"$tmp/cbad"))
+    }
+    assert(cerr.getMessage.contains("vocabularies differ"))
   }
 
   test("columnMode tie-breaks on value ascending") {

@@ -627,6 +627,30 @@ class StreamingSpec extends AnyFunSuite {
     val ledger = spark.read.parquet(state)
     assert(ledger.select("batch_id").distinct().as[Long].collect().toSet
       == Set(1L, 2L))
+    // categorical twin over a persisted vocabulary: identical second
+    // batch → PSI 0; folds stay keyed by the FIXED vocabulary per batch
+    val cat = Tables.orders(spark, TestSpark.sf).select(col("o_orderpriority"))
+    val base = Files.createTempDirectory("rcdrift").toString
+    Profiling.writeCategoricalVocabulary(cat, "o_orderpriority", topK = 3,
+      dir = s"$base/v")
+    val cin = Files.createTempDirectory("rcdrift_in").toString
+    cat.write.mode("overwrite").parquet(cin)
+    def csink() = Streams.toRollingCatDriftSink(
+      spark.readStream.schema(spark.read.parquet(cin).schema).parquet(cin),
+      "o_orderpriority", s"$base/v", windowBatches = 2,
+      stateDir = s"$base/ledger", reportDir = s"$base/r",
+      checkpointDir = s"$base/ckpt")
+    val cq0 = csink(); cq0.processAllAvailable(); cq0.stop()
+    cat.write.mode("append").parquet(cin)
+    val cq1 = csink(); cq1.processAllAvailable(); cq1.stop()
+    val cpsi = spark.read.parquet(s"$base/r")
+      .agg(sum(col("psi_term"))).as[java.math.BigDecimal].collect().head
+    assert(cpsi.signum == 0, s"identical categorical batch must read 0: $cpsi")
+    val crows = spark.read.parquet(s"$base/r")
+      .select("category", "is_fold").distinct()
+      .as[(String, Boolean)].collect().toSet
+    // 5 priorities, top-3 vocabulary: 3 vocab rows + the fold bucket
+    assert(crows.count(!_._2) == 3 && crows.count(_._2) == 1, crows.toString)
   }
 
   test("mapGroupsWithState keeps running per-user totals") {
