@@ -1467,6 +1467,45 @@ object DocumentQueries {
         col("batch_id").cast(LongType).as("batch_id")) // partition column
   }
 
+  // ----------------------------------------------------- s_drift_rolling
+  // The ROLLING drift monitor under the hash gate: batch 0 (the baseline
+  // snapshot) seeds the ledger without a report; batch 1 (the q22
+  // mutation) scores against the WINDOW — which at that point is exactly
+  // batch 0 — so the report must hash-match p_drift's oracle with
+  // batch_id 1. Batch boundaries are deterministic by construction (two
+  // sink runs draining the staged files present at each start, the
+  // StreamingSpec flow); fresh dirs per invocation. A ledger that
+  // double-counted a replay, mixed the batch into its own history, or
+  // mis-pruned the window breaks the hash.
+  private def sDriftRolling(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_rdriftq")
+    graft.TempFiles.cleanupAtExit(root)
+    val in = root.toString + "/in"
+    val o = Tables.orders(spark, dir).select(col("o_totalprice"))
+    def drain(): Unit = {
+      val q = graft.streaming.Streams.toRollingDriftSink(
+        spark.readStream.schema(o.schema).parquet(in),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20,
+        windowBatches = 4,
+        stateDir = root.toString + "/ledger",
+        reportDir = root.toString + "/r",
+        checkpointDir = root.toString + "/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    o.write.mode("overwrite").parquet(in) // batch 0: the baseline snapshot
+    drain()
+    driftSnapshotB(spark, dir).write.mode("append").parquet(in) // batch 1
+    drain()
+    spark.read.parquet(root.toString + "/r")
+      .select(col("bucket"), col("count_a"), col("count_b"),
+        col("psi_term").cast(DoubleType).as("psi_term"),
+        col("batch_id").cast(LongType).as("batch_id")) // partition column
+  }
+
+  private val sDriftRollingSql = pDriftSql.replace(
+    "SELECT bucket, count_a, count_b,",
+    "SELECT bucket, count_a, count_b, CAST(1 AS BIGINT) AS batch_id,")
+
   private val sDriftCatSql = pDriftCatSql.replace(
     "SELECT category, is_fold, count_a, count_b,",
     "SELECT category, is_fold, count_a, count_b, CAST(0 AS BIGINT) AS batch_id,")
@@ -1564,6 +1603,7 @@ object DocumentQueries {
     QueryDef("p_drift_cat", pDriftCat, Some(pDriftCatSql)),
     QueryDef("s_drift", sDrift, Some(sDriftSql)),
     QueryDef("s_drift_cat", sDriftCat, Some(sDriftCatSql)),
+    QueryDef("s_drift_rolling", sDriftRolling, Some(sDriftRollingSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),
