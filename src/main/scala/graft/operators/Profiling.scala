@@ -307,6 +307,12 @@ object Profiling {
     * under `is_fold` = false). Output adds the `is_fold` key; smoothing
     * contract identical to [[distributionDrift]].
     *
+    * SCHEMA CHANGE (r13): `is_fold` was inserted at position 1, shifting
+    * `count_a`/`count_b`/`psi_term` right by one. Consumers must select
+    * columns BY NAME — positional reads (`row.getDecimal(3)`-style)
+    * against the pre-r13 layout silently read the wrong column or throw a
+    * cast error.
+    *
     * Scale shape: one keyed aggregate per side (partial combine), a
     * driver-bounded top-K vocabulary (≤ topK rows collected via sort),
     * then the same ≤(topK+1)-group aggregate + one-row totals broadcast.

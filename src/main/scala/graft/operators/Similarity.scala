@@ -548,27 +548,21 @@ object Similarity {
     */
   def ivfRebuildSwap(spark: org.apache.spark.sql.SparkSession, path: String,
                      nCentroids: Int, iters: Int = 3): Long = {
-    val dir = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
+    val (fs, dirPath) = graft.sinks.Publish.fsFor(spark, path)
     val next = path + ".next"
     // recover a crashed previous swap (dir was renamed aside and the
     // publish never happened): .old is the only live copy — restore it
-    if (old.exists() && !dir.exists() && !old.renameTo(dir))
-      throw new java.io.IOException(s"cannot restore staged index $old -> $path")
+    graft.sinks.Publish.restoreStaged(fs, dirPath)
     val corpus = ivfRead(spark, path).indexed.select(col("corpus_id"), col("cv"))
     val rebuilt = ivfBuildDistributed(corpus, "cv", "corpus_id",
       nCentroids, iters, persist = false)
     ivfWrite(rebuilt, next) // reads old cells, writes the staged dir
     val n = spark.read.parquet(s"$next/cells").count()
-    // publish: the two renames are the entire unavailability window
-    if (old.exists()) graft.TempFiles.deleteRecursively(old.toPath)
-    if (!dir.renameTo(old))
-      throw new java.io.IOException(s"cannot stage current index $path aside")
-    if (!new java.io.File(next).renameTo(dir)) {
-      old.renameTo(dir) // roll back: the old index stays live
-      throw new java.io.IOException(s"cannot publish rebuilt index $next -> $path")
-    }
-    graft.TempFiles.deleteRecursively(old.toPath)
+    // publish: the two renames are the entire unavailability window; a
+    // failed publish rolls the old index back (result checked — see
+    // graft.sinks.Publish for the shared contract)
+    graft.sinks.Publish.publishSwap(fs,
+      new org.apache.hadoop.fs.Path(next), dirPath)
     n
   }
 

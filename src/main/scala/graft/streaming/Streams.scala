@@ -475,13 +475,10 @@ object Streams {
         val batchCounts = countsOf(batch)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint() // consumed twice (report + ledger update)
-        val dir = new java.io.File(stateDir)
-        val staged = new java.io.File(stateDir + ".old")
-        if (staged.exists() && !dir.exists() && !staged.renameTo(dir))
-          throw new java.io.IOException(
-            s"cannot restore staged ledger $staged -> $stateDir")
+        val (fs, dirPath) = graft.sinks.Publish.fsFor(spark, stateDir)
+        graft.sinks.Publish.restoreStaged(fs, dirPath)
         val history: Option[DataFrame] =
-          if (dir.exists()) Some(spark.read.parquet(stateDir)) else None
+          if (fs.exists(dirPath)) Some(spark.read.parquet(stateDir)) else None
         // replays (checkpoint recovery) re-deliver a batch id: its own
         // ledger rows must not count as its history nor double-insert
         val priorWindow = history
@@ -505,13 +502,8 @@ object Streams {
           .localCheckpoint() // sever lineage from the dir being swapped
         val tmp = stateDir + ".tmp"
         newLedger.coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (dir.exists() && !dir.renameTo(staged))
-          throw new java.io.IOException(s"cannot stage ledger $stateDir aside")
-        if (!new java.io.File(tmp).renameTo(dir)) {
-          staged.renameTo(dir)
-          throw new java.io.IOException(s"cannot publish ledger $tmp")
-        }
-        if (staged.exists()) graft.TempFiles.deleteRecursively(staged.toPath)
+        graft.sinks.Publish.publishSwap(fs,
+          new org.apache.hadoop.fs.Path(tmp), dirPath)
         batchCounts.unpersist(); newLedger.unpersist()
         ()
       }
@@ -572,33 +564,25 @@ object Streams {
           .groupBy(keyCols: _*)
           .agg(max_by(struct(batch.columns.map(col): _*), col(seqCol)).as("__w"))
           .select(col("__w.*"))
-        val dir = new java.io.File(outDir)
-        val staged = new java.io.File(outDir + ".old")
         // CRASH RECOVERY (r8 review): a previous attempt may have renamed
         // the table aside (dir -> .old) and died before publishing its tmp
         // — .old is then the ONLY copy of the accumulated table. Restore
         // it before merging; deleting it here would destroy the table and
         // republish just the replayed batch.
-        if (staged.exists() && !dir.exists() && !staged.renameTo(dir))
-          throw new java.io.IOException(
-            s"cannot restore staged table $staged -> $outDir")
+        val (fs, dirPath) = graft.sinks.Publish.fsFor(spark, outDir)
+        graft.sinks.Publish.restoreStaged(fs, dirPath)
         val merged =
-          if (dir.exists()) {
+          if (fs.exists(dirPath)) {
             val target = spark.read.parquet(outDir)
             graft.operators.Scd2.upsert(
               target.select(winner.columns.map(col): _*), winner, keys)
           } else winner
         val tmp = outDir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        // two renames make the swap atomic enough for a local target; a
-        // lakehouse table format's commit replaces this on object stores
-        val old = new java.io.File(outDir + ".old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        if (dir.exists() && !dir.renameTo(old))
-          throw new java.io.IOException(s"cannot stage $outDir aside")
-        if (!new java.io.File(tmp).renameTo(dir))
-          throw new java.io.IOException(s"cannot publish $tmp")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        // two renames make the swap atomic enough for local disk and HDFS;
+        // a lakehouse table format's commit replaces this on object stores
+        graft.sinks.Publish.publishSwap(fs,
+          new org.apache.hadoop.fs.Path(tmp), dirPath)
         ()
       }
       .option("checkpointLocation", checkpointDir)

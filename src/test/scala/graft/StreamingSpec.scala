@@ -653,6 +653,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(crows.count(!_._2) == 3 && crows.count(_._2) == 1, crows.toString)
   }
 
+  test("rolling ledger sink is not wedged by post-publish .old residue (r13 ADVICE)") {
+    // crash window: a batch published its ledger and died before deleting
+    // .old. The next batch's stage-aside rename hits the existing .old —
+    // before the Publish helper, every subsequent batch threw
+    // 'cannot stage ledger aside' until manual cleanup.
+    val in = Files.createTempDirectory("rwedge_in").toString
+    val state = Files.createTempDirectory("rwedge_state").toString + "/ledger"
+    val rep = Files.createTempDirectory("rwedge_rep").toString + "/r"
+    val ckpt = Files.createTempDirectory("rwedge_ckpt").toString
+    val o = Tables.orders(spark, TestSpark.sf).select(col("o_totalprice"))
+    def sink() = Streams.toRollingDriftSink(
+      spark.readStream.schema(spark.read.parquet(in).schema).parquet(in),
+      "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10,
+      windowBatches = 2, stateDir = state, reportDir = rep,
+      checkpointDir = ckpt)
+    o.write.mode("overwrite").parquet(in)
+    val q0 = sink(); q0.processAllAvailable(); q0.stop()
+    // plant the residue: .old ALONGSIDE the live ledger (post-publish crash)
+    val residue = new java.io.File(state + ".old")
+    assert(residue.mkdirs())
+    java.nio.file.Files.write(new java.io.File(residue, "junk").toPath,
+      "residue".getBytes("UTF-8"))
+    o.write.mode("append").parquet(in)
+    val q1 = sink(); q1.processAllAvailable(); q1.stop() // must not wedge
+    assert(!residue.exists(), "residue must be cleared by the publish")
+    val psi = spark.read.parquet(rep)
+      .agg(sum(col("psi_term"))).as[java.math.BigDecimal].collect().head
+    assert(psi.signum == 0, s"identical batch must still score PSI 0: $psi")
+    assert(spark.read.parquet(state).select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("mapGroupsWithState keeps running per-user totals") {
     implicit val s = spark
     val out = Streams.runToMemory(spark,
