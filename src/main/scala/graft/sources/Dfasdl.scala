@@ -528,12 +528,18 @@ object Dfasdl {
     * (`regexp_extract_all` + explode), then each leaf extracts by capture
     * group. Both passes are codegen'd Catalyst expressions.
     *
-    * Parallelism note: the unit of distribution is the FILE (`wholetext`),
-    * matching the reference's one-stream-per-source model — a directory of
-    * vCard exports fans out one task per file. A single multi-GB
-    * token-stream file would serialize into one task (and one regex
-    * buffer); at that scale the fix is upstream file splitting, same as
-    * any non-splittable container.
+    * Parallelism note: LINE-ANCHORED docs ([[lineAnchoredRun]] — every
+    * mid-record stop-sign provably intra-line, record ends at its line
+    * end) frame by Spark's splittable line reader, so even a single
+    * multi-GB file fans out across byte-range splits. Docs whose records
+    * SPAN lines (sign-less mid-leaves reading to the parser's newline
+    * default — the vCard label:value stacks) keep `wholetext` framing,
+    * one task per file, matching the reference's one-stream-per-source
+    * model: an arbitrary byte offset inside such a record is statically
+    * indistinguishable from a record start (any line matches the
+    * `label:.*` shape), so sequential framing is the only sound reading;
+    * at that scale the fix is upstream file splitting, same as any
+    * non-splittable container.
     *
     * Records that fail the record pattern (truncated tail, stray blank
     * line) are skipped — the reference parser would mark the element BROKEN
@@ -573,24 +579,83 @@ object Dfasdl {
     (recPattern, "^" + pat + "$", cols)
   }
 
+  /** Can this start/stop-sign regex fragment EVER match text containing a
+    * line terminator? Conservative static answer: reject any fragment
+    * carrying a raw line-break character, a character class (`[` — could
+    * include one), `$` (re-frames at line boundaries), or an escape that
+    * matches or could encode a line break (`\n \r \R \v \s \W \D`, the
+    * `\p/\x/\u/\0` encoders, backreferences). Everything else — literals,
+    * `.` (no DOTALL anywhere in these readers), safe escapes like
+    * `\t \d \w \S`, groups/alternation/quantifiers of safe atoms — cannot
+    * consume a line break. False negatives only cost the wholetext
+    * fallback, never correctness.
+    */
+  private def lineSafe(frag: String): Boolean =
+    !frag.exists(c => c == '\n' || c == '\r' || c == '\u0085' ||
+      c == '\u2028' || c == '\u2029') &&
+      !java.util.regex.Pattern.compile("""\[|\$|\\[nrRvsWDpPxu0-9]""")
+        .matcher(frag).find()
+
+  /** Is this ordered leaf run LINE-ANCHORED — exactly one record per
+    * physical line? Holds when every non-final leaf terminates at an
+    * explicit [[lineSafe]] stop-sign (a sign-less mid-leaf reads to the
+    * parser's newline default, spilling the record onto the next line)
+    * and the final leaf is sign-less, so the record consumes to its line
+    * end. Line-anchored runs frame by Spark's SPLITTABLE line reader —
+    * byte-range splits resync at the next line break exactly like Avro's
+    * sync markers — instead of one wholetext task per file (the
+    * SOURCESCALE_r13-measured 8.4× single-file ceiling).
+    */
+  private def lineAnchoredRun(leaves: Seq[Field]): Boolean =
+    leaves.nonEmpty && leaves.last.attr("stop-sign").isEmpty &&
+      leaves.init.forall(_.attr("stop-sign").exists(lineSafe)) &&
+      leaves.forall(_.attr("start-sign").forall(lineSafe))
+
+  /** Raw record strings (`__rec`) for a stream-shaped doc: LINE-framed
+    * when `lineAnchored` (per-SPLIT parallel — a single multi-GB file
+    * fans out across byte ranges), else the whole-record pattern over
+    * per-file text (`wholetext` — the reference's one-stream-per-source
+    * model, one task per file; multi-line records without a distinctive
+    * record anchor are genuinely ambiguous at arbitrary byte offsets, so
+    * they keep sequential framing). Zero-length records drop in both
+    * modes: a doc whose every fragment is optional (all-sign-less
+    * formatstr rows) lets the record pattern make ONE zero-width match at
+    * end-of-input — a spurious empty record; no real record is
+    * zero-length (even all-blank lines carry their separators).
+    */
+  private def recordStrings(spark: SparkSession, path: String,
+                            recPattern: String,
+                            lineAnchored: Boolean): DataFrame = {
+    val recs =
+      if (lineAnchored) spark.read.text(path).select(col("value").as("__rec"))
+      else spark.read.option("wholetext", "true").text(path)
+        .select(explode(
+          regexp_extract_all(col("value"), lit(recPattern), lit(1)))
+          .as("__rec"))
+    recs.filter(length(col("__rec")) > 0)
+  }
+
   private def readTokenStream(spark: SparkSession, path: String,
                               doc: Doc): DataFrame = {
     val (recPattern, groupsPattern, cols) = tokenStreamRecCols(doc)
-    val files = spark.read.option("wholetext", "true").text(path)
-    // a doc whose every fragment is optional (all-sign-less formatstr
-    // rows) lets the record pattern make ONE zero-width match at
-    // end-of-input — a spurious empty record; no real record is
-    // zero-length (even all-blank lines carry their separators).
+    val fields = doc.slots.collect { case f: Field => f }
     // TWO select stages so the groups re-parse runs once per record —
     // inlining it per leaf would let CollapseProject duplicate the match
     // per output column (the same staging trick the choice reader uses)
-    val recs = files.select(
-      explode(regexp_extract_all(col("value"), lit(recPattern), lit(1)))
-        .as("__rec"))
-      .filter(length(col("__rec")) > 0)
+    val recs = recordStrings(spark, path, recPattern, lineAnchoredRun(fields))
       .select(graft.functions.RegexFns
         .regexpGroups(col("__rec"), groupsPattern).as("__g"))
-    bounded(recs.select(cols: _*), doc)
+    // line framing surfaces EVERY line, including one the record pattern
+    // rejects (wholetext framing would simply not have extracted it) — a
+    // null match must DROP the line, not emit a phantom all-null row.
+    // Same explode-over-conditional-array shape as [[dispatchRows]] (a
+    // .filter would be pushed below the staging projection by alias
+    // substitution, re-running the groups match per reference).
+    val rows = recs
+      .select(explode(when(col("__g").isNotNull, array(struct(cols: _*))))
+        .as("__row"))
+      .select("__row.*")
+    bounded(rows, doc)
   }
 
   /** Read a line-per-record multi-leaf-choice document ([[isLineChoiceDoc]]):
@@ -784,11 +849,14 @@ object Dfasdl {
   }
 
   /** Read a choice-stream document ([[isChoiceStreamDoc]]): records frame
-    * by the combination alternation over per-file text (`wholetext`, the
-    * reference's one-stream-per-source unit — see [[readTokenStream]]'s
-    * parallelism note), then each record dispatches to the first branch
-    * combination that fully parses. All dispatch is codegen'd Catalyst
-    * regex/conditional expressions — one distributed scan, no UDFs.
+    * by line when EVERY branch combination is [[lineAnchoredRun]]
+    * (per-SPLIT parallel — the framing is byte-range splittable no matter
+    * which branch each record takes), else by the combination alternation
+    * over per-file text (`wholetext`, the reference's
+    * one-stream-per-source unit — see [[recordStrings]]). Each record
+    * then dispatches to the first branch combination that fully parses.
+    * All dispatch is codegen'd Catalyst regex/conditional expressions —
+    * one distributed scan, no UDFs.
     */
   /** The per-record dispatch over the staged group arrays: one projection
     * derives `__winner` (it references sibling `__g_i` aliases, so it
@@ -812,11 +880,12 @@ object Dfasdl {
   private def readChoiceStream(spark: SparkSession, path: String,
                                doc: Doc): DataFrame = {
     val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
-    val recs = spark.read.option("wholetext", "true").text(path)
-      .select(explode(regexp_extract_all(col("value"), lit(recPattern),
-        lit(1))).as("__rec"))
-      .filter(length(col("__rec")) > 0) // see readTokenStream
+    val anchored = choiceStreamCombos(doc).forall(lineAnchoredRun)
+    val recs = recordStrings(spark, path, recPattern, anchored)
       .select(groupCols: _*)
+    // a line no combination parses is dropped by [[dispatchRows]]'s
+    // null-winner explode — the line-framed twin of wholetext's
+    // never-extracted malformed region
     bounded(dispatchRows(recs, winner, cols), doc)
   }
 

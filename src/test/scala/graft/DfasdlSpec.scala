@@ -841,6 +841,109 @@ class DfasdlSpec extends AnyFunSuite {
     assert(rows2 == Seq((Some(41L), "ada"), (None, "alan")), rows2.toString)
   }
 
+  test("line-anchored stream docs frame by byte-range splits, output unchanged (r14)") {
+    // the SOURCESCALE_r13-measured ceiling: wholetext framing made a
+    // single giant token/choice-stream file ONE task. Line-anchored docs
+    // (every mid-record stop-sign intra-line, record ends at line end)
+    // now frame via the splittable line reader. Pins: (1) split == one-
+    // split output on the SAME file — the boundary-resync risk; (2) the
+    // scan genuinely splits; (3) malformed lines DROP (wholetext never
+    // framed them; line framing surfaces them, the null-guard must not
+    // emit phantom all-null rows); (4) multi-line-record docs still read
+    // whole (fallback, one partition even under tiny split bytes).
+    import spark.implicits._
+    val tokDoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str class="label" stop-sign=":"/>
+        |  <num id="okey" stop-sign=";"/>
+        |  <str id="prio"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val chDoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <num id="okey" stop-sign=";"/>
+        |  <choice id="kv">
+        |    <celem id="labeled">
+        |      <str class="label" start-sign="K" stop-sign=":"/>
+        |      <str id="prio" stop-sign=";"/>
+        |    </celem>
+        |    <celem id="plain"><num id="ck" stop-sign=";"/></celem>
+        |  </choice>
+        |  <str id="status"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val n = 4000
+    val tokDir = Files.createTempDirectory("split_tok").toString
+    Files.write(Paths.get(tokDir, "one.txt"),
+      ((1 to n).map(i => s"KEY:$i;P$i") ++ Seq("garbage-no-colon-semi", ""))
+        .mkString("\n").getBytes("UTF-8"))
+    val chDir = Files.createTempDirectory("split_ch").toString
+    Files.write(Paths.get(chDir, "one.txt"),
+      (1 to n).map(i =>
+        if (i % 2 == 0) s"$i;K:P$i;OK" else s"$i;${i * 7L};OK")
+        .mkString("\n").getBytes("UTF-8"))
+    def withSplitBytes[A](bytes: String)(body: => A): A = {
+      val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      val prevCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", bytes)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try body finally {
+        prev.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+          spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+        prevCost.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+          spark.conf.set("spark.sql.files.openCostInBytes", _))
+      }
+    }
+    // (1)+(2): many byte-range splits vs one split, identical rows
+    val (tokSplit, tokParts) = withSplitBytes("4096") {
+      val df = Dfasdl.readDelimited(spark, tokDir, tokDoc)
+      (df.as[(Long, String)].collect().sortBy(_._1).toSeq,
+        df.rdd.getNumPartitions)
+    }
+    assert(tokParts > 4, s"single file must fan out across splits: $tokParts")
+    val tokWhole = withSplitBytes((64L << 20).toString) {
+      Dfasdl.readDelimited(spark, tokDir, tokDoc)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    assert(tokSplit == tokWhole && tokSplit.size == n,
+      s"split framing must match sequential: ${tokSplit.size} vs ${tokWhole.size}")
+    assert(tokSplit.take(2) == Seq((1L, "P1"), (2L, "P2")))
+    // (3): the garbage line dropped — no phantom null row
+    assert(!tokSplit.exists(_._2 == null))
+    val (chSplit, chParts) = withSplitBytes("4096") {
+      val df = Dfasdl.readDelimited(spark, chDir, chDoc)
+      (df.as[(Long, Option[String], Option[Long], String)].collect()
+        .sortBy(_._1).toSeq, df.rdd.getNumPartitions)
+    }
+    assert(chParts > 4, s"choice-stream single file must split: $chParts")
+    val chWhole = withSplitBytes((64L << 20).toString) {
+      Dfasdl.readDelimited(spark, chDir, chDoc)
+        .as[(Long, Option[String], Option[Long], String)].collect()
+        .sortBy(_._1).toSeq
+    }
+    assert(chSplit == chWhole && chSplit.size == n)
+    assert(chSplit.take(2) == Seq(
+      (1L, None, Some(7L), "OK"), (2L, Some("P2"), None, "OK")))
+    // (4): a record spanning TWO lines (sign-less mid-leaf -> newline
+    // default) is NOT line-anchored: whole-file framing survives, one
+    // task per file even under tiny split bytes
+    val vcardDoc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
+        |  <str class="label" stop-sign=":"/>
+        |  <str id="version"/>
+        |  <str class="label" stop-sign=":"/>
+        |  <str id="name"/>
+        |</elem></seq></dfasdl>""".stripMargin)
+    val vDir = Files.createTempDirectory("split_vcard").toString
+    Files.write(Paths.get(vDir, "one.txt"),
+      (1 to 200).map(i => s"VERSION:$i.0\nN:Person$i").mkString("\n")
+        .getBytes("UTF-8"))
+    val (vRows, vParts) = withSplitBytes("512") {
+      val df = Dfasdl.readDelimited(spark, vDir, vcardDoc)
+      (df.count(), df.rdd.getNumPartitions)
+    }
+    assert(vRows == 200L)
+    assert(vParts == 1, s"multi-line records must stay wholetext: $vParts")
+  }
+
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
     // Runs only where the reference checkout is present (test-time read;
     // nothing is copied into this repo). parseSchema must either produce a
