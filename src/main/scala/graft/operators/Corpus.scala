@@ -671,4 +671,83 @@ object Corpus {
       .filter(col("__cum") <= budget)
       .drop("__s", "__above", "__cum")
   }
+
+  // ------------------------------------------- trained quality classifier
+
+  /** Train the linear quality classifier's token weights — the TRAINED
+    * half of the quality gate (the heuristic half is
+    * `TextFunctions.qualityScore`). The standard pipeline step is a
+    * fastText-style linear scorer; here training is CLOSED-FORM so the
+    * whole train+apply decision is integer-exact and replayable by any
+    * engine (the oracle-gate margin discipline — no logs, no floats, no
+    * iterative descent):
+    *
+    *   weight(t) = (1000·(c_pos(t)+1)) div (c_tot(t)+2)
+    *             − (1000·C_pos) div C_tot
+    *
+    * — token t's add-one-smoothed positive-occurrence share minus the
+    * corpus positive share, in per-mille. A token seen mostly in
+    * `label`-positive documents scores positive, one seen mostly in
+    * negative documents scores negative, an uninformative token ~0. The
+    * caller supplies the boolean `label` column; bootstrapping it from the
+    * heuristic gate is the usual weak-supervision seed (the model then
+    * generalizes token evidence beyond the hand rules — spec-pinned).
+    *
+    * Scale shape: one explode + token-keyed aggregate (partial map-side
+    * combine, so the exchange carries per-partition vocabularies, not the
+    * corpus), then a one-row totals broadcast. Returns (token, weight),
+    * one row per distinct token.
+    */
+  def qualityModelTrain(df: DataFrame, textCol: String,
+                        label: Column): DataFrame = {
+    // label BELOW the explode, in its own stage: inlining it beside the
+    // generator plans the Project ABOVE Generate, re-evaluating the (regex-
+    // heavy) label once per TOKEN row instead of once per document —
+    // measured 16 s vs 0.6 s at sf0.1 (the tokenStreamRecCols staging
+    // lesson, generator edition)
+    val counts = df
+      .select(label.as("__pos"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__pos"), explode(col("__toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
+        count(lit(1)).as("__ctot"))
+    // totals without a second explode+shuffle: Σ_t c_pos(t) is, by
+    // definition, Σ_docs [label] · |tokens(doc)| — one cheap per-document
+    // aggregate instead of re-running the token pass (the cold train
+    // measured 3.1 → 1.7 s at sf0.1; identical values by construction)
+    val totals = df
+      .select(label.as("__pos"),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast(LongType).as("__n"))
+      .agg(sum(when(col("__pos"), col("__n")).otherwise(0L)).as("__CP"),
+        sum(col("__n")).as("__CT"))
+    counts.crossJoin(broadcast(totals)) // one-row totals: bounded by construction
+      .select(col("token"),
+        (expr("(1000 * (__cpos + 1)) div (__ctot + 2)") -
+          expr("(1000 * __CP) div __CT")).as("weight"))
+  }
+
+  /** Prune the trained weights to the top `topK` tokens by evidence
+    * strength (|weight| desc, token asc — deterministic ties) and collect
+    * them into the broadcastable [[graft.functions.QualityModel]] the
+    * codegen scorer applies. The pruned model is the deployment artifact:
+    * out-of-model tokens score 0, so vocabulary growth costs recall, not
+    * memory. Driver-bounded by construction: `topK` is capped at 2²⁰
+    * entries (~tens of MB of token strings — the same driver-heap argument
+    * as bpeTrain's word-table cap).
+    */
+  def qualityModelCollect(weights: DataFrame, topK: Int)
+  : graft.functions.QualityModel = {
+    require(topK > 0 && topK <= (1 << 20),
+      s"qualityModelCollect: topK=$topK outside (0, 2^20] — the collected " +
+        "model must stay driver/broadcast sized")
+    val kept = weights
+      .orderBy(abs(col("weight")).desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("weight").cast(LongType))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.QualityModel(kept.toIndexedSeq)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Profiling, Similarity}
+import graft.operators.{Corpus, Dedup, Profiling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -159,6 +159,59 @@ object DocumentQueries {
       | CAST(mean_tok_len_pm AS BIGINT) AS mean_tok_len_pm,
       | CAST(greatest(0, CAST(FLOOR((least(n, 400) * 1000 / 400) * 0.5 + least(stop_pm * 4, 300) * 0.5) AS BIGINT) - least(punct_pm * 2, 500)) AS BIGINT) AS quality
       |FROM m""".stripMargin
+
+  // ------------------------------------------------------ d_quality_model
+  // The TRAINED half of the quality gate (d_quality is the heuristic
+  // half): weak labels from the heuristic (quality >= 500 — ~48% positive
+  // on this corpus), closed-form integer token weights
+  // (Corpus.qualityModelTrain), pruned to the top-16 tokens by evidence
+  // strength, applied as one codegen dot product per document
+  // (QualityModelFns.score — the corpus never shuffles to score). Train,
+  // prune, and apply are ALL integer arithmetic with deterministic ties,
+  // so DuckDB replays the entire train->prune->score->keep decision
+  // bit-exactly — a fully oracle-gated trained classifier.
+  private def dQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = Corpus.qualityModelTrain(
+      docs, "text", qualityScore(col("text")) >= 500L)
+    val model = Corpus.qualityModelCollect(weights, topK = 16)
+    docs.select(col("doc_id"),
+        tokenCount(col("text")).as("n_toks"),
+        graft.functions.QualityModelFns.score(col("text"), model).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
+  private val dQualityModelSql =
+    """WITH t AS (
+      | SELECT doc_id, length(text) AS n,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS np
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id, toks, n,
+      |  CASE WHEN n = 0 THEN 0 ELSE np * 1000 // n END AS punct_pm,
+      |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |   len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'], x))) * 1000 // len(toks) END AS stop_pm
+      | FROM t),
+      |lab AS (
+      | SELECT doc_id, toks,
+      |  CASE WHEN greatest(0, CAST(FLOOR((least(n, 400) * 1000 / 400) * 0.5 + least(stop_pm * 4, 300) * 0.5) AS BIGINT) - least(punct_pm * 2, 500)) >= 500 THEN 1 ELSE 0 END AS pos
+      | FROM m),
+      |tok AS (SELECT doc_id, pos, unnest(toks) AS token FROM lab),
+      |tc AS (SELECT doc_id, pos, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |w AS (SELECT token, SUM(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS cpos,
+      |      SUM(cnt) AS ctot FROM tc GROUP BY token),
+      |tot AS (SELECT SUM(cpos) AS cp, SUM(ctot) AS ct FROM w),
+      |wt AS (SELECT token,
+      |  (1000 * (cpos + 1)) // (ctot + 2) - (SELECT (1000 * cp) // ct FROM tot) AS weight
+      | FROM w),
+      |pruned AS (SELECT token, weight FROM wt ORDER BY abs(weight) DESC, token ASC LIMIT 16),
+      |sc AS (SELECT tc.doc_id, SUM(tc.cnt * pruned.weight) AS score
+      |       FROM tc JOIN pruned USING (token) GROUP BY tc.doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+      | CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+      | COALESCE(sc.score, 0) > 0 AS keep
+      |FROM t LEFT JOIN sc USING (doc_id)""".stripMargin
 
   // ------------------------------------------------------------ d_lang_id
   private def dLangId(spark: SparkSession, dir: String): DataFrame =
@@ -1573,6 +1626,7 @@ object DocumentQueries {
     QueryDef("d_sentence_split", dSentenceSplit, Some(dSentenceSplitSql)),
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
+    QueryDef("d_quality_model", dQualityModel, Some(dQualityModelSql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
     QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),

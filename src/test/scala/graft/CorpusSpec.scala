@@ -130,4 +130,76 @@ class CorpusSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("qualityModelTrain: closed-form integer weights, exact on a micro-corpus (r14)") {
+    // hand-computed: pos docs {alpha beta, alpha gamma}, neg {zeta eta,
+    // zeta theta}. CP=4 pos occurrences, CT=8 total, base=(1000*4)//8=500.
+    // alpha: (1000*3)//4 - 500 = 250;  beta/gamma: (1000*2)//3 - 500 = 166
+    // zeta: (1000*1)//4 - 500 = -250;  eta/theta: (1000*1)//3 - 500 = -167
+    val docs = Seq(
+      (1L, "alpha beta", true), (2L, "alpha gamma", true),
+      (3L, "zeta eta", false), (4L, "zeta theta", false)
+    ).toDF("doc_id", "text", "lab")
+    val w = Corpus.qualityModelTrain(docs, "text", col("lab"))
+      .as[(String, Long)].collect().toMap
+    assert(w == Map("alpha" -> 250L, "beta" -> 166L, "gamma" -> 166L,
+      "zeta" -> -250L, "eta" -> -167L, "theta" -> -167L), w.toString)
+    // pruning: |250| x2, then |-167| x2, then 166s; ties break token-asc.
+    // topK=3 keeps alpha, zeta, then eta (eta < theta)
+    val m3 = Corpus.qualityModelCollect(
+      Corpus.qualityModelTrain(docs, "text", col("lab")), topK = 3)
+    assert(m3.weights.map(_._1).toSet == Set("alpha", "zeta", "eta"),
+      m3.weights.toString)
+    // codegen scorer: dot product with occurrence counts; OOV tokens 0;
+    // exact-zero scores do NOT pass a `> 0` keep gate
+    val full = Corpus.qualityModelCollect(
+      Corpus.qualityModelTrain(docs, "text", col("lab")), topK = 100)
+    val scores = Seq((10L, "alpha alpha beta"), (11L, "zeta unknown"),
+      (12L, "alpha zeta"), (13L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.QualityModelFns.score(col("text"), full).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores == Map(10L -> 666L, 11L -> -250L, 12L -> 0L, 13L -> 0L),
+      scores.toString)
+  }
+
+  test("trained classifier generalizes token evidence beyond the heuristic gate (r14)") {
+    // the weak-supervision promise: train on heuristic labels, then score
+    // HELD-OUT docs the heuristic mis-handles. A short doc (fails the
+    // length-driven heuristic) written in positive-class tokens must be
+    // KEPT by the classifier; a long stopword-padded doc (passes the
+    // heuristic) drowned in negative-class tokens must be REJECTED —
+    // survivors are neither a subset nor a superset of the heuristic's.
+    import graft.functions.TextFunctions.qualityScore
+    val goodBody = "the report covers the annual results and the board " +
+      "found that it is on track for a strong year with solid margins "
+    val spamBody = "zzbuy zzcheap zzpills zznow zzclick zzhere zzwin " +
+      "zzprize!!! ??? !!! ;;; ((( ))) zzfree zzcash "
+    val train = ((1 to 30).map(i => (i.toLong, goodBody * 4)) ++
+      (31 to 60).map(i => (i.toLong, spamBody))).toDF("doc_id", "text")
+    val label = qualityScore(col("text")) >= 500L
+    // premise: the heuristic actually splits the training corpus
+    val labs = train.select(label.as("l")).as[Boolean].collect()
+    assert(labs.count(identity) == 30 && labs.count(!_) == 30)
+    val model = Corpus.qualityModelCollect(
+      Corpus.qualityModelTrain(train, "text", label), topK = 64)
+    // doc 101: >=400 chars, ~10% stopwords (stopScore 300), ZERO
+    // punctuation (no penalty) -> heuristic quality = 650, passes — but
+    // 90% of its tokens carry trained negative evidence
+    val spamRun = "zzbuy zzcheap zzpills zznow zzclick zzhere zzwin " +
+      "zzfree zzcash "
+    val held = Seq(
+      (100L, "the board found the results strong"), // short: heuristic rejects
+      (101L, "the and of to in is that it for with " + spamRun * 10)
+    ).toDF("doc_id", "text")
+    val h = held.select(col("doc_id"), (qualityScore(col("text")) >= 500L).as("heur"),
+        (graft.functions.QualityModelFns.score(col("text"), model) > 0L).as("clf"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h(100L) == ((false, true)),
+      s"short positive-token doc: heuristic rejects, classifier keeps: $h")
+    assert(h(101L) == ((true, false)),
+      s"stopword-padded spam doc: heuristic passes, classifier rejects: $h")
+  }
 }
