@@ -327,6 +327,74 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"pq recall $recall below expectation")
   }
 
+  test("opqTopK: orthonormal rotation, balanced allocation, PQ parity on isotropic data (r14)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val model = Similarity.opqTrain(e, "embedding", m = 8, ksub = 32)
+    // the rotation is the full-rank PCA basis: R·Rᵀ = I (orthonormal rows),
+    // so rotating preserves inner products/cosines exactly — the property
+    // the margin oracle and the exact re-rank both lean on
+    val r = model.rotation
+    val d = r.length
+    assert(r.forall(_.length == d))
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation not orthonormal at ($i,$j): $dot")
+    }
+    // the eigenvalue allocation balances per-subspace variance (the
+    // naive descending layout measured a 3.2x max/min spread and recall
+    // BELOW plain PQ; balanced reads ~1.2x)
+    val perSub = {
+      val pca = graft.operators.Embeddings.pcaTrain(e, "embedding", k = d)
+      val idx = model.rotation.map(row =>
+        pca.basis.indexWhere(b => b.sameElements(row)))
+      idx.grouped(d / 8).map(g => g.map(pca.eigvals).sum).toSeq
+    }
+    assert(perSub.max / perSub.min < 1.8,
+      s"allocation left subspace variance unbalanced: $perSub")
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val opq = Similarity.opqTopK(e, q, "embedding", "vec_id", 10, model)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(opq.size == brute.size)
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val pq = Similarity.pqTopK(e, q, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rOpq = (brute intersect opq).size.toDouble / brute.size
+    val rPq = (brute intersect pq).size.toDouble / brute.size
+    // the natural corpus is near-ISOTROPIC (unit-norm, eigvals within ~4x)
+    // — there OPQ has no structure to exploit and parity-with-noise is the
+    // honest expectation (measured 0.88 vs 0.90 at 50 queries)
+    assert(rOpq >= 0.6 && rOpq >= rPq - 0.05,
+      s"OPQ recall $rOpq fell materially below plain PQ $rPq")
+  }
+
+  test("opqTopK beats plain PQ on an anisotropic corpus (the OPQ promise, r14)") {
+    // scale dim i by 1/(1+i/4): variance decays ~16x across dims, so plain
+    // PQ's contiguous split gives subquantizer 0 nearly all the variance
+    // while the balanced rotation spreads it — the published win condition.
+    // Measured: OPQ 1.00 vs PQ 0.926 recall@10 over 50 queries.
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x / (lit(1.0d) + i.cast("double") / lit(4.0d)))
+          .cast("array<float>").as("embedding"))
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < 50)
+    val brute = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val model = Similarity.opqTrain(e, "embedding", m = 8, ksub = 32)
+    val opq = Similarity.opqTopK(e, q, "embedding", "vec_id", 10, model)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val pq = Similarity.pqTopK(e, q, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rOpq = (brute intersect opq).size.toDouble / brute.size
+    val rPq = (brute intersect pq).size.toDouble / brute.size
+    assert(rOpq > rPq, s"OPQ must beat plain PQ on skewed spectra: $rOpq vs $rPq")
+    assert(rOpq >= 0.95, s"OPQ recall on the skewed corpus: $rOpq")
+  }
+
   test("ivfTopK recall beats random cell assignment and rises with probes") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
