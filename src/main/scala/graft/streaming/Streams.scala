@@ -389,6 +389,9 @@ object Streams {
     streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
+        // bounded report plan (≤ nBuckets keys) — see rollingLedgerSink's
+        // note; scoped to the query's cloned session
+        batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "1")
         val baseline = batch.sparkSession.read.parquet(baselineDir)
         // one Hive-style partition dir per batch, OVERWRITTEN on write: a
         // batch replayed after checkpoint recovery rewrites its own rows
@@ -454,6 +457,104 @@ object Streams {
       psiOf = graft.operators.Profiling.categoricalDriftFromCountPair,
       windowBatches, stateDir, reportDir, checkpointDir)
 
+  /** A numeric column monitored by [[toRollingMultiDriftSink]] — the
+    * fixed equi-width binning contract [[toRollingDriftSink]] takes as
+    * loose parameters (counts in a shared window are only summable under
+    * one contract per column, so it travels with the column name).
+    */
+  case class NumericDriftCol(name: String, lo: Double, hi: Double,
+                             nBuckets: Int)
+
+  /** A categorical column monitored by [[toRollingMultiDriftSink]]: folds
+    * through the persisted vocabulary at `vocabDir`
+    * ([[graft.operators.Profiling.writeCategoricalVocabulary]]) — fixed
+    * across the window, per [[toRollingCatDriftSink]]'s contract.
+    */
+  case class CatDriftCol(name: String, vocabDir: String)
+
+  /** Multi-column rolling drift: ONE streaming query monitors N numeric +
+    * M categorical columns with one checkpoint and one COLUMN-KEYED
+    * ledger — (batch_id, column, key, is_fold, count) — where the
+    * single-column sinks would each cost their own query, checkpoint, and
+    * ledger. Report rows: (column, key, is_fold, count_a, count_b,
+    * psi_term), with the numeric `bucket` carried in the unified string
+    * `key` (is_fold = false for numeric rows).
+    *
+    * Each column scores against its OWN window slice with its OWN totals,
+    * through the same count-pair primitives as the single-column sinks —
+    * per column, the report is row-identical to [[toRollingDriftSink]] /
+    * [[toRollingCatDriftSink]] on the same batches (spec-pinned). A
+    * column with zero in-range rows in a scored batch RAISES, same as the
+    * single sinks; the first batch seeds the whole ledger without a
+    * report. Ledger/replay/crash contract: [[toRollingDriftSink]].
+    *
+    * Scale shape: the per-batch reduction is one union plan in which each
+    * column's branch prunes the micro-batch scan to that column (a
+    * columnar source reads each column once); the ledger stays
+    * ≤ window · Σ per-column keys rows. Over a row-oriented source
+    * (e.g. JSON) a wide monitor re-parses the batch per column — stage
+    * such streams to parquet first ([[toParquet]]).
+    */
+  def toRollingMultiDriftSink(streamed: DataFrame,
+                              numeric: Seq[NumericDriftCol],
+                              categorical: Seq[CatDriftCol],
+                              windowBatches: Int, stateDir: String,
+                              reportDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numeric.nonEmpty || categorical.nonEmpty,
+      "need at least one monitored column")
+    val names = numeric.map(_.name) ++ categorical.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate monitored columns: ${names.diff(names.distinct).distinct}")
+    def countsOf(batch: DataFrame): DataFrame = {
+      val num = numeric.map { c =>
+        graft.operators.Profiling
+          .bucketCounts(batch, c.name, c.lo, c.hi, c.nBuckets)
+          .select(lit(c.name).as("column"),
+            col("bucket").cast(StringType).as("key"),
+            lit(false).as("is_fold"), col("count"))
+      }
+      val cat = categorical.map { c =>
+        graft.operators.Profiling.foldedCounts(batch, c.name,
+            batch.sparkSession.read.parquet(c.vocabDir))
+          .select(lit(c.name).as("column"), col("category").as("key"),
+            col("is_fold"), col("count"))
+      }
+      (num ++ cat).reduce(_ unionByName _)
+    }
+    // h/b arrive keyed (column, key, is_fold) with count_a/count_b; each
+    // column routes through the SAME count-pair primitive as its
+    // single-column sink, so totals, smoothing, and the zero-side guard
+    // are per column by construction
+    def psiOf(h: DataFrame, b: DataFrame): DataFrame = {
+      val parts = numeric.map { c =>
+        graft.operators.Profiling.distributionDriftFromCountPair(
+            h.filter(col("column") === c.name)
+              .select(col("key").cast(LongType).as("bucket"), col("count_a")),
+            b.filter(col("column") === c.name)
+              .select(col("key").cast(LongType).as("bucket"), col("count_b")))
+          .select(lit(c.name).as("column"),
+            col("bucket").cast(StringType).as("key"),
+            lit(false).as("is_fold"),
+            col("count_a"), col("count_b"), col("psi_term"))
+      } ++ categorical.map { c =>
+        graft.operators.Profiling.categoricalDriftFromCountPair(
+            h.filter(col("column") === c.name)
+              .select(col("key").as("category"), col("is_fold"),
+                col("count_a")),
+            b.filter(col("column") === c.name)
+              .select(col("key").as("category"), col("is_fold"),
+                col("count_b")))
+          .select(lit(c.name).as("column"), col("category").as("key"),
+            col("is_fold"), col("count_a"), col("count_b"), col("psi_term"))
+      }
+      parts.reduce(_ unionByName _)
+    }
+    rollingLedgerSink(streamed, countsOf,
+      keyCols = Seq("column", "key", "is_fold"), psiOf,
+      windowBatches, stateDir, reportDir, checkpointDir)
+  }
+
   /** The shared rolling-ledger core: `countsOf` reduces a batch to its
     * bounded per-key counts (`keyCols`… , `count`), the ledger keeps the
     * last `windowBatches` batches' counts, and `psiOf` scores this
@@ -472,13 +573,27 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
         val spark = batch.sparkSession
+        // every post-scan exchange in this sink moves ≤ window·keys rows
+        // by contract (the batch scan's parallelism is input-driven and
+        // unaffected; its aggregate combines map-side). AQE is off inside
+        // streaming micro-batches, so without this the tiny ledger/report
+        // joins each run session-width shuffles whose task scheduling
+        // dwarfs the data. Scoped to the streaming query's CLONED session
+        // — the caller's session keeps its own width.
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         val batchCounts = countsOf(batch)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint() // consumed twice (report + ledger update)
         val (fs, dirPath) = graft.sinks.Publish.fsFor(spark, stateDir)
         graft.sinks.Publish.restoreStaged(fs, dirPath)
+        // the ledger is ≤ window·keys rows by contract: materialize the
+        // read ONCE per batch — its three consumers (window filter,
+        // report join, pruned-ledger union) otherwise each re-list and
+        // re-scan the file as their own job
         val history: Option[DataFrame] =
-          if (fs.exists(dirPath)) Some(spark.read.parquet(stateDir)) else None
+          if (fs.exists(dirPath))
+            Some(spark.read.parquet(stateDir).localCheckpoint())
+          else None
         // replays (checkpoint recovery) re-deliver a batch id: its own
         // ledger rows must not count as its history nor double-insert
         val priorWindow = history
@@ -494,17 +609,20 @@ object Streams {
                 col("count").as("count_b"): _*))
             .write.mode("overwrite").parquet(s"$reportDir/batch_id=$batchId")
         }
+        // lineage to the dir being swapped is already severed: history and
+        // batchCounts are both localCheckpoint-backed, so their union
+        // writes from memory without re-reading the swapped files
         val newLedger = history
           .map(_.filter(col("batch_id") =!= batchId &&
             col("batch_id") > batchId - windowBatches)
             .unionByName(batchCounts))
           .getOrElse(batchCounts)
-          .localCheckpoint() // sever lineage from the dir being swapped
         val tmp = stateDir + ".tmp"
         newLedger.coalesce(1).write.mode("overwrite").parquet(tmp)
         graft.sinks.Publish.publishSwap(fs,
           new org.apache.hadoop.fs.Path(tmp), dirPath)
-        batchCounts.unpersist(); newLedger.unpersist()
+        batchCounts.unpersist()
+        history.foreach(_.unpersist())
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -524,6 +642,8 @@ object Streams {
     streamed.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
+        // bounded report plan (≤ topK+1 keys) — see rollingLedgerSink's note
+        batch.sparkSession.conf.set("spark.sql.shuffle.partitions", "1")
         val baseline = batch.sparkSession.read.parquet(baselineDir)
         // replay-idempotent per-batch partition overwrite — see toDriftSink
         graft.operators.Profiling

@@ -653,6 +653,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(crows.count(!_._2) == 3 && crows.count(_._2) == 1, crows.toString)
   }
 
+  test("multi-column rolling drift matches the single-column sinks per column (r14)") {
+    import graft.operators.Profiling
+    val base = Files.createTempDirectory("mdrift").toString
+    val o = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_totalprice"), col("o_orderpriority"))
+    // batch 1 shifts the numeric column and leaves the categorical alone:
+    // the two columns must score INDEPENDENTLY (own slice, own totals)
+    val mut = o.select((col("o_totalprice") + 150000.0).as("o_totalprice"),
+      col("o_orderpriority"))
+    Profiling.writeCategoricalVocabulary(o.select(col("o_orderpriority")),
+      "o_orderpriority", topK = 3, dir = s"$base/v")
+    // the multi sink: ONE query, ONE ledger, both columns
+    val min_ = s"$base/min"
+    o.write.mode("overwrite").parquet(min_)
+    def msink() = Streams.toRollingMultiDriftSink(
+      spark.readStream.schema(spark.read.parquet(min_).schema).parquet(min_),
+      numeric = Seq(Streams.NumericDriftCol("o_totalprice", 0.0, 500000.0, 10)),
+      categorical = Seq(Streams.CatDriftCol("o_orderpriority", s"$base/v")),
+      windowBatches = 2, stateDir = s"$base/mledger",
+      reportDir = s"$base/mr", checkpointDir = s"$base/mckpt")
+    val mq0 = msink(); mq0.processAllAvailable(); mq0.stop()
+    assert(!new java.io.File(s"$base/mr").exists(),
+      "the seed batch has no window to score against")
+    mut.write.mode("append").parquet(min_)
+    val mq1 = msink(); mq1.processAllAvailable(); mq1.stop()
+    // single-column references over the SAME batch sequence
+    val nin = s"$base/nin"
+    o.select(col("o_totalprice")).write.mode("overwrite").parquet(nin)
+    def nsink() = Streams.toRollingDriftSink(
+      spark.readStream.schema(spark.read.parquet(nin).schema).parquet(nin),
+      "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10,
+      windowBatches = 2, stateDir = s"$base/nledger",
+      reportDir = s"$base/nr", checkpointDir = s"$base/nckpt")
+    val nq0 = nsink(); nq0.processAllAvailable(); nq0.stop()
+    mut.select(col("o_totalprice")).write.mode("append").parquet(nin)
+    val nq1 = nsink(); nq1.processAllAvailable(); nq1.stop()
+    val cin = s"$base/cin"
+    o.select(col("o_orderpriority")).write.mode("overwrite").parquet(cin)
+    def csink() = Streams.toRollingCatDriftSink(
+      spark.readStream.schema(spark.read.parquet(cin).schema).parquet(cin),
+      "o_orderpriority", s"$base/v", windowBatches = 2,
+      stateDir = s"$base/cledger", reportDir = s"$base/cr",
+      checkpointDir = s"$base/cckpt")
+    val cq0 = csink(); cq0.processAllAvailable(); cq0.stop()
+    mut.select(col("o_orderpriority")).write.mode("append").parquet(cin)
+    val cq1 = csink(); cq1.processAllAvailable(); cq1.stop()
+    // per-column parity: the multi report restricted to a column is
+    // row-identical to that column's single sink (numeric bucket travels
+    // in the string `key`)
+    val mr = spark.read.parquet(s"$base/mr").filter(col("batch_id") === 1L)
+    val numGot = mr.filter(col("column") === "o_totalprice")
+      .select(col("key").cast("long").as("bucket"),
+        col("count_a"), col("count_b"), col("psi_term"))
+      .collect().map(_.toString).sorted.toSeq
+    val numRef = spark.read.parquet(s"$base/nr")
+      .filter(col("batch_id") === 1L).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(numGot == numRef)
+    val catGot = mr.filter(col("column") === "o_orderpriority")
+      .select(col("key").as("category"), col("is_fold"),
+        col("count_a"), col("count_b"), col("psi_term"))
+      .collect().map(_.toString).sorted.toSeq
+    val catRef = spark.read.parquet(s"$base/cr")
+      .filter(col("batch_id") === 1L).drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(catGot == catRef)
+    // the independence check the combined report must preserve: numeric
+    // alarms, identical categorical reads exactly 0
+    val perCol = mr.groupBy(col("column"))
+      .agg(sum(col("psi_term")).cast("double").as("psi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(perCol("o_totalprice") > 0.25, perCol.toString)
+    assert(perCol("o_orderpriority") == 0.0, perCol.toString)
+    // ONE ledger holds both columns' window counts
+    val ledger = spark.read.parquet(s"$base/mledger")
+    assert(ledger.select("column").distinct()
+      .collect().map(_.getString(0)).toSet
+      == Set("o_totalprice", "o_orderpriority"))
+  }
+
   test("rolling ledger sink is not wedged by post-publish .old residue (r13 ADVICE)") {
     // crash window: a batch published its ledger and died before deleting
     // .old. The next batch's stage-aside rename hits the existing .old —
