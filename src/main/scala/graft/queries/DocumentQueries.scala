@@ -1572,13 +1572,7 @@ object DocumentQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_rdriftq")
     graft.TempFiles.cleanupAtExit(root)
     val in = root.toString + "/in"
-    def dropBatch(from: String): Unit = {
-      new java.io.File(in).mkdirs()
-      new java.io.File(from).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach { f => java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(in, f.getName), f.toPath) }
-    }
-    dropBatch(stage + "/b0") // batch 0: the baseline snapshot
+    linkParquetInto(stage + "/b0", in) // batch 0: the baseline snapshot
     val q = graft.streaming.Streams.toRollingDriftSink(
       spark.readStream.schema(o.schema).parquet(in),
       "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20,
@@ -1587,7 +1581,7 @@ object DocumentQueries {
       reportDir = root.toString + "/r",
       checkpointDir = root.toString + "/ckpt")
     q.processAllAvailable() // batch 0 seeds the ledger
-    dropBatch(stage + "/b1") // batch 1: the mutated snapshot
+    linkParquetInto(stage + "/b1", in) // batch 1: the mutated snapshot
     q.processAllAvailable() // batch 1 scores against the window
     q.stop()
     spark.read.parquet(root.toString + "/r")
@@ -1599,6 +1593,83 @@ object DocumentQueries {
   private val sDriftRollingSql = pDriftSql.replace(
     "SELECT bucket, count_a, count_b,",
     "SELECT bucket, count_a, count_b, CAST(1 AS BIGINT) AS batch_id,")
+
+  /** Hardlink the staged parquet part files of `from` into drop dir `in`
+    * — per-invocation batch drops without rewriting invariant data (part
+    * file names are UUID-unique, so successive drops never collide).
+    */
+  private def linkParquetInto(from: String, in: String): Unit = {
+    new java.io.File(in).mkdirs()
+    new java.io.File(from).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f => java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(in, f.getName), f.toPath) }
+  }
+
+  // ------------------------------------------------------- s_drift_multi
+  // The MULTI-COLUMN rolling monitor under the gate: ONE streaming query,
+  // ONE column-keyed ledger, scoring the numeric o_totalprice (equi-width
+  // PSI) and the categorical o_orderpriority (vocabulary-folded PSI)
+  // slices of the SAME q22-mutation batch. Batch 0 (both columns of the
+  // baseline snapshot) seeds; batch 1 carries the mutation row set whose
+  // numeric slice is exactly driftSnapshotB and whose categorical slice
+  // is exactly p_drift_cat's B — so the report must equal the UNION of
+  // p_drift's and p_drift_cat's oracles, tagged by column, with the
+  // numeric bucket rendered through the unified string key. A ledger that
+  // mixed columns, scored a column against the other's totals, or folded
+  // through a recomputed vocabulary breaks the hash.
+  private def sDriftMulti(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val stage = SourceQueries.cachedArtifact("mdriftstage", dir) { tmp =>
+      graft.operators.Profiling.writeCategoricalVocabulary(
+        o.select(col("o_orderpriority")), "o_orderpriority", topK = 3,
+        dir = tmp + "/v")
+      o.select(col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(tmp + "/b0")
+      o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select(when(pmod(col("o_orderkey"), lit(101)) === 0,
+            col("o_totalprice") + lit(1.0d)).otherwise(col("o_totalprice"))
+            .as("o_totalprice"),
+          col("o_orderpriority"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+          .select(col("o_totalprice"), col("o_orderpriority")))
+        .write.mode("overwrite").parquet(tmp + "/b1")
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_mdriftq")
+    graft.TempFiles.cleanupAtExit(root)
+    val in = root.toString + "/in"
+    linkParquetInto(stage + "/b0", in)
+    val q = graft.streaming.Streams.toRollingMultiDriftSink(
+      spark.readStream
+        .schema(spark.read.parquet(stage + "/b0").schema).parquet(in),
+      numeric = Seq(graft.streaming.Streams.NumericDriftCol(
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20)),
+      categorical = Seq(graft.streaming.Streams.CatDriftCol(
+        "o_orderpriority", stage + "/v")),
+      windowBatches = 4,
+      stateDir = root.toString + "/ledger",
+      reportDir = root.toString + "/r",
+      checkpointDir = root.toString + "/ckpt")
+    q.processAllAvailable() // batch 0 seeds both columns' ledger slices
+    linkParquetInto(stage + "/b1", in)
+    q.processAllAvailable() // batch 1 scores per column
+    q.stop()
+    spark.read.parquet(root.toString + "/r")
+      .select(col("column"), col("key"), col("is_fold"),
+        col("count_a"), col("count_b"),
+        col("psi_term").cast(DoubleType).as("psi_term"),
+        col("batch_id").cast(LongType).as("batch_id")) // partition column
+  }
+
+  // the two single-column oracles, tagged by column through the unified
+  // string key (plain concatenation — no stripMargin over finished SQL)
+  private val sDriftMultiSql =
+    "SELECT 'o_totalprice' AS \"column\", CAST(bucket AS VARCHAR) AS key," +
+      " FALSE AS is_fold, count_a, count_b, psi_term," +
+      " CAST(1 AS BIGINT) AS batch_id FROM (" + pDriftSql + ")\n" +
+      "UNION ALL\n" +
+      "SELECT 'o_orderpriority', category, is_fold, count_a, count_b," +
+      " psi_term, CAST(1 AS BIGINT) FROM (" + pDriftCatSql + ")"
 
   private val sDriftCatSql = pDriftCatSql.replace(
     "SELECT category, is_fold, count_a, count_b,",
@@ -1700,6 +1771,7 @@ object DocumentQueries {
     QueryDef("s_drift", sDrift, Some(sDriftSql)),
     QueryDef("s_drift_cat", sDriftCat, Some(sDriftCatSql)),
     QueryDef("s_drift_rolling", sDriftRolling, Some(sDriftRollingSql)),
+    QueryDef("s_drift_multi", sDriftMulti, Some(sDriftMultiSql)),
     QueryDef("p_corr", pCorr, Some(pCorrSql)),
     QueryDef("p_numeric_profile", pNumeric, Some(pNumericSql)),
     QueryDef("p_string_profile", pString, Some(pStringSql)),
