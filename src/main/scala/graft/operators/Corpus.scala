@@ -750,4 +750,73 @@ object Corpus {
       .map(r => (r.getString(0), r.getLong(1)))
     graft.functions.QualityModel(kept.toIndexedSeq)
   }
+
+  // --------------------------------------- DSIR importance resampling
+
+  /** Token importance weights for DSIR-style data selection (Xie et al.,
+    * NeurIPS'23, "Data Selection for Language Models via Importance
+    * Resampling"): how much more a token is represented in the TARGET
+    * domain than in the RAW corpus, so that documents resembling the
+    * target score high. The published estimator is a log-probability
+    * ratio over hashed n-gram features; this engine's form is the integer
+    * per-million SHARE DIFFERENCE under add-one smoothing over the union
+    * vocabulary —
+    *
+    *   w(t) = (S·(c_tgt(t)+1)) div (T_tgt + V)
+    *        − (S·(c_raw(t)+1)) div (T_raw + V),  S = `scale`
+    *
+    * — closed-form and integer-exact end-to-end (the oracle-gate margin
+    * discipline of [[qualityModelTrain]]: no logs, no floats, no
+    * iterative fit), pointing the same way as the probability ratio: a
+    * token over-represented in the target scores positive, one
+    * over-represented in the raw corpus negative, a proportionally
+    * represented one ~0. Prune with [[qualityModelCollect]] (|weight|
+    * desc — evidence strength), apply + select with [[dsirResample]].
+    *
+    * Scale shape: ONE tagged union + explode + token-keyed aggregate with
+    * map-side combine (persisted — both the weight projection and the
+    * one-row |vocabulary| aggregate read it, so the explode runs once),
+    * a per-document size aggregate for the totals (no second explode —
+    * the qualityModelTrain totals trick), and two one-row broadcasts.
+    * The corpus text itself never shuffles.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  scale: Long = 1000000L): DataFrame = {
+    def tagged(df: DataFrame, tgt: Boolean): DataFrame =
+      df.select(lit(tgt).as("__tgt"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val union = tagged(raw, tgt = false).unionByName(tagged(target, tgt = true))
+    val counts = union
+      .select(col("__tgt"), explode(col("__toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = union
+      .select(col("__tgt"), size(col("__toks")).cast(LongType).as("__n"))
+      .agg(sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__TT"),
+        sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
+    val vocab = counts.agg(count(lit(1)).as("__V"))
+    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select(col("token"),
+        (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
+          expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
+  }
+
+  /** Select the `k` documents whose token distribution most resembles the
+    * target domain: score with the pruned [[graft.functions.QualityModel]]
+    * (one codegen dot product per document — the corpus never shuffles to
+    * score), keep the top k by (`dsir_score` desc, `idCol` asc). This is
+    * the noiseless rank cut of DSIR's importance resampling — the paper
+    * adds Gumbel noise for sample diversity; a deterministic engine
+    * exposes the greedy form so the whole train→prune→score→select
+    * decision replays exactly in any engine. TakeOrdered shape:
+    * per-partition top-k heaps merge on the driver, no global sort.
+    */
+  def dsirResample(df: DataFrame, textCol: String, idCol: String,
+                   model: graft.functions.QualityModel, k: Int): DataFrame =
+    df.withColumn("dsir_score",
+        graft.functions.QualityModelFns.score(col(textCol), model))
+      .orderBy(col("dsir_score").desc, col(idCol).asc)
+      .limit(k)
 }

@@ -213,6 +213,45 @@ object DocumentQueries {
       | COALESCE(sc.score, 0) > 0 AS keep
       |FROM t LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------------- d_dsir_sample
+  // DSIR-style importance resampling (Xie et al., NeurIPS'23): the target
+  // domain is the English slice of the corpus, the raw corpus is all of
+  // it; Corpus.dsirWeights trains integer per-million share-difference
+  // weights under add-one smoothing (the closed-form, log-free surrogate
+  // of the paper's probability ratio — the d_quality_model margin
+  // discipline), qualityModelCollect prunes to the 64 most discriminative
+  // tokens, and dsirResample keeps the 150 most target-like documents by
+  // (score desc, doc_id asc). Every step — counts, totals, vocabulary
+  // size, integer division, tie order — replays bit-exactly in DuckDB, so
+  // the full train→prune→score→select decision sits inside the hash gate.
+  private def dDsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Corpus.dsirWeights(docs, docs.filter(col("lang") === "en"), "text")
+    val model = Corpus.qualityModelCollect(w, topK = 64)
+    Corpus.dsirResample(docs, "text", "doc_id", model, k = 150)
+      .select(col("doc_id"), col("lang"), col("dsir_score"))
+  }
+
+  private val dDsirSampleSql =
+    """WITH tok AS (
+      | SELECT doc_id, lang,
+      |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+      | FROM documents),
+      |tc AS (SELECT token,
+      |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+      |        COUNT(*) AS cr
+      |       FROM tok GROUP BY token),
+      |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM tc),
+      |wt AS (SELECT token,
+      |        (1000000 * (ct + 1)) // (tt + v) - (1000000 * (cr + 1)) // (tr + v) AS weight
+      |       FROM tc, tot),
+      |pruned AS (SELECT token, weight FROM wt ORDER BY abs(weight) DESC, token ASC LIMIT 64),
+      |sc AS (SELECT tok.doc_id, SUM(pruned.weight) AS s
+      |       FROM tok JOIN pruned USING (token) GROUP BY tok.doc_id)
+      |SELECT d.doc_id, d.lang, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY dsir_score DESC, d.doc_id ASC LIMIT 150""".stripMargin
+
   // ------------------------------------------------------------ d_lang_id
   private def dLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -1739,6 +1778,7 @@ object DocumentQueries {
     QueryDef("d_token_count", dTokenCount, Some(dTokenCountSql)),
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
     QueryDef("d_quality_model", dQualityModel, Some(dQualityModelSql)),
+    QueryDef("d_dsir_sample", dDsirSample, Some(dDsirSampleSql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
     QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),

@@ -202,4 +202,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(h(101L) == ((true, false)),
       s"stopword-padded spam doc: heuristic passes, classifier rejects: $h")
   }
+
+  test("dsirWeights: integer share-difference weights, exact on a micro-corpus (r14)") {
+    // raw = 4 docs, target = docs 1-2. c_tgt: alpha 2, beta/gamma 1,
+    // zeta/eta/theta 0; c_raw: alpha/zeta 2, beta/gamma/eta/theta 1.
+    // T_tgt=4, T_raw=8, V=6, S=1e6:
+    //   alpha: 3e6//10 - 3e6//14 = 300000-214285 =  85715
+    //   beta/gamma: 2e6//10 - 2e6//14 = 200000-142857 = 57143
+    //   zeta: 1e6//10 - 3e6//14 = 100000-214285 = -114285
+    //   eta/theta: 1e6//10 - 2e6//14 = 100000-142857 = -42857
+    val raw = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "zeta eta"), (4L, "zeta theta")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 2L)
+    val w = Corpus.dsirWeights(raw, target, "text")
+      .as[(String, Long)].collect().toMap
+    assert(w == Map("alpha" -> 85715L, "beta" -> 57143L, "gamma" -> 57143L,
+      "zeta" -> -114285L, "eta" -> -42857L, "theta" -> -42857L), w.toString)
+    // resample: target-like docs outrank raw-like ones; the k boundary
+    // tie (docs 3,4 at -157142) breaks by id asc — deterministic
+    val model = Corpus.qualityModelCollect(
+      Corpus.dsirWeights(raw, target, "text"), topK = 100)
+    val top3 = Corpus.dsirResample(raw, "text", "doc_id", model, k = 3)
+      .select("doc_id", "dsir_score").as[(Long, Long)].collect().toMap
+    assert(top3 == Map(1L -> 142858L, 2L -> 142858L, 3L -> -157142L),
+      top3.toString)
+  }
 }
