@@ -596,20 +596,35 @@ object Dfasdl {
       !java.util.regex.Pattern.compile("""\[|\$|\\[nrRvsWDpPxu0-9]""")
         .matcher(frag).find()
 
+  /** How many physical LINES does one record of this ordered leaf run
+    * consume — statically, independent of data? Defined when the final
+    * leaf is sign-less (the record ends at its line end, so the next
+    * record starts on a fresh line) and every explicit start/stop-sign is
+    * [[lineSafe]] (no sign ever consumes a line break). Then each
+    * sign-less leaf reads to the parser's newline default — ending
+    * exactly one line — while signed leaves stay within the current line
+    * (`.` never crosses a terminator and a lineSafe sign cannot match
+    * one), so the record arity is the COUNT of sign-less leaves. Returns
+    * None when the last leaf carries a sign (the record would end
+    * mid-line — byte-range framing would lose the phase) or a sign could
+    * span lines.
+    */
+  private def lineBlockArity(leaves: Seq[Field]): Option[Int] =
+    if (leaves.nonEmpty && leaves.last.attr("stop-sign").isEmpty &&
+        leaves.init.forall(_.attr("stop-sign").forall(lineSafe)) &&
+        leaves.forall(_.attr("start-sign").forall(lineSafe)))
+      Some(leaves.count(_.attr("stop-sign").isEmpty))
+    else None
+
   /** Is this ordered leaf run LINE-ANCHORED — exactly one record per
-    * physical line? Holds when every non-final leaf terminates at an
-    * explicit [[lineSafe]] stop-sign (a sign-less mid-leaf reads to the
-    * parser's newline default, spilling the record onto the next line)
-    * and the final leaf is sign-less, so the record consumes to its line
-    * end. Line-anchored runs frame by Spark's SPLITTABLE line reader —
-    * byte-range splits resync at the next line break exactly like Avro's
-    * sync markers — instead of one wholetext task per file (the
-    * SOURCESCALE_r13-measured 8.4× single-file ceiling).
+    * physical line ([[lineBlockArity]] = 1)? Line-anchored runs frame by
+    * Spark's SPLITTABLE line reader — byte-range splits resync at the
+    * next line break exactly like Avro's sync markers — instead of one
+    * wholetext task per file (the SOURCESCALE_r13-measured 8.4×
+    * single-file ceiling).
     */
   private def lineAnchoredRun(leaves: Seq[Field]): Boolean =
-    leaves.nonEmpty && leaves.last.attr("stop-sign").isEmpty &&
-      leaves.init.forall(_.attr("stop-sign").exists(lineSafe)) &&
-      leaves.forall(_.attr("start-sign").forall(lineSafe))
+    lineBlockArity(leaves).contains(1)
 
   /** Raw record strings (`__rec`) for a stream-shaped doc: LINE-framed
     * when `lineAnchored` (per-SPLIT parallel — a single multi-GB file
@@ -625,14 +640,158 @@ object Dfasdl {
     */
   private def recordStrings(spark: SparkSession, path: String,
                             recPattern: String,
-                            lineAnchored: Boolean): DataFrame = {
-    val recs =
-      if (lineAnchored) spark.read.text(path).select(col("value").as("__rec"))
-      else spark.read.option("wholetext", "true").text(path)
-        .select(explode(
-          regexp_extract_all(col("value"), lit(recPattern), lit(1)))
-          .as("__rec"))
+                            arity: Option[Int]): DataFrame = {
+    def wholetext = spark.read.option("wholetext", "true").text(path)
+      .select(explode(
+        regexp_extract_all(col("value"), lit(recPattern), lit(1)))
+        .as("__rec"))
+    val recs = arity match {
+      case Some(1) => spark.read.text(path).select(col("value").as("__rec"))
+      case Some(n) => lineBlockRecords(spark, path, n).getOrElse(wholetext)
+      case None    => wholetext
+    }
     recs.filter(length(col("__rec")) > 0)
+  }
+
+  /** Record strings for a FIXED-ARITY multi-line record run
+    * ([[lineBlockArity]] = n > 1, e.g. the vCard label:value stacks):
+    * record k is lines [k·n, (k+1)·n) of its file, so framing needs each
+    * line's ORDINAL — which Spark's text source drops. The Hadoop line
+    * reader keeps byte-range splits, and an ordinal needs its
+    * predecessors counted, so this reader runs the DenseId prefix-sum
+    * discipline:
+    *
+    *   pass 1 counts lines per split (a pure IO scan, nothing shuffles,
+    *   one (file, splitStart, count) row per split to the driver) and
+    *   broadcasts each split's first-line ordinal = the prefix-sum of
+    *   its same-file predecessors (splits ordered by byte start);
+    *   pass 2 assembles every record that lies WHOLLY inside its split
+    *   locally — zero shuffle, the overwhelming majority of a large file;
+    *   pass 3 re-reads only to emit the <2n EDGE lines per split (the
+    *   head lines finishing the previous split's record, the tail lines
+    *   opening the next one) and reassembles those few records with one
+    *   tiny (file, recordIdx)-keyed exchange.
+    *
+    * The corpus text itself NEVER shuffles — three sequential IO scans
+    * buy byte-range parallelism over a single multi-GB file (the
+    * SOURCESCALE_r13 8.4× one-task ceiling, closed for line-anchored
+    * records in r14 — this is the multi-line generalization). All passes
+    * read the SAME RDD instance, so the split layout is computed once
+    * and identical by construction. Reassembled records join their lines
+    * with \n and flow through the SAME `^pattern$` re-parse as wholetext
+    * framing — the framing changes, the parse does not (CRLF inputs: the
+    * line reader strips \r exactly where the wholetext fragments'
+    * `(?:\r\n?|\n|$)` terminators consume it, so values agree; a ragged
+    * EOF tail surfaces as a short record string that the anchored
+    * re-parse judges exactly like wholetext extraction would).
+    *
+    * Returns None when the input already has at least one FILE per task
+    * slot — there wholetext framing is equally parallel and needs one
+    * scan instead of three (measured: 64 files of sf1 token records scan
+    * 3.1M rows/s wholetext vs 1.1M through the always-block path).
+    */
+  private def lineBlockRecords(spark: SparkSession, path: String,
+                               n: Int): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val hConf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val fs = p.getFileSystem(hConf)
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val fileCount = statuses.map(s =>
+      if (s.isDirectory) fs.getContentSummary(s.getPath).getFileCount
+      else 1L).sum
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    if (fileCount >= par) return None
+    // size splits for the session's parallelism — the local-FS default
+    // block size would otherwise hand a mid-size file to very few tasks
+    val totalBytes = statuses.map(s =>
+      if (s.isDirectory) fs.getContentSummary(s.getPath).getLength
+      else s.getLen).sum
+    val target = math.max(1L << 20,
+      math.min(128L << 20, totalBytes / par + 1))
+    hConf.setLong("mapreduce.input.fileinputformat.split.maxsize", target)
+    val lines = spark.sparkContext.newAPIHadoopFile(path,
+        classOf[TextInputFormat], classOf[LongWritable], classOf[Text], hConf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    // vals, not defs: a method-local def referenced inside a task closure
+    // lifts onto the enclosing module and drags it into serialization
+    // (the r9 Sinks lesson); these lambdas capture only (bc, n)
+    val pid: () => Int = () => org.apache.spark.TaskContext.getPartitionId()
+    // pass 1: (partition, file, splitStart, lineCount) — one row per split
+    val meta = lines.mapPartitionsWithInputSplit { (split, it) =>
+      val s = split.asInstanceOf[FileSplit]
+      var c = 0L
+      while (it.hasNext) { it.next(); c += 1 }
+      Iterator.single((pid(), s.getPath.toString, s.getStart, c))
+    }.collect()
+    // per file: splits in byte order, each paired with the line count of
+    // its same-file predecessors (exclusive prefix sum)
+    val firstOrdinal: Map[Int, Long] = meta.groupBy(_._2).iterator.flatMap {
+      case (_, splits) =>
+        val ordered = splits.sortBy(_._3)
+        ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._4).init)
+    }.toMap
+    val counts: Map[Int, Long] = meta.map(m => m._1 -> m._4).toMap
+    val bc = spark.sparkContext.broadcast((firstOrdinal, counts))
+    // a split's WHOLLY-LOCAL ordinal range: [s0, e1] covers the records
+    // whose n lines all sit inside this split
+    val localRange: Int => (Long, Long, Long) = { id =>
+      val (firsts, cnts) = bc.value
+      val first = firsts(id)
+      val last = first + cnts(id) - 1
+      val s0 = ((first + n - 1) / n) * n
+      val e1 = ((last + 1) / n) * n - 1
+      (first, s0, e1)
+    }
+    // pass 2: in-split records assemble locally — no shuffle
+    val local = lines.mapPartitionsWithInputSplit { (split, it) =>
+      val (first, s0, e1) = localRange(pid())
+      var no = first
+      val buf = new Array[String](n)
+      var filled = 0
+      new Iterator[String] {
+        private var rec: String = _
+        private def advance(): Unit = {
+          while (rec == null && it.hasNext) {
+            val line = it.next()._2.toString
+            if (no >= s0 && no <= e1) {
+              buf(filled) = line
+              filled += 1
+              if (filled == n) { rec = buf.mkString("\n"); filled = 0 }
+            }
+            no += 1
+          }
+        }
+        override def hasNext: Boolean = { advance(); rec != null }
+        override def next(): String = {
+          advance(); val r = rec; rec = null; r
+        }
+      }
+    }
+    // pass 3: only the split-EDGE lines (<2n per split) shuffle, keyed by
+    // their (file, record) so straddling records reassemble
+    val edges = lines.mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.toString
+      val (first, s0, e1) = localRange(pid())
+      var no = first - 1
+      it.flatMap { case (_, t) =>
+        no += 1
+        if (no < s0 || no > e1)
+          Iterator.single((file, no / n, no % n, t.toString))
+        else Iterator.empty
+      }
+    }
+    import spark.implicits._
+    val edgeRecs = edges.toDF("__file", "__ri", "__slot", "__line")
+      .groupBy(col("__file"), col("__ri"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("__slot").as("s"), col("__line").as("l")))),
+        x => x.getField("l")), "\n").as("__rec"))
+      .select("__rec")
+    Some(local.toDF("__rec").unionByName(edgeRecs))
   }
 
   private def readTokenStream(spark: SparkSession, path: String,
@@ -642,7 +801,12 @@ object Dfasdl {
     // TWO select stages so the groups re-parse runs once per record —
     // inlining it per leaf would let CollapseProject duplicate the match
     // per output column (the same staging trick the choice reader uses)
-    val recs = recordStrings(spark, path, recPattern, lineAnchoredRun(fields))
+    // a fixseq-BOUNDED doc takes the first `max` records in FILE order —
+    // sequential semantics only wholetext framing preserves (split/line
+    // framing surfaces records in partition order, and Spark packs file
+    // splits by size, not position); a bounded read is small by definition
+    val arity = if (doc.rowLimit.isDefined) None else lineBlockArity(fields)
+    val recs = recordStrings(spark, path, recPattern, arity)
       .select(graft.functions.RegexFns
         .regexpGroups(col("__rec"), groupsPattern).as("__g"))
     // line framing surfaces EVERY line, including one the record pattern
@@ -880,8 +1044,14 @@ object Dfasdl {
   private def readChoiceStream(spark: SparkSession, path: String,
                                doc: Doc): DataFrame = {
     val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
-    val anchored = choiceStreamCombos(doc).forall(lineAnchoredRun)
-    val recs = recordStrings(spark, path, recPattern, anchored)
+    // block framing needs ONE static record arity; a choice doc's arity
+    // varies by branch combination, so only the 1-line case frames by
+    // line — and a fixseq-bounded doc stays wholetext (first-`max`
+    // records in FILE order, which only sequential framing preserves)
+    val anchored = doc.rowLimit.isEmpty &&
+      choiceStreamCombos(doc).forall(lineAnchoredRun)
+    val recs = recordStrings(spark, path, recPattern,
+      if (anchored) Some(1) else None)
       .select(groupCols: _*)
     // a line no combination parses is dropped by [[dispatchRows]]'s
     // null-winner explode — the line-framed twin of wholetext's

@@ -126,6 +126,14 @@ object SourceScale {
         .select(concat(lit("KEY:"), col("o_orderkey"),
           lit("\nPRI:"), col("o_orderpriority")).as("value"))
         .write.mode("overwrite").text(tokPath)
+      // single-file twin of the 2-line token stack: r14's block framing
+      // must fan this one file across byte-range splits (pre-r14 it was
+      // the wholetext one-task ceiling)
+      val tok1Path = s"$base/tok1"
+      orders.repartition(1)
+        .select(concat(lit("KEY:"), col("o_orderkey"),
+          lit("\nPRI:"), col("o_orderpriority")).as("value"))
+        .write.mode("overwrite").text(tok1Path)
       val choiceLine = concat(col("o_orderkey"), lit(";"),
         when(col("o_orderkey") % 2 === 0,
           concat(lit("K:"), col("o_orderpriority")))
@@ -176,6 +184,8 @@ object SourceScale {
       val legs = Seq(
         leg("csv", () => Dfasdl.readDelimited(spark, csvPath, csvDoc)),
         leg("token_stream", () => Dfasdl.readDelimited(spark, tokPath, tokenDoc)),
+        leg("token_stream_1file", () =>
+          Dfasdl.readDelimited(spark, tok1Path, tokenDoc)),
         leg("choice_stream", () => Dfasdl.readDelimited(spark, chPath, choiceDoc)),
         leg("choice_stream_1file", () =>
           Dfasdl.readDelimited(spark, ch1Path, choiceDoc)),

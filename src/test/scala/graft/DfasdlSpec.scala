@@ -1469,6 +1469,58 @@ class DfasdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("chain cookbooks"))
   }
 
+  test("multi-line token-stream records frame by byte-range splits (r14)") {
+    import spark.implicits._
+    // 2-line records (KEY:<id> / PRI:<p>) — a sign-less MID leaf, so NOT
+    // line-anchored: pre-r14 this shape read wholetext, one task per file
+    val doc = Dfasdl.parseSchema(
+      """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="BLK">
+        |  <seq id="s"><elem id="r">
+        |    <str class="label" stop-sign=":"/>
+        |    <num id="okey"/>
+        |    <str class="label" stop-sign=":"/>
+        |    <str id="prio"/>
+        |  </elem></seq>
+        |</dfasdl>""".stripMargin)
+    val n = 120000
+    def rec(i: Int) = s"KEY:$i\nPRI:p${i % 97}"
+    val body = (0 until n).map(rec).mkString("\n") + "\n"
+    // one ~1.5MB file: big enough that the split sizer cuts MULTIPLE byte
+    // ranges, so the prefix-sum line numbering is actually exercised
+    val one = Files.createTempDirectory("dfasdl_blk1")
+    Files.write(Paths.get(one.toString, "one.txt"), body.getBytes("UTF-8"))
+    val got = Dfasdl.readDelimited(spark, one.toString, doc)
+    val agg = got.agg(count(lit(1)), sum(col("okey"))).collect()(0)
+    assert(agg.getLong(0) == n.toLong, s"rows: ${agg.getLong(0)}")
+    assert(agg.getLong(1) == (0L until n.toLong).sum, "okey checksum")
+    // every record reassembled in phase: prio derives from okey
+    assert(got.filter(col("prio") =!= concat(lit("p"), col("okey") % 97))
+      .count() == 0L, "a record was assembled from the wrong line pair")
+    // multi-file twin reads the SAME row set (framing changes, rows don't)
+    val many = Files.createTempDirectory("dfasdl_blkN")
+    (0 until 4).foreach { f =>
+      val part = (f until n by 4).map(rec).mkString("\n") + "\n"
+      Files.write(Paths.get(many.toString, s"p$f.txt"), part.getBytes("UTF-8"))
+    }
+    val gotMany = Dfasdl.readDelimited(spark, many.toString, doc)
+      .as[(Long, String)].collect().toSet
+    assert(gotMany == got.as[(Long, String)].collect().toSet)
+    // CRLF input parses to the same values (the line reader strips \r
+    // exactly where the wholetext terminators would have consumed it)
+    val crlf = Files.createTempDirectory("dfasdl_blkC")
+    Files.write(Paths.get(crlf.toString, "c.txt"),
+      "KEY:1\r\nPRI:a\r\nKEY:2\r\nPRI:b\r\n".getBytes("UTF-8"))
+    assert(Dfasdl.readDelimited(spark, crlf.toString, doc)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // a ragged tail (dangling KEY line without its PRI line) DROPS, the
+    // same skip wholetext extraction makes for a truncated final record
+    val rag = Files.createTempDirectory("dfasdl_blkR")
+    Files.write(Paths.get(rag.toString, "r.txt"),
+      "KEY:1\nPRI:a\nKEY:99\n".getBytes("UTF-8"))
+    assert(Dfasdl.readDelimited(spark, rag.toString, doc)
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
   test("unsupported transformer names fail fast with guidance") {
     val e = intercept[UnsupportedOperationException] {
       Dfasdl.compileRecipe(Dfasdl.Recipe("r", "one-to-one", Seq(
