@@ -716,39 +716,49 @@ object Dfasdl {
     val lines = spark.sparkContext.newAPIHadoopFile(path,
         classOf[TextInputFormat], classOf[LongWritable], classOf[Text], hConf)
       .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
-    // vals, not defs: a method-local def referenced inside a task closure
-    // lifts onto the enclosing module and drags it into serialization
-    // (the r9 Sinks lesson); these lambdas capture only (bc, n)
-    val pid: () => Int = () => org.apache.spark.TaskContext.getPartitionId()
-    // pass 1: (partition, file, splitStart, lineCount) — one row per split
+    // pass 1: ((file, splitStart), lineCount) — one row per split. Splits
+    // self-identify by (file, byte start), NEVER by TaskContext partition
+    // id: a downstream coalesce() computes many parent partitions inside
+    // ONE task (Verify's coalesce(1) write does exactly this), where the
+    // task's partition id is the same for every split it drains — keying
+    // the prefix sums by it mis-phased ~15% of records until the sf1 gate
+    // caught it.
     val meta = lines.mapPartitionsWithInputSplit { (split, it) =>
       val s = split.asInstanceOf[FileSplit]
       var c = 0L
       while (it.hasNext) { it.next(); c += 1 }
-      Iterator.single((pid(), s.getPath.toString, s.getStart, c))
+      Iterator.single(((s.getPath.toString, s.getStart), c))
     }.collect()
     // per file: splits in byte order, each paired with the line count of
     // its same-file predecessors (exclusive prefix sum)
-    val firstOrdinal: Map[Int, Long] = meta.groupBy(_._2).iterator.flatMap {
-      case (_, splits) =>
-        val ordered = splits.sortBy(_._3)
-        ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._4).init)
-    }.toMap
-    val counts: Map[Int, Long] = meta.map(m => m._1 -> m._4).toMap
+    val firstOrdinal: Map[(String, Long), Long] =
+      meta.groupBy(_._1._1).iterator.flatMap { case (_, splits) =>
+        val ordered = splits.sortBy(_._1._2)
+        ordered.map(_._1).zip(ordered.scanLeft(0L)(_ + _._2).init)
+      }.toMap
+    val counts: Map[(String, Long), Long] = meta.toMap
     val bc = spark.sparkContext.broadcast((firstOrdinal, counts))
     // a split's WHOLLY-LOCAL ordinal range: [s0, e1] covers the records
-    // whose n lines all sit inside this split
-    val localRange: Int => (Long, Long, Long) = { id =>
+    // whose n lines all sit inside this split. A val, not a def: a
+    // method-local def referenced inside a task closure lifts onto the
+    // enclosing module and drags it into serialization (the r9 Sinks
+    // lesson); this lambda captures only (bc, n)
+    val localRange: ((String, Long)) => (Long, Long, Long) = { key =>
       val (firsts, cnts) = bc.value
-      val first = firsts(id)
-      val last = first + cnts(id) - 1
+      val first = firsts(key)
+      val last = first + cnts(key) - 1
       val s0 = ((first + n - 1) / n) * n
       val e1 = ((last + 1) / n) * n - 1
       (first, s0, e1)
     }
+    val splitKey: org.apache.hadoop.mapreduce.InputSplit => (String, Long) = {
+      split =>
+        val s = split.asInstanceOf[FileSplit]
+        (s.getPath.toString, s.getStart)
+    }
     // pass 2: in-split records assemble locally — no shuffle
     val local = lines.mapPartitionsWithInputSplit { (split, it) =>
-      val (first, s0, e1) = localRange(pid())
+      val (first, s0, e1) = localRange(splitKey(split))
       var no = first
       val buf = new Array[String](n)
       var filled = 0
@@ -775,7 +785,7 @@ object Dfasdl {
     // their (file, record) so straddling records reassemble
     val edges = lines.mapPartitionsWithInputSplit { (split, it) =>
       val file = split.asInstanceOf[FileSplit].getPath.toString
-      val (first, s0, e1) = localRange(pid())
+      val (first, s0, e1) = localRange(splitKey(split))
       var no = first - 1
       it.flatMap { case (_, t) =>
         no += 1

@@ -1496,6 +1496,14 @@ class DfasdlSpec extends AnyFunSuite {
     // every record reassembled in phase: prio derives from okey
     assert(got.filter(col("prio") =!= concat(lit("p"), col("okey") % 97))
       .count() == 0L, "a record was assembled from the wrong line pair")
+    // the Verify shape — coalesce(1) computes EVERY split inside one task,
+    // where TaskContext partition ids collapse; splits must self-identify
+    // by (file, byte start) or phase breaks (caught by the sf1 gate)
+    val coalesced = Dfasdl.readDelimited(spark, one.toString, doc).coalesce(1)
+    assert(coalesced.filter(col("okey").isNull ||
+      col("prio") =!= concat(lit("p"), col("okey") % 97)).count() == 0L,
+      "coalesced read mis-phased a record")
+    assert(coalesced.count() == n.toLong)
     // multi-file twin reads the SAME row set (framing changes, rows don't)
     val many = Files.createTempDirectory("dfasdl_blkN")
     (0 until 4).foreach { f =>
