@@ -803,6 +803,60 @@ object Corpus {
           expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
   }
 
+  /** [[dsirWeights]] over HASHED features — the DSIR paper's actual
+    * design: tokens bucket by `pmod(xxhash64(token), buckets)` so the
+    * feature space (and the model) is FIXED-SIZE no matter how large the
+    * corpus vocabulary grows; at 100 TB a string-keyed vocabulary is
+    * unbounded, a 2²⁰-bucket array is 8 MB. Same estimator over the
+    * bucket domain (V = occupied buckets), so on a collision-free
+    * vocabulary the weights EQUAL the exact form's (spec-pinned);
+    * collisions merge features exactly as published. Not oracle-gated —
+    * xxhash64 has no DuckDB twin — so the exact [[dsirWeights]] stays the
+    * registry face (the fingerprint md5/xxhash64 two-face pattern).
+    * Returns (bucket, weight).
+    */
+  def dsirWeightsHashed(raw: DataFrame, target: DataFrame, textCol: String,
+                        buckets: Int, scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 22),
+      s"dsirWeightsHashed: buckets=$buckets outside (0, 2^22] — the dense " +
+        "model array must stay driver/broadcast sized")
+    def tagged(df: DataFrame, tgt: Boolean): DataFrame =
+      df.select(lit(tgt).as("__tgt"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val union = tagged(raw, tgt = false).unionByName(tagged(target, tgt = true))
+    val counts = union
+      .select(col("__tgt"), explode(col("__toks")).as("token"))
+      .select(col("__tgt"),
+        pmod(xxhash64(col("token")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = union
+      .select(col("__tgt"), size(col("__toks")).cast(LongType).as("__n"))
+      .agg(sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__TT"),
+        sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
+    val vocab = counts.agg(count(lit(1)).as("__V"))
+    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select(col("bucket"),
+        (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
+          expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
+  }
+
+  /** Collect hashed DSIR weights into the dense scoring array
+    * ([[graft.functions.HashedQualityModel]]): index = bucket, unoccupied
+    * buckets 0. Driver-bounded by construction — at most `buckets` rows,
+    * capped at 2²² by [[dsirWeightsHashed]].
+    */
+  def dsirHashedCollect(weights: DataFrame,
+                        buckets: Int): graft.functions.HashedQualityModel = {
+    val arr = new Array[Long](buckets)
+    weights.select(col("bucket").cast(LongType), col("weight").cast(LongType))
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    graft.functions.HashedQualityModel(arr)
+  }
+
   /** Select the `k` documents whose token distribution most resembles the
     * target domain: score with the pruned [[graft.functions.QualityModel]]
     * (one codegen dot product per document — the corpus never shuffles to

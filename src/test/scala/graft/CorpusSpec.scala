@@ -227,4 +227,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(top3 == Map(1L -> 142858L, 2L -> 142858L, 3L -> -157142L),
       top3.toString)
   }
+
+  test("hashed DSIR equals the exact form on a collision-free vocabulary (r14)") {
+    val raw = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "zeta eta"), (4L, "zeta theta")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") <= 2L)
+    val b = 1 << 16
+    // measured precondition: the 6 tokens occupy 6 DISTINCT buckets, so
+    // the bucket domain is in bijection with the vocabulary and the
+    // estimator must agree exactly (V = occupied buckets = |vocab|)
+    val bucketOf = Seq("alpha", "beta", "gamma", "zeta", "eta", "theta")
+      .map(t => t -> raw.sparkSession.range(1)
+        .select(pmod(xxhash64(lit(t)), lit(b.toLong))).as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).head()).toMap
+    assert(bucketOf.values.toSet.size == 6, s"hash collision: $bucketOf")
+    val exact = Corpus.dsirWeights(raw, target, "text")
+      .as[(String, Long)].collect().toMap
+    val hashed = Corpus.dsirWeightsHashed(raw, target, "text", buckets = b)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == exact.map { case (t, w) => bucketOf(t) -> w },
+      s"hashed=$hashed exact=$exact")
+    // the dense codegen scorer reproduces the exact dot product per doc
+    val hm = Corpus.dsirHashedCollect(
+      Corpus.dsirWeightsHashed(raw, target, "text", buckets = b), buckets = b)
+    val scores = raw.select(col("doc_id"),
+        graft.functions.QualityModelFns.scoreHashed(col("text"), hm).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores == Map(1L -> 142858L, 2L -> 142858L,
+      3L -> -157142L, 4L -> -157142L), scores.toString)
+    // the model cap documents the driver-heap argument like bpeTrain's
+    val e = intercept[IllegalArgumentException](
+      Corpus.dsirWeightsHashed(raw, target, "text", buckets = (1 << 22) + 1))
+    assert(e.getMessage.contains("2^22"))
+  }
 }
