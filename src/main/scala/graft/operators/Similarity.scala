@@ -491,6 +491,36 @@ object Similarity {
     rankTail(scored, k)
   }
 
+  /** FILTERED ANN probe — metadata-predicate vector search (FAISS's
+    * IDSelector, every vector DB's payload filter): the index is built on
+    * the FULL corpus and the predicate applies at QUERY time, so one
+    * durable index serves every predicate instead of one index per
+    * filter. `allowed` is a one-column (`idCol`) relation of admissible
+    * corpus ids; candidates from the probed cells semi-join it BEFORE the
+    * cosine, so filtered-out vectors never score and the rank tail stays
+    * k-bounded. Catalyst picks broadcast vs shuffle for the semi join by
+    * `allowed`'s size — a small allow-list broadcasts, a corpus-scale
+    * predicate shuffles candidate ids only (never vectors). Post-filter
+    * recall caveat (as published): a highly selective predicate can empty
+    * the probed cells — raise `nProbe` with selectivity, exactly FAISS's
+    * guidance.
+    */
+  def ivfQueryFiltered(index: IvfIndex, queries: DataFrame, vecCol: String,
+                       idCol: String, allowed: DataFrame, k: Int,
+                       nProbe: Int = 2): DataFrame = {
+    val ok = allowed.select(col(idCol).as("corpus_id")).distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.withColumn("probe",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe").as("cell"))
+    val scored = index.indexed.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(ok, Seq("corpus_id"), "left_semi")
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("qv"), col("cv")).as("cos"))
+    rankTail(scored, k)
+  }
+
   /** IVF-PQ probe: the production large-corpus ANN layout (FAISS IVFPQ) —
     * the IVF coarse quantizer restricts each query to its `nProbe` nearest
     * cells (touching nProbe/nCells of the corpus), and WITHIN those cells

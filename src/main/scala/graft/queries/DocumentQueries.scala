@@ -892,6 +892,39 @@ object DocumentQueries {
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
+  // d_ann_filtered: metadata-predicate vector search over the SAME
+  // planted-margin index d_ann_ivf probes — the filter (even corpus ids)
+  // applies at query time via a pre-cosine semi join, never at build
+  // time. Margin carry-over: exactly 5 of each query's 10 planted copies
+  // have even ids (parity of 100000+qid*10+j = parity of j), every copy
+  // sits in the query's first probe cell, and the even background never
+  // exceeds ~0.42 — so the filtered top-5 is the 5 lowest even copy ids
+  // in BOTH engines and DuckDB replays it by brute force over the
+  // filtered pairs.
+  private def dAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val allowed = annPlanted(e.select("vec_id", "embedding"))
+      .filter(pmod(col("vec_id"), lit(2L)) === 0L).select("vec_id")
+    Similarity.ivfQueryFiltered(ivfIndexPlanted(spark, dir),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id", allowed,
+        k = 5, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
+  private val dAnnFilteredSql =
+    """WITH p AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5),
+      |u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM p),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id AS cid, list_cosine_similarity(qv, embedding) AS cos
+      |      FROM q, u WHERE vec_id != qid AND vec_id % 2 = 0)
+      |SELECT qid AS query_id, cid AS corpus_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS rk
+      |FROM s QUALIFY rk <= 5""".stripMargin
+
   // d_ann_lsh: within-bucket scoring is EXACT cosine — the only
   // approximation is bucket candidate generation, and a planted copy
   // shares the query's own bucket before any multi-probe widening
@@ -1801,6 +1834,7 @@ object DocumentQueries {
     QueryDef("d_ann_opq", dAnnOpq, Some(annMarginSql)),
     QueryDef("d_ann_ivfpq", dAnnIvfPq, Some(annMarginSql)),
     QueryDef("d_ann_ivf", dAnnIvf, Some(annMarginSql)),
+    QueryDef("d_ann_filtered", dAnnFiltered, Some(dAnnFilteredSql)),
     QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
     QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),

@@ -434,6 +434,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.1, s"ivfpq recall@2probes=$recall")
   }
 
+  test("ivfQueryFiltered: full probe equals brute force over the filtered corpus (r14)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val index = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      persist = false)
+    val allowed = e.filter(pmod(col("vec_id"), lit(3L)) === 0L).select("vec_id")
+    // probing every cell makes the cell restriction a no-op, so filtered
+    // IVF must EQUAL brute force over the pre-filtered corpus — same
+    // candidate set, same exact cosine, same tie order
+    val ivf = Similarity.ivfQueryFiltered(index, q, "embedding", "vec_id",
+        allowed, k = 10, nProbe = 8)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+        e.filter(pmod(col("vec_id"), lit(3L)) === 0L), q,
+        "embedding", "vec_id", k = 10)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute, s"diff=${(ivf diff brute).take(3)}")
+    // every result honors the predicate — the filter can never leak
+    assert(ivf.forall(_._2 % 3 == 0))
+  }
+
   test("IVF-PQ serves identically from the on-disk artifacts") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
