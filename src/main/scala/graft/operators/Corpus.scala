@@ -781,14 +781,35 @@ object Corpus {
     * The corpus text itself never shuffles.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000000L): DataFrame =
+    dsirWeightsBy(raw, target, textCol, scale, "token", identity)
+
+  /** The shared DSIR estimator over an arbitrary feature projection of
+    * the token column — ONE implementation of the smoothing, totals
+    * trick, persist discipline, and weight formula, so the exact and
+    * hashed faces (spec-pinned equal on collision-free vocabularies)
+    * cannot silently diverge.
+    *
+    * NOTE on the persist: the token-count aggregate has two consumers
+    * (the weight projection and the one-row |vocabulary| aggregate), so
+    * it persists to run the explode once. The handle is intentionally not
+    * exposed — the cached relation is vocabulary-bounded and reclaimed by
+    * the harness' per-query block sweep (Bench/Verify) or session GC; a
+    * long-lived service calling this repeatedly should clear it via
+    * `spark.sharedState.cacheManager` / catalog cache APIs between
+    * trainings.
+    */
+  private def dsirWeightsBy(raw: DataFrame, target: DataFrame,
+                            textCol: String, scale: Long, featureCol: String,
+                            feature: Column => Column): DataFrame = {
     def tagged(df: DataFrame, tgt: Boolean): DataFrame =
       df.select(lit(tgt).as("__tgt"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
     val union = tagged(raw, tgt = false).unionByName(tagged(target, tgt = true))
     val counts = union
-      .select(col("__tgt"), explode(col("__toks")).as("token"))
-      .groupBy(col("token"))
+      .select(col("__tgt"), explode(col("__toks")).as("__tok"))
+      .select(col("__tgt"), feature(col("__tok")).as(featureCol))
+      .groupBy(col(featureCol))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
         sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -798,7 +819,7 @@ object Corpus {
         sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
     val vocab = counts.agg(count(lit(1)).as("__V"))
     counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
-      .select(col("token"),
+      .select(col(featureCol),
         (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
           expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
   }
@@ -820,27 +841,8 @@ object Corpus {
     require(buckets > 0 && buckets <= (1 << 22),
       s"dsirWeightsHashed: buckets=$buckets outside (0, 2^22] — the dense " +
         "model array must stay driver/broadcast sized")
-    def tagged(df: DataFrame, tgt: Boolean): DataFrame =
-      df.select(lit(tgt).as("__tgt"),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-    val union = tagged(raw, tgt = false).unionByName(tagged(target, tgt = true))
-    val counts = union
-      .select(col("__tgt"), explode(col("__toks")).as("token"))
-      .select(col("__tgt"),
-        pmod(xxhash64(col("token")), lit(buckets.toLong)).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = union
-      .select(col("__tgt"), size(col("__toks")).cast(LongType).as("__n"))
-      .agg(sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__TT"),
-        sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
-    val vocab = counts.agg(count(lit(1)).as("__V"))
-    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
-      .select(col("bucket"),
-        (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
-          expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
+    dsirWeightsBy(raw, target, textCol, scale, "bucket",
+      t => pmod(xxhash64(t), lit(buckets.toLong)))
   }
 
   /** Collect hashed DSIR weights into the dense scoring array

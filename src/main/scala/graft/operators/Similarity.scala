@@ -187,13 +187,25 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              vecCol: String, idCol: String, k: Int, books: PqCodebooks,
-             oversample: Int = 8): DataFrame = {
+             oversample: Int = 8): DataFrame =
+    pqTopKWith(corpus, queries, vecCol, idCol, k, books, oversample, identity)
+
+  /** The shared PQ brute-scan pipeline: encode + LUT (over a caller
+    * vector transform — identity for plain PQ, the learned rotation for
+    * OPQ), ADC scoring, oversampled TopK, exact re-rank on ORIGINAL
+    * vectors. One implementation so the PQ/OPQ faces (spec-pinned equal
+    * when the rotation is identity-like) cannot silently diverge.
+    */
+  private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String, k: Int,
+                         books: PqCodebooks, oversample: Int,
+                         pre: Column => Column): DataFrame = {
     import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      toCol(PqEncodeExpr(toExpr(col(vecCol)), books.books)).as("codes"))
+      toCol(PqEncodeExpr(toExpr(pre(col(vecCol))), books.books)).as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      toCol(PqLutExpr(toExpr(col(vecCol)), books.books, books.ksub)).as("lut"))
+      toCol(PqLutExpr(toExpr(pre(col(vecCol))), books.books, books.ksub)).as("lut"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
         toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
@@ -294,24 +306,9 @@ object Similarity {
     */
   def opqTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int, model: OpqModel,
-              oversample: Int = 8): DataFrame = {
-    import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
-    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
-    val books = model.books
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      toCol(PqEncodeExpr(toExpr(rotate(col(vecCol), model)), books.books))
-        .as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      toCol(PqLutExpr(toExpr(rotate(col(vecCol), model)), books.books,
-        books.ksub)).as("lut"))
-    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
-        toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
-          books.normSq, books.ksub)).as("qcos"))
-    val candidates = TopK.perGroup(scored, Seq("query_id"),
-      Seq(TopK.desc("qcos"), TopK.asc("corpus_id")), k * oversample)
-    exactRerank(candidates, k)
-  }
+              oversample: Int = 8): DataFrame =
+    pqTopKWith(corpus, queries, vecCol, idCol, k, model.books, oversample,
+      v => rotate(v, model))
 
   // ------------------------------------------------------------------ IVF
 
@@ -480,15 +477,28 @@ object Similarity {
     * probed-cells; the rank tail is TopKPerGroup-bounded.
     */
   def ivfQuery(index: IvfIndex, queries: DataFrame,
-               vecCol: String, idCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+               vecCol: String, idCol: String, k: Int, nProbe: Int = 2): DataFrame =
+    ivfQueryWhere(index, queries, vecCol, idCol, k, nProbe, allowed = None)
+
+  /** The shared IVF probe: rank cells per query, score candidates in the
+    * probed cells by exact cosine, optionally semi-joining an allow-list
+    * of corpus ids BEFORE the cosine (the filtered-search face). One
+    * implementation so the plain and filtered probes cannot diverge.
+    */
+  private def ivfQueryWhere(index: IvfIndex, queries: DataFrame,
+                            vecCol: String, idCol: String, k: Int,
+                            nProbe: Int, allowed: Option[DataFrame]): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q.withColumn("probe",
         explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
       .select(col("query_id"), col("qv"), col("probe").as("cell"))
-    val scored = index.indexed.join(probed, Seq("cell"))
+    val cands = index.indexed.join(probed, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), cosineSim(col("qv"), col("cv")).as("cos"))
-    rankTail(scored, k)
+    val admitted = allowed.fold(cands)(ok => cands.join(
+      ok.select(col(idCol).as("corpus_id")).distinct(),
+      Seq("corpus_id"), "left_semi"))
+    rankTail(admitted.select(col("query_id"), col("corpus_id"),
+      cosineSim(col("qv"), col("cv")).as("cos")), k)
   }
 
   /** FILTERED ANN probe — metadata-predicate vector search (FAISS's
@@ -507,19 +517,8 @@ object Similarity {
     */
   def ivfQueryFiltered(index: IvfIndex, queries: DataFrame, vecCol: String,
                        idCol: String, allowed: DataFrame, k: Int,
-                       nProbe: Int = 2): DataFrame = {
-    val ok = allowed.select(col(idCol).as("corpus_id")).distinct()
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probed = q.withColumn("probe",
-        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
-      .select(col("query_id"), col("qv"), col("probe").as("cell"))
-    val scored = index.indexed.join(probed, Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .join(ok, Seq("corpus_id"), "left_semi")
-      .select(col("query_id"), col("corpus_id"),
-        cosineSim(col("qv"), col("cv")).as("cos"))
-    rankTail(scored, k)
-  }
+                       nProbe: Int = 2): DataFrame =
+    ivfQueryWhere(index, queries, vecCol, idCol, k, nProbe, Some(allowed))
 
   /** IVF-PQ probe: the production large-corpus ANN layout (FAISS IVFPQ) —
     * the IVF coarse quantizer restricts each query to its `nProbe` nearest

@@ -1405,15 +1405,25 @@ object DocumentQueries {
   // the q22 mutation as a price-only snapshot B — shared by p_drift
   // (two-static-snapshot form) and s_drift (streamed against the
   // persisted baseline); identical inputs make the two oracles twins
-  private def driftSnapshotB(spark: SparkSession, dir: String): DataFrame = {
+  /** The SHARED q22-mutation "snapshot B" every drift surface scores
+    * against (p_drift, s_drift, s_drift_rolling, s_drift_multi — and the
+    * pDriftSql-derived oracles replay exactly these %97/%101/%103
+    * constants): drop the %97 keys, reprice the %101 keys by +1.0,
+    * re-add the %103 keys. `extra` carries additional passthrough
+    * columns for multi-column monitors — ONE definition of the mutation
+    * so a staged batch can never silently diverge from the oracle's.
+    */
+  private def driftSnapshotB(spark: SparkSession, dir: String,
+                             extra: Seq[String] = Nil): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"))
+      .select((Seq("o_orderkey", "o_totalprice") ++ extra).map(col): _*)
+    val keep = Seq(col("o_totalprice")) ++ extra.map(col)
     o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
       .select(when(pmod(col("o_orderkey"), lit(101)) === 0,
         col("o_totalprice") + lit(1.0d))
-        .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice") +: extra.map(col): _*)
       .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
-        .select(col("o_totalprice")))
+        .select(keep: _*))
   }
 
   private def pDrift(spark: SparkSession, dir: String): DataFrame = {
@@ -1698,13 +1708,10 @@ object DocumentQueries {
         dir = tmp + "/v")
       o.select(col("o_totalprice"), col("o_orderpriority"))
         .write.mode("overwrite").parquet(tmp + "/b0")
-      o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
-        .select(when(pmod(col("o_orderkey"), lit(101)) === 0,
-            col("o_totalprice") + lit(1.0d)).otherwise(col("o_totalprice"))
-            .as("o_totalprice"),
-          col("o_orderpriority"))
-        .unionByName(o.filter(pmod(col("o_orderkey"), lit(103)) === 0)
-          .select(col("o_totalprice"), col("o_orderpriority")))
+      // batch 1 IS the shared q22-mutation snapshot (one definition —
+      // the numeric slice must equal p_drift's B, the categorical slice
+      // p_drift_cat's B, or the union oracle breaks at the hash)
+      driftSnapshotB(spark, dir, extra = Seq("o_orderpriority"))
         .write.mode("overwrite").parquet(tmp + "/b1")
     }
     val root = java.nio.file.Files.createTempDirectory("graft_mdriftq")

@@ -76,9 +76,14 @@ object Publish {
     if (published != scala.util.Success(true)) {
       val cause = published.failed.toOption.map(e => s": ${e.getMessage}")
         .getOrElse("")
+      // the rollback rename needs the same Try guard as the publish: on a
+      // throwing FileSystem the raw exception would otherwise replace
+      // this composed message — losing exactly the recover-from-.old
+      // guidance it exists to carry
       val detail =
         if (!fs.exists(staged)) "first publish - nothing to roll back"
-        else if (fs.rename(staged, dir)) "rolled back - prior copy stays live"
+        else if (scala.util.Try(fs.rename(staged, dir)) == scala.util.Success(true))
+          "rolled back - prior copy stays live"
         else s"ROLLBACK FAILED - $dir is currently ABSENT; recover manually from $staged"
       throw new java.io.IOException(s"cannot publish $tmp -> $dir$cause ($detail)")
     }

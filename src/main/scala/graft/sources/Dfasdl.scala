@@ -528,18 +528,18 @@ object Dfasdl {
     * (`regexp_extract_all` + explode), then each leaf extracts by capture
     * group. Both passes are codegen'd Catalyst expressions.
     *
-    * Parallelism note: LINE-ANCHORED docs ([[lineAnchoredRun]] — every
-    * mid-record stop-sign provably intra-line, record ends at its line
-    * end) frame by Spark's splittable line reader, so even a single
-    * multi-GB file fans out across byte-range splits. Docs whose records
-    * SPAN lines (sign-less mid-leaves reading to the parser's newline
-    * default — the vCard label:value stacks) keep `wholetext` framing,
-    * one task per file, matching the reference's one-stream-per-source
-    * model: an arbitrary byte offset inside such a record is statically
-    * indistinguishable from a record start (any line matches the
-    * `label:.*` shape), so sequential framing is the only sound reading;
-    * at that scale the fix is upstream file splitting, same as any
-    * non-splittable container.
+    * Parallelism note (r14): framing is a LADDER. LINE-ANCHORED docs
+    * ([[lineAnchoredRun]] — every mid-record stop-sign provably
+    * intra-line, record ends at its line end) frame by Spark's splittable
+    * line reader. FIXED-ARITY multi-line docs (the vCard label:value
+    * stacks — [[lineBlockArity]] = n) frame by byte-range splits with
+    * prefix-sum line ordinals ([[lineBlockRecords]]), falling back to
+    * `wholetext` when the input already has a file per task slot or a
+    * file's line count is not a multiple of n (raggedness somewhere —
+    * ordinal framing would phase-shift every later record). Only
+    * genuinely ambiguous shapes (fixseq-BOUNDED docs whose first-`max`
+    * semantics need file order) always keep `wholetext` — one task per
+    * file, the reference's one-stream-per-source model.
     *
     * Records that fail the record pattern (truncated tail, stray blank
     * line) are skipped — the reference parser would mark the element BROKEN
@@ -593,7 +593,12 @@ object Dfasdl {
   private def lineSafe(frag: String): Boolean =
     !frag.exists(c => c == '\n' || c == '\r' || c == '\u0085' ||
       c == '\u2028' || c == '\u2029') &&
-      !java.util.regex.Pattern.compile("""\[|\$|\\[nrRvsWDpPxu0-9]""")
+      // escape class: line-break escapes and every encoder that could
+      // spell one \u2014 incl. control escapes (\cJ = LF, \cM = CR) and named
+      // chars (\N{LINE FEED}); group guard: `(?` introduces inline flags
+      // ((?s) re-scopes every later `.` to cross newlines) or
+      // lookarounds \u2014 reject all but the plain non-capturing `(?:`
+      !java.util.regex.Pattern.compile("""\[|\$|\\[nrRvsWDpPxucN0-9]|\(\?[^:]""")
         .matcher(frag).find()
 
   /** How many physical LINES does one record of this ordered leaf run
@@ -700,9 +705,17 @@ object Dfasdl {
     val p = new Path(path)
     val fs = p.getFileSystem(hConf)
     val statuses = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val fileCount = statuses.map(s =>
-      if (s.isDirectory) fs.getContentSummary(s.getPath).getFileCount
-      else 1L).sum
+    // count only files the reader will actually split: FileInputFormat's
+    // hidden-file filter skips _SUCCESS/.crc companions, and counting
+    // them here would over-count past the parallelism bar and skip block
+    // framing on exactly the near-single-file inputs it exists for
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    val fileCount = statuses.map { s =>
+      if (s.isDirectory)
+        fs.listStatus(s.getPath).count(c => c.isFile && visible(c.getPath.getName)).toLong
+      else if (visible(s.getPath.getName)) 1L
+      else 0L
+    }.sum
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     if (fileCount >= par) return None
     // size splits for the session's parallelism — the local-FS default
@@ -729,6 +742,17 @@ object Dfasdl {
       while (it.hasNext) { it.next(); c += 1 }
       Iterator.single(((s.getPath.toString, s.getStart), c))
     }.collect()
+    // PHASE GUARD: ordinal framing assumes every file is a clean stack of
+    // n-line records. A single stray line mid-file would shift the phase
+    // of EVERY later record — and a shifted label:value pair still
+    // full-matches the anchored pattern, so the corruption would be
+    // silent (null keys, values from the next record). A file whose line
+    // count is not a multiple of n proves raggedness somewhere (a clean
+    // ragged EOF tail included) — fall back to the sequential wholetext
+    // framing, which resyncs after one bad record instead. Counts are
+    // already on the driver from pass 1, so the check is free.
+    val fileTotals = meta.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    if (fileTotals.exists { case (_, total) => total % n != 0 }) return None
     // per file: splits in byte order, each paired with the line count of
     // its same-file predecessors (exclusive prefix sum)
     val firstOrdinal: Map[(String, Long), Long] =

@@ -923,8 +923,10 @@ class DfasdlSpec extends AnyFunSuite {
     assert(chSplit.take(2) == Seq(
       (1L, None, Some(7L), "OK"), (2L, Some("P2"), None, "OK")))
     // (4): a record spanning TWO lines (sign-less mid-leaf -> newline
-    // default) is NOT line-anchored: whole-file framing survives, one
-    // task per file even under tiny split bytes
+    // default) is NOT line-anchored — since r14 it takes the fixed-arity
+    // BLOCK framing (lineBlockRecords), which sizes its own splits (the
+    // maxPartitionBytes knob does not apply); rows and values must be
+    // exactly the sequential read's
     val vcardDoc = Dfasdl.parseSchema(
       """<dfasdl xmlns="http://www.dfasdl.org/DFASDL"><seq id="s"><elem id="r">
         |  <str class="label" stop-sign=":"/>
@@ -936,12 +938,11 @@ class DfasdlSpec extends AnyFunSuite {
     Files.write(Paths.get(vDir, "one.txt"),
       (1 to 200).map(i => s"VERSION:$i.0\nN:Person$i").mkString("\n")
         .getBytes("UTF-8"))
-    val (vRows, vParts) = withSplitBytes("512") {
-      val df = Dfasdl.readDelimited(spark, vDir, vcardDoc)
-      (df.count(), df.rdd.getNumPartitions)
+    val vRows = withSplitBytes("512") {
+      Dfasdl.readDelimited(spark, vDir, vcardDoc)
+        .as[(String, String)].collect().toSet
     }
-    assert(vRows == 200L)
-    assert(vParts == 1, s"multi-line records must stay wholetext: $vParts")
+    assert(vRows == (1 to 200).map(i => (s"$i.0", s"Person$i")).toSet)
   }
 
   test("corpus sweep: every real reference DFASDL document parses or rejects cleanly") {
