@@ -543,7 +543,30 @@ object Similarity {
     */
   def ivfPqQuery(index: IvfIndex, books: PqCodebooks, queries: DataFrame,
                  vecCol: String, idCol: String, k: Int, nProbe: Int = 2,
-                 oversample: Int = 8): DataFrame = {
+                 oversample: Int = 8): DataFrame =
+    ivfPqQueryWhere(index, books, queries, vecCol, idCol, k, nProbe,
+      oversample, allowed = None)
+
+  /** [[ivfPqQuery]] with a query-time id allow-list — filtered search at
+    * the COMPRESSED tier (what a 100 TB corpus actually serves): the
+    * predicate semi-joins candidate ids after cell pruning and BEFORE the
+    * ADC scoring, so filtered-out vectors never pay even the m-lookup
+    * cost, and the oversampled re-rank set is drawn entirely from
+    * admissible ids. Same recall guidance as [[ivfQueryFiltered]]: raise
+    * `nProbe`/`oversample` with predicate selectivity.
+    */
+  def ivfPqQueryFiltered(index: IvfIndex, books: PqCodebooks,
+                         queries: DataFrame, vecCol: String, idCol: String,
+                         allowed: DataFrame, k: Int, nProbe: Int = 2,
+                         oversample: Int = 8): DataFrame =
+    ivfPqQueryWhere(index, books, queries, vecCol, idCol, k, nProbe,
+      oversample, Some(allowed))
+
+  private def ivfPqQueryWhere(index: IvfIndex, books: PqCodebooks,
+                              queries: DataFrame, vecCol: String,
+                              idCol: String, k: Int, nProbe: Int,
+                              oversample: Int,
+                              allowed: Option[DataFrame]): DataFrame = {
     import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -553,8 +576,12 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("lut"), col("probe").as("cell"))
     val encoded = index.indexed.withColumn("codes",
       toCol(PqEncodeExpr(toExpr(col("cv")), books.books)))
-    val scored = encoded.join(probed, Seq("cell"))
+    val cands = encoded.join(probed, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
+    val admitted = allowed.fold(cands)(ok => cands.join(
+      ok.select(col(idCol).as("corpus_id")).distinct(),
+      Seq("corpus_id"), "left_semi"))
+    val scored = admitted
       .select(col("query_id"), col("corpus_id"), col("cv"), col("qv"),
         toCol(PqAdcExpr(toExpr(col("lut")), toExpr(col("codes")),
           books.normSq, books.ksub)).as("qcos"))

@@ -458,6 +458,29 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf.forall(_._2 % 3 == 0))
   }
 
+  test("ivfPqQueryFiltered: full probe equals plain PQ over the filtered corpus (r14)") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
+    val index = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      persist = false)
+    val allowed = e.filter(pmod(col("vec_id"), lit(3L)) === 0L).select("vec_id")
+    // probing every cell makes the cell restriction a no-op, so filtered
+    // IVF-PQ must equal plain PQ run over the pre-filtered corpus — same
+    // codes, same ADC, same oversample cut, same exact re-rank
+    val filt = Similarity.ivfPqQueryFiltered(index, books, q, "embedding",
+        "vec_id", allowed, k = 10, nProbe = 8)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e.filter(pmod(col("vec_id"), lit(3L)) === 0L),
+        q, "embedding", "vec_id", 10, books)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(filt == pq, s"diff=${(filt diff pq).take(3)}")
+    assert(filt.forall(_._2 % 3 == 0))
+  }
+
   test("IVF-PQ serves identically from the on-disk artifacts") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)

@@ -251,6 +251,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR: the corpus never shuffles to score; train exchanges carry tokens only (r14)") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(s.plan)
+      case other => other.children.flatMap(deep)
+    })
+    val docs = Tables.documents(spark, sf)
+    val target = docs.filter(col("lang") === "en")
+    // train side: the only string crossing an exchange is the single
+    // token/feature key of the partial-combined count aggregate — never
+    // the document text or the token ARRAY
+    val w = Corpus.dsirWeights(docs, target, "text")
+    w.collect() // finalize AQE so the executed tree is real
+    deep(w.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        e.child.output.foreach { attr =>
+          assert(!attr.dataType.isInstanceOf[ArrayType] ||
+            attr.dataType.asInstanceOf[ArrayType].elementType != StringType,
+            s"dsir train shuffles a string array (${attr.name})")
+          assert(attr.name.toLowerCase != "text",
+            s"dsir train shuffles raw text")
+        }
+      }
+    // scoring side: ZERO shuffle exchanges — the pruned model rides the
+    // codegen expression and the top-k is TakeOrdered's per-partition
+    // heap merge, so selection costs one scan at any corpus size
+    val model = Corpus.qualityModelCollect(w, topK = 64)
+    val sel = Corpus.dsirResample(docs, "text", "doc_id", model, k = 100)
+    sel.collect()
+    val shuffles = deep(sel.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"dsirResample shuffles:\n${sel.queryExecution.executedPlan}")
+  }
+
   test("drift pair: no raw value column ever crosses an exchange (r13)") {
     // the scale contract of p_drift / p_drift_cat: every exchange carries
     // bucket/category keys + partially-combined counts (≤ nBuckets /
