@@ -213,6 +213,68 @@ object DocumentQueries {
       | COALESCE(sc.score, 0) > 0 AS keep
       |FROM t LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  // ----------------------------------------------------- s_quality_model
+  // The trained classifier DEPLOYED in the live gate — train offline on
+  // the batch corpus (the exact d_quality_model closed-form model), apply
+  // per micro-batch as a stateless codegen filter: the realistic
+  // train-offline / gate-online split. A REAL readStream→writeStream
+  // pipeline runs per invocation (fresh checkpoint + sink dirs); the
+  // surviving (doc_id, score) rows must hash-match DuckDB's replay of the
+  // full train→prune→score→keep decision restricted to keepers.
+  private def sQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.documents(spark, dir)
+    val model = Corpus.qualityModelCollect(
+      Corpus.qualityModelTrain(docs, "text", qualityScore(col("text")) >= 500L),
+      topK = 16)
+    val root = SourceQueries.cachedArtifact("qmstage", dir) { tmp =>
+      docs.select("doc_id", "text").write.mode("overwrite").parquet(tmp + "/in")
+    }
+    val rep = java.nio.file.Files.createTempDirectory("graft_qmgate")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val q = stream.select(col("doc_id"),
+        graft.functions.QualityModelFns.score(col("text"), model).as("score"))
+      .filter(col("score") > 0L)
+      .writeStream.format("parquet")
+      .option("path", rep.toString + "/r")
+      .option("checkpointLocation", rep.toString + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+  }
+
+  private val sQualityModelSql =
+    """WITH t AS (
+      | SELECT doc_id, length(text) AS n,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+      |  length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g')) AS np
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id, toks, n,
+      |  CASE WHEN n = 0 THEN 0 ELSE np * 1000 // n END AS punct_pm,
+      |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+      |   len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'], x))) * 1000 // len(toks) END AS stop_pm
+      | FROM t),
+      |lab AS (
+      | SELECT doc_id, toks,
+      |  CASE WHEN greatest(0, CAST(FLOOR((least(n, 400) * 1000 / 400) * 0.5 + least(stop_pm * 4, 300) * 0.5) AS BIGINT) - least(punct_pm * 2, 500)) >= 500 THEN 1 ELSE 0 END AS pos
+      | FROM m),
+      |tok AS (SELECT doc_id, pos, unnest(toks) AS token FROM lab),
+      |tc AS (SELECT doc_id, pos, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+      |w AS (SELECT token, SUM(CASE WHEN pos = 1 THEN cnt ELSE 0 END) AS cpos,
+      |      SUM(cnt) AS ctot FROM tc GROUP BY token),
+      |tot AS (SELECT SUM(cpos) AS cp, SUM(ctot) AS ct FROM w),
+      |wt AS (SELECT token,
+      |  (1000 * (cpos + 1)) // (ctot + 2) - (SELECT (1000 * cp) // ct FROM tot) AS weight
+      | FROM w),
+      |pruned AS (SELECT token, weight FROM wt ORDER BY abs(weight) DESC, token ASC LIMIT 16),
+      |sc AS (SELECT tc.doc_id, SUM(tc.cnt * pruned.weight) AS score
+      |       FROM tc JOIN pruned USING (token) GROUP BY tc.doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score
+      |FROM sc WHERE score > 0""".stripMargin
+
   // ------------------------------------------------------- d_dsir_sample
   // DSIR-style importance resampling (Xie et al., NeurIPS'23): the target
   // domain is the English slice of the corpus, the raw corpus is all of
@@ -1819,6 +1881,7 @@ object DocumentQueries {
     QueryDef("d_quality", dQuality, Some(dQualitySql)),
     QueryDef("d_quality_model", dQualityModel, Some(dQualityModelSql)),
     QueryDef("d_dsir_sample", dDsirSample, Some(dDsirSampleSql)),
+    QueryDef("s_quality_model", sQualityModel, Some(sQualityModelSql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
     QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),

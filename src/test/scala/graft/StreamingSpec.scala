@@ -220,6 +220,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("trained-model streaming gate equals the batch filter (r14)") {
+    // train-offline / gate-online: the closed-form model trains on the
+    // static corpus, then scores each micro-batch as a stateless codegen
+    // filter — survivors and scores must equal the batch application
+    import graft.operators.Corpus
+    import graft.functions.TextFunctions.qualityScore
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val model = Corpus.qualityModelCollect(
+      Corpus.qualityModelTrain(docs, "text", qualityScore(col("text")) >= 500L),
+      topK = 16)
+    val docsDir = Files.createTempDirectory("docs_stream_qm").toString
+    docs.write.mode("overwrite").parquet(docsDir)
+    val streamed = Streams.runToMemory(spark,
+      Streams.documentStream(spark, docsDir)
+        .select(col("doc_id"),
+          graft.functions.QualityModelFns.score(col("text"), model).as("score"))
+        .filter(col("score") > 0L),
+      "qm_stream", OutputMode.Append())
+      .as[(Long, Long)].collect().toSet
+    val batch = docs.select(col("doc_id"),
+        graft.functions.QualityModelFns.score(col("text"), model).as("score"))
+      .filter(col("score") > 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("toParquetUnique lands replayed and cross-batch duplicate keys once") {
     val in = Files.createTempDirectory("uniq_in").toString
     val out = Files.createTempDirectory("uniq_sink").toString + "/t"
