@@ -859,6 +859,73 @@ object Corpus {
     graft.functions.HashedQualityModel(arr)
   }
 
+  // --------------------------------------- mixture calibration (raking)
+
+  /** Two-way mixture calibration by ITERATIVE PROPORTIONAL FITTING
+    * (raking / IPF — Deming & Stephan 1940; the DoReMi-style "fix the
+    * domain mix" step done closed-form): fit per-(row, col) sampling
+    * masses whose row and column marginals match the requested targets
+    * while staying proportional to the observed counts within each cell.
+    * Targets default to UNIFORM over the observed row/col values (the
+    * "balance languages × balance sources" ask); pass per-value
+    * per-million shares to calibrate to any mixture.
+    *
+    * INTEGER-EXACT by construction (the oracle-gate discipline): masses
+    * live in `scale` units, every scaling step is one integer
+    * multiply-then-floor-div per cell, and the iteration count is fixed —
+    * so any engine replays the entire fit bit-for-bit (no convergence
+    * tolerance, no floats). Floor-div means marginals match the targets
+    * to within one unit per cell per iteration, the documented residual.
+    *
+    * Scale shape: ONE distributed groupBy(count) over the corpus; the
+    * contingency table itself (≤ |rows|·|cols| cells, required ≤ 2²⁰ —
+    * the qualityModelCollect driver-bound argument) iterates on the
+    * driver and returns as a small DataFrame to broadcast-join against
+    * the corpus for weighted resampling (d_weighted_sample's input).
+    * Output: (rowCol, colCol, n, mass, weight_ppm) where `mass` is the
+    * calibrated per-`scale` share and `weight_ppm` = mass·10⁶ div
+    * initial-mass — the per-cell resampling factor.
+    */
+  def mixtureCalibrate(df: DataFrame, rowCol: String, colCol: String,
+                       iters: Int = 5,
+                       rowTargetsPpm: Map[String, Long] = Map.empty,
+                       colTargetsPpm: Map[String, Long] = Map.empty,
+                       scale: Long = 1000000000L): DataFrame = {
+    require(iters > 0 && iters <= 64, s"mixtureCalibrate: iters=$iters")
+    val spark = df.sparkSession
+    val cells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
+    require(cells.length <= (1 << 20),
+      s"mixtureCalibrate: ${cells.length} cells — the contingency table " +
+        "must stay driver-sized (<= 2^20)")
+    val rows = cells.map(_._1).distinct.sorted
+    val cols = cells.map(_._2).distinct.sorted
+    val tot = cells.map(_._3).sum
+    def targetMass(vals: Seq[String], ppm: Map[String, Long]): Map[String, Long] =
+      if (ppm.isEmpty) vals.map(_ -> scale / vals.size).toMap
+      else {
+        require(vals.forall(ppm.contains),
+          s"targets missing values: ${vals.filterNot(ppm.contains).take(5)}")
+        vals.map(v => v -> (ppm(v) * scale) / 1000000L).toMap
+      }
+    val rMass = targetMass(rows, rowTargetsPpm)
+    val cMass = targetMass(cols, colTargetsPpm)
+    val m0 = cells.map { case (r, c, n) => ((r, c), (n * scale) / tot) }.toMap
+    var m = m0
+    (1 to iters).foreach { _ =>
+      val rowSum = m.groupBy(_._1._1).map { case (r, g) => r -> g.values.sum }
+      m = m.map { case ((r, c), v) => ((r, c), (v * rMass(r)) / rowSum(r)) }
+      val colSum = m.groupBy(_._1._2).map { case (c, g) => c -> g.values.sum }
+      m = m.map { case ((r, c), v) => ((r, c), (v * cMass(c)) / colSum(c)) }
+    }
+    import spark.implicits._
+    cells.toSeq.map { case (r, c, n) =>
+      val mass = m((r, c))
+      (r, c, n, mass, (mass * 1000000L) / m0((r, c)))
+    }.toDF(rowCol, colCol, "n", "mass", "weight_ppm")
+  }
+
   /** Select the `k` documents whose token distribution most resembles the
     * target domain: score with the pruned [[graft.functions.QualityModel]]
     * (one codegen dot product per document — the corpus never shuffles to

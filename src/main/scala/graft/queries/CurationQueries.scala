@@ -325,6 +325,38 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
       | CAST(weight * 1000 // CAST((SELECT SUM(weight) FROM w) AS BIGINT) AS BIGINT) AS share_pm
       |FROM w""".stripMargin
 
+  // ------------------------------------------------------ d_mix_calibrate
+  // Two-way mixture calibration by iterative proportional fitting
+  // (Corpus.mixtureCalibrate — raking the lang × source contingency to
+  // UNIFORM marginals on both axes, 5 fixed iterations). Every step is
+  // one integer multiply-then-floor-div per cell, so DuckDB replays the
+  // ENTIRE fit bit-for-bit through five unrolled window-sum stages — a
+  // wrong rowSum partition, a reordered row/col pass, or a float anywhere
+  // breaks the hash.
+  private def dMixCalibrate(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureCalibrate(Tables.documents(spark, dir), "lang", "source")
+
+  private val dMixCalibrateSql = {
+    val iter = (1 to 5).map { i =>
+      s"""r$i AS (SELECT lang, source, n, m_init, rm, cm,
+         |  (m * rm) // SUM(m) OVER (PARTITION BY lang) AS m FROM ${if (i == 1) "m0" else s"c${i - 1}"}),
+         |c$i AS (SELECT lang, source, n, m_init, rm, cm,
+         |  (m * cm) // SUM(m) OVER (PARTITION BY source) AS m FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+       |t AS (SELECT SUM(n) AS tot, COUNT(DISTINCT lang) AS nl,
+       |       COUNT(DISTINCT source) AS ns FROM c0),
+       |m0 AS (SELECT lang, source, n,
+       |        (n * 1000000000) // tot AS m,
+       |        (n * 1000000000) // tot AS m_init,
+       |        1000000000 // nl AS rm, 1000000000 // ns AS cm
+       |       FROM c0, t),
+       |$iter
+       |SELECT lang, source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS mass,
+       | CAST((m * 1000000) // m_init AS BIGINT) AS weight_ppm
+       |FROM c5""".stripMargin
+  }
+
   // ---------------------------------------------------- d_bigram_fluency
   // LM-lite fluency scoring: corpus word-bigram frequencies (the 2-gram
   // language model's count table) joined back per document — mean bigram
@@ -528,6 +560,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_vocab_coverage", dVocabCoverage, Some(dVocabCoverageSql)),
     QueryDef("d_token_budget", dTokenBudget, Some(dTokenBudgetSql)),
     QueryDef("d_source_mix", dSourceMix, Some(dSourceMixSql)),
+    QueryDef("d_mix_calibrate", dMixCalibrate, Some(dMixCalibrateSql)),
     QueryDef("d_bigram_fluency", dBigramFluency, Some(dBigramFluencySql)),
     QueryDef("d_url_dedup", dUrlDedup, Some(dUrlDedupSql)),
     QueryDef("d_bpe_encode", dBpeEncode, None),
