@@ -782,6 +782,18 @@ object Corpus {
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
                   scale: Long = 1000000L): DataFrame =
+    dsirWeightsManaged(raw, target, textCol, scale)._1
+
+  /** [[dsirWeights]] plus the persisted token-count handle (the
+    * crossDedupStreamManaged discipline, r15): the estimator caches the
+    * token-count relation so its two consumers share one corpus explode,
+    * and without the handle a long-lived session training repeatedly
+    * accumulates MEMORY_AND_DISK blocks until a manual cacheManager
+    * sweep. Call `handle.unpersist()` once the weights are materialized
+    * (collected into a model, written, or localCheckpointed).
+    */
+  def dsirWeightsManaged(raw: DataFrame, target: DataFrame, textCol: String,
+                         scale: Long = 1000000L): (DataFrame, DataFrame) =
     dsirWeightsBy(raw, target, textCol, scale, "token", identity)
 
   /** The shared DSIR estimator over an arbitrary feature projection of
@@ -792,16 +804,14 @@ object Corpus {
     *
     * NOTE on the persist: the token-count aggregate has two consumers
     * (the weight projection and the one-row |vocabulary| aggregate), so
-    * it persists to run the explode once. The handle is intentionally not
-    * exposed — the cached relation is vocabulary-bounded and reclaimed by
-    * the harness' per-query block sweep (Bench/Verify) or session GC; a
-    * long-lived service calling this repeatedly should clear it via
-    * `spark.sharedState.cacheManager` / catalog cache APIs between
-    * trainings.
+    * it persists to run the explode once. The cached relation is returned
+    * as the second element so callers can release it deterministically
+    * ([[dsirWeightsManaged]]); the unmanaged faces document the
+    * harness-sweep fallback.
     */
   private def dsirWeightsBy(raw: DataFrame, target: DataFrame,
                             textCol: String, scale: Long, featureCol: String,
-                            feature: Column => Column): DataFrame = {
+                            feature: Column => Column): (DataFrame, DataFrame) = {
     def tagged(df: DataFrame, tgt: Boolean): DataFrame =
       df.select(lit(tgt).as("__tgt"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
@@ -818,10 +828,11 @@ object Corpus {
       .agg(sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__TT"),
         sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
     val vocab = counts.agg(count(lit(1)).as("__V"))
-    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+    val weights = counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
       .select(col(featureCol),
         (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
           expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
+    (weights, counts)
   }
 
   /** [[dsirWeights]] over HASHED features — the DSIR paper's actual
@@ -842,7 +853,7 @@ object Corpus {
       s"dsirWeightsHashed: buckets=$buckets outside (0, 2^22] — the dense " +
         "model array must stay driver/broadcast sized")
     dsirWeightsBy(raw, target, textCol, scale, "bucket",
-      t => pmod(xxhash64(t), lit(buckets.toLong)))
+      t => pmod(xxhash64(t), lit(buckets.toLong)))._1
   }
 
   /** Collect hashed DSIR weights into the dense scoring array
@@ -911,13 +922,24 @@ object Corpus {
       }
     val rMass = targetMass(rows, rowTargetsPpm)
     val cMass = targetMass(cols, colTargetsPpm)
-    val m0 = cells.map { case (r, c, n) => ((r, c), (n * scale) / tot) }.toMap
+    // Every mass is clamped to >= 1 unit (r15, review-caught): a cell
+    // whose share floors to 0 — n·scale < tot, or a caller-supplied 0-ppm
+    // target zeroing a whole row/col slice — would otherwise zero its
+    // row/col marginal and the next iteration divides by it
+    // (ArithmeticException in BOTH engines, so the oracle gate never saw
+    // it). The one-unit floor is the documented residual: marginals match
+    // targets to within one unit per cell per iteration, same as the
+    // floor-div residual.
+    val m0 = cells.map { case (r, c, n) =>
+      ((r, c), math.max((n * scale) / tot, 1L)) }.toMap
     var m = m0
     (1 to iters).foreach { _ =>
       val rowSum = m.groupBy(_._1._1).map { case (r, g) => r -> g.values.sum }
-      m = m.map { case ((r, c), v) => ((r, c), (v * rMass(r)) / rowSum(r)) }
+      m = m.map { case ((r, c), v) =>
+        ((r, c), math.max((v * rMass(r)) / rowSum(r), 1L)) }
       val colSum = m.groupBy(_._1._2).map { case (c, g) => c -> g.values.sum }
-      m = m.map { case ((r, c), v) => ((r, c), (v * cMass(c)) / colSum(c)) }
+      m = m.map { case ((r, c), v) =>
+        ((r, c), math.max((v * cMass(c)) / colSum(c), 1L)) }
     }
     import spark.implicits._
     cells.toSeq.map { case (r, c, n) =>

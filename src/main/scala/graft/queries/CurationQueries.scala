@@ -337,18 +337,19 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     Corpus.mixtureCalibrate(Tables.documents(spark, dir), "lang", "source")
 
   private val dMixCalibrateSql = {
+    // greatest(..., 1) mirrors mixtureCalibrate's one-unit mass clamp
     val iter = (1 to 5).map { i =>
       s"""r$i AS (SELECT lang, source, n, m_init, rm, cm,
-         |  (m * rm) // SUM(m) OVER (PARTITION BY lang) AS m FROM ${if (i == 1) "m0" else s"c${i - 1}"}),
+         |  greatest((m * rm) // SUM(m) OVER (PARTITION BY lang), 1) AS m FROM ${if (i == 1) "m0" else s"c${i - 1}"}),
          |c$i AS (SELECT lang, source, n, m_init, rm, cm,
-         |  (m * cm) // SUM(m) OVER (PARTITION BY source) AS m FROM r$i)""".stripMargin
+         |  greatest((m * cm) // SUM(m) OVER (PARTITION BY source), 1) AS m FROM r$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH c0 AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
        |t AS (SELECT SUM(n) AS tot, COUNT(DISTINCT lang) AS nl,
        |       COUNT(DISTINCT source) AS ns FROM c0),
        |m0 AS (SELECT lang, source, n,
-       |        (n * 1000000000) // tot AS m,
-       |        (n * 1000000000) // tot AS m_init,
+       |        greatest((n * 1000000000) // tot, 1) AS m,
+       |        greatest((n * 1000000000) // tot, 1) AS m_init,
        |        1000000000 // nl AS rm, 1000000000 // ns AS cm
        |       FROM c0, t),
        |$iter

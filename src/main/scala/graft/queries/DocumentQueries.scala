@@ -288,8 +288,12 @@ object DocumentQueries {
   // the full train→prune→score→select decision sits inside the hash gate.
   private def dDsirSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val w = Corpus.dsirWeights(docs, docs.filter(col("lang") === "en"), "text")
+    val (w, handle) = Corpus.dsirWeightsManaged(
+      docs, docs.filter(col("lang") === "en"), "text")
+    // the collect materializes the weights into a driver model, so the
+    // training cache releases here instead of leaking into the session
     val model = Corpus.qualityModelCollect(w, topK = 64)
+    handle.unpersist()
     Corpus.dsirResample(docs, "text", "doc_id", model, k = 150)
       .select(col("doc_id"), col("lang"), col("dsir_score"))
   }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Multimodal
 import graft.streaming.Streams
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -139,6 +139,66 @@ object MiscQueries {
       |   b -> CAST(len(list_filter(nib, x -> x = b)) * 1000000 // greatest(n, 1) AS VARCHAR)), ',') AS features
       |FROM ch""".stripMargin
 
+  // -------------------------------------------------- m_multimodal_decode
+  // REAL header decode (closes the one admitted stub in the tree, r15):
+  // Multimodal.decodeHeader parses PNG IHDR / JPEG SOFn / GIF
+  // logical-screen geometry with pure JDK byte arithmetic. The fixture
+  // PLANTS real container headers whose integer fields derive from doc_id
+  // (format by doc_id % 4; width/height/depth by independent moduli), so
+  // the decoder must genuinely parse the bytes — signature check, chunk
+  // walk, marker-segment skip (the JPEG header carries a full APP0/JFIF
+  // segment before its SOF0), endianness per format (PNG/JPEG big-endian,
+  // GIF little-endian), packed-field bit extraction — while DuckDB
+  // replays the planted values by the same doc_id arithmetic. The
+  // doc_id % 4 == 3 leg plants a bare 8-byte PNG signature: format tag
+  // without geometry, pinning the truncated-header → null contract.
+  private def mDecode(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 997 + 1).cast(LongType)
+    val h = (id % 613 + 1).cast(LongType)
+    val hx = (c: Column, len: Int) => lpad(hex(c), len, "0")
+    val pngDepth = element_at(
+      array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)),
+      (id % 5 + 1).cast(IntegerType))
+    val gifDepth = (id % 8 + 1).cast(LongType)
+    // GIF packed field: GCT flag + color-resolution bits + GCT-size bits
+    val gifPacked = lit(128L) + (gifDepth - 1) * 16 + (gifDepth - 1)
+    val payloadHex =
+      when(id % 4 === 0, // PNG: signature + IHDR (13-byte data) + CRC
+        concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+          hx(w, 8), hx(h, 8), hx(pngDepth, 2), lit("06000000DEADBEEF")))
+      .when(id % 4 === 1, // JPEG: SOI + APP0/JFIF segment + SOF0
+        concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+          "FFC0" + "0011" + "08"), hx(h, 4), hx(w, 4),
+          lit("03011100021101031101")))
+      .when(id % 4 === 2, // GIF89a logical screen descriptor (LE fields)
+        concat(lit("474946383961"),
+          hx(w % 256, 2), hx(expr("(doc_id % 997 + 1) div 256"), 2),
+          hx(h % 256, 2), hx(expr("(doc_id % 613 + 1) div 256"), 2),
+          hx(gifPacked, 2), lit("0000")))
+      .otherwise(lit("89504E470D0A1A0A")) // truncated: signature only
+    val withBin = Tables.documents(spark, dir)
+      .select(col("doc_id"), unhex(payloadHex).as("payload"))
+    Multimodal.decodeHeaders(withBin, "payload", "doc_id")
+      .select(col("id").as("doc_id"), col("format"),
+        col("width"), col("height"), col("bit_depth"))
+  }
+
+  private val mDecodeSql =
+    """SELECT doc_id,
+      | CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |  WHEN 2 THEN 'gif' ELSE 'png' END AS format,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL
+      |  ELSE CAST(doc_id % 997 + 1 AS INT) END AS width,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL
+      |  ELSE CAST(doc_id % 613 + 1 AS INT) END AS height,
+      | CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN CAST(([1,2,4,8,16])[CAST(doc_id % 5 AS INT) + 1] AS INT)
+      |  WHEN 1 THEN 8
+      |  WHEN 2 THEN CAST(doc_id % 8 + 1 AS INT)
+      |  ELSE NULL END AS bit_depth
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------- q27_skew_join
   // The salted skew join under the driver's hash-check: spreading each hot
   // key over saltFactor sub-keys (dimension side replicated + broadcast)
@@ -268,6 +328,7 @@ object MiscQueries {
     QueryDef("m_multimodal_dedup", mDedup, Some(mDedupSql)),
     QueryDef("t_transcode", tTranscode, Some(tTranscodeSql)),
     QueryDef("m_multimodal_feat", mFeatures, Some(mFeaturesSql)),
-    QueryDef("m_multimodal_sample", mSample, Some(mSampleSql))
+    QueryDef("m_multimodal_sample", mSample, Some(mSampleSql)),
+    QueryDef("m_multimodal_decode", mDecode, Some(mDecodeSql))
   )
 }

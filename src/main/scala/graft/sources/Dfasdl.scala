@@ -593,12 +593,24 @@ object Dfasdl {
   private def lineSafe(frag: String): Boolean =
     !frag.exists(c => c == '\n' || c == '\r' || c == '\u0085' ||
       c == '\u2028' || c == '\u2029') &&
-      // escape class: line-break escapes and every encoder that could
-      // spell one \u2014 incl. control escapes (\cJ = LF, \cM = CR) and named
-      // chars (\N{LINE FEED}); group guard: `(?` introduces inline flags
-      // ((?s) re-scopes every later `.` to cross newlines) or
-      // lookarounds \u2014 reject all but the plain non-capturing `(?:`
-      !java.util.regex.Pattern.compile("""\[|\$|\\[nrRvsWDpPxucN0-9]|\(\?[^:]""")
+      // escape ALLOWLIST (r15 \u2014 a denylist kept leaking: \H slipped the
+      // r14 class, and any NEGATED class like \H/\W/\D matches a line
+      // terminator by construction): the only alphanumeric escapes
+      // accepted are ones provably unable to consume a line break \u2014
+      // \t \d \w (positive single-line classes), \S (matches any
+      // NON-whitespace, never \n), \b \B (zero-width), \Q \E (quoting;
+      // a quoted literal terminator is already caught by the raw-char
+      // scan above). Everything else alphanumeric is rejected: the
+      // terminator escapes (\n \r \R \v), negated classes (\s covers
+      // terminators; \W \D \H \V \u2014 \V itself is safe but stays out on
+      // the negated-class principle), every encoder that could spell a
+      // terminator (\p \P \x \u \c \N, octal \0, backrefs \1-\9 \k),
+      // and the anchors/rarities (\A \z \Z \G \a \e \f \h) which are
+      // merely harmless \u2014 a false negative only costs the wholetext
+      // fallback. Group guard: `(?` introduces inline flags ((?s)
+      // re-scopes every later `.` to cross newlines) or lookarounds \u2014
+      // reject all but the plain non-capturing `(?:`.
+      !java.util.regex.Pattern.compile("""\[|\$|\\[a-zA-Z0-9&&[^tdwSbBQE]]|\(\?[^:]""")
         .matcher(frag).find()
 
   /** How many physical LINES does one record of this ordered leaf run
@@ -645,17 +657,29 @@ object Dfasdl {
     */
   private def recordStrings(spark: SparkSession, path: String,
                             recPattern: String,
-                            arity: Option[Int]): DataFrame = {
+                            arity: Option[Int]): DataFrame =
+    recordStringsFramed(spark, path, recPattern, arity)._1
+
+  /** [[recordStrings]] plus whether FIXED-ARITY BLOCK framing was chosen —
+    * the one framing mode whose record boundaries come from line ORDINALS
+    * rather than content, so a record its consumer cannot re-parse is
+    * evidence of mis-framing (see readTokenStream's phase guard), not of
+    * a malformed input region.
+    */
+  private def recordStringsFramed(spark: SparkSession, path: String,
+                                  recPattern: String,
+                                  arity: Option[Int]): (DataFrame, Boolean) = {
     def wholetext = spark.read.option("wholetext", "true").text(path)
       .select(explode(
         regexp_extract_all(col("value"), lit(recPattern), lit(1)))
         .as("__rec"))
-    val recs = arity match {
-      case Some(1) => spark.read.text(path).select(col("value").as("__rec"))
-      case Some(n) => lineBlockRecords(spark, path, n).getOrElse(wholetext)
-      case None    => wholetext
+    val (recs, block) = arity match {
+      case Some(1) => (spark.read.text(path).select(col("value").as("__rec")), false)
+      case Some(n) => lineBlockRecords(spark, path, n)
+        .map((_, true)).getOrElse((wholetext, false))
+      case None    => (wholetext, false)
     }
-    recs.filter(length(col("__rec")) > 0)
+    (recs.filter(length(col("__rec")) > 0), block)
   }
 
   /** Record strings for a FIXED-ARITY multi-line record run
@@ -840,8 +864,10 @@ object Dfasdl {
     // framing surfaces records in partition order, and Spark packs file
     // splits by size, not position); a bounded read is small by definition
     val arity = if (doc.rowLimit.isDefined) None else lineBlockArity(fields)
-    val recs = recordStrings(spark, path, recPattern, arity)
-      .select(graft.functions.RegexFns
+    val (framed, blockFramed) =
+      recordStringsFramed(spark, path, recPattern, arity)
+    val recs = framed
+      .select(col("__rec"), graft.functions.RegexFns
         .regexpGroups(col("__rec"), groupsPattern).as("__g"))
     // line framing surfaces EVERY line, including one the record pattern
     // rejects (wholetext framing would simply not have extracted it) — a
@@ -849,9 +875,28 @@ object Dfasdl {
     // Same explode-over-conditional-array shape as [[dispatchRows]] (a
     // .filter would be pushed below the staging projection by alias
     // substitution, re-running the groups match per reference).
+    //
+    // BLOCK framing is different (r15 phase guard): its record boundaries
+    // come from line ORDINALS, so a record the anchored pattern rejects is
+    // evidence the ordinal phase is wrong — compensating stray lines (one
+    // missing + one extra) keep every file's total divisible by n past the
+    // static guard in lineBlockRecords while phase-shifting every record
+    // between them. Where the shifted text still matches the pattern the
+    // corruption stays inherently undetectable, but any record that FAILS
+    // the re-parse under block framing now fails the read loudly instead
+    // of silently dropping. assert_true rides inside the consumed array
+    // expression so column pruning cannot elide the check.
+    val arr = when(col("__g").isNotNull, array(struct(cols: _*)))
+    val guarded =
+      if (blockFramed)
+        when(assert_true(col("__g").isNotNull,
+          concat(lit("DFASDL block framing: record failed the anchored " +
+            "re-parse — a stray line has phase-shifted this fixed-arity " +
+            "file (repair the file or force wholetext framing): "),
+            substring(col("__rec"), 1, 160))).isNull, arr)
+      else arr
     val rows = recs
-      .select(explode(when(col("__g").isNotNull, array(struct(cols: _*))))
-        .as("__row"))
+      .select(explode(guarded).as("__row"))
       .select("__row.*")
     bounded(rows, doc)
   }

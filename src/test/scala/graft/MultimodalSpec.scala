@@ -47,4 +47,62 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePixels(pngMagic)
     }
   }
+
+  private def bytesOf(hexStr: String): Array[Byte] =
+    hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("decodeHeader parses PNG IHDR geometry (big-endian)") {
+    // 640×480, bit depth 8, truecolor+alpha
+    val png = bytesOf("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "08" + "06000000" + "DEADBEEF")
+    assert(Multimodal.decodeHeader(png) ==
+      (("png", Some(640), Some(480), Some(8))))
+  }
+
+  test("decodeHeader walks JPEG segments to any SOFn (skips APP0 + COM)") {
+    // SOI, APP0 (JFIF), COM segment, then PROGRESSIVE SOF2: 1024×768
+    val jpeg = bytesOf("FFD8" +
+      "FFE0" + "0010" + "4A46494600010100000100010000" +
+      "FFFE" + "0005" + "414243" + // COM "ABC"
+      "FFC2" + "0011" + "08" + "0300" + "0400" + "03011100021101031101")
+    assert(Multimodal.decodeHeader(jpeg) ==
+      (("jpeg", Some(1024), Some(768), Some(8))))
+  }
+
+  test("decodeHeader reads the GIF logical screen (little-endian + packed bits)") {
+    // GIF87a 320×200, packed 0x91 -> GCT size bits 001 -> depth 2
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      bytesOf("4001" + "C800" + "91" + "0000")
+    assert(Multimodal.decodeHeader(gif) ==
+      (("gif", Some(320), Some(200), Some(2))))
+  }
+
+  test("decodeHeader: truncated headers keep the format tag with null geometry") {
+    val pngSig = bytesOf("89504E470D0A1A0A")
+    assert(Multimodal.decodeHeader(pngSig) == (("png", None, None, None)))
+    val gifSig = "GIF89a".getBytes("US-ASCII")
+    assert(Multimodal.decodeHeader(gifSig) == (("gif", None, None, None)))
+    // JPEG that ends before any SOF marker
+    val noSof = bytesOf("FFD8FFD9")
+    assert(Multimodal.decodeHeader(noSof) == (("jpeg", None, None, None)))
+    // JPEG whose SOF header itself is cut mid-field
+    val cutSof = bytesOf("FFD8" + "FFC0" + "001108" + "03")
+    assert(Multimodal.decodeHeader(cutSof) == (("jpeg", None, None, None)))
+    assert(Multimodal.decodeHeader("plain".getBytes) ==
+      (("unknown", None, None, None)))
+    assert(Multimodal.decodeHeader(Array.emptyByteArray) ==
+      (("unknown", None, None, None)))
+  }
+
+  test("decodeHeaders DataFrame face emits nullable geometry columns") {
+    val png = bytesOf("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000010" + "00000020" + "01" + "03000000" + "00000000")
+    val df = Seq((1L, png), (2L, "nope".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeHeaders(df, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "png", Some(16), Some(32), Some(1))))
+    assert(out(1) == ((2L, "unknown", None, None, None)))
+  }
 }
