@@ -748,6 +748,55 @@ object Similarity {
     ivfQuery(ivfBuild(corpus, vecCol, idCol, nCentroids, persist = false), queries,
       vecCol, idCol, k, nProbe)
 
+  // ------------------------------------------------------------- kNN join
+
+  /** Batch kNN JOIN between two corpora (r15 — the linkage face of the
+    * ANN family: FAISS's knn-join, the candidate step of embedding record
+    * linkage): for EVERY left row, the k nearest right rows by cosine.
+    * Unlike the probe faces above, the left side is corpus-scale — no
+    * broadcast assumption on either side. The right corpus is quantized
+    * into an IVF layout ([[ivfBuild]]'s trainer over the RIGHT side),
+    * the left side explodes to its `nProbe` nearest cells, and the only
+    * exchange is an equi-join on the cell id: candidates are same-cell
+    * (probe-expanded) pairs, scored by exact cosine, ranked through the
+    * bounded TopKPerGroup tail. Left and right ids are SEPARATE id
+    * spaces (no self-match exclusion — joining a corpus to itself should
+    * pass distinct roles explicitly, e.g. by probing [[ivfQuery]]).
+    *
+    * Scale shape: both sides shuffle ONLY on the cell id, vectors ride
+    * exactly once, and per-left-row work is |probed cells|/|cells| of
+    * the right corpus. Size `nCentroids` to the right corpus (the FAISS
+    * ~sqrt(N) guidance) — at 16 cells and 32 shuffle partitions the join
+    * key space is the skew bound, so a 100 TB deployment raises
+    * nCentroids into the thousands, which simultaneously co-sizes cells
+    * and spreads the exchange. nProbe = nCentroids degrades to the exact
+    * blocked brute force (spec-pinned against [[bruteForceTopK]]).
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, vecCol: String,
+              idCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val index = ivfBuild(right, vecCol, idCol, nCentroids, persist = false)
+    knnJoinIndexed(index, left, vecCol, idCol, k, nProbe)
+  }
+
+  /** [[knnJoin]] against a PRE-BUILT right-side index — the serving form
+    * (build once offline via [[ivfBuild]]/[[ivfRead]], link many left
+    * corpora against it). Output: (left_id, right_id, cos rank `rk`).
+    */
+  def knnJoinIndexed(index: IvfIndex, left: DataFrame, vecCol: String,
+                     idCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val probed = left
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+    val scored = index.indexed.join(probed, Seq("cell"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("qv"), col("cv")).as("cos"))
+    rankTail(scored, k)
+      .select(col("query_id").as("left_id"), col("corpus_id").as("right_id"),
+        col("cos"), col("rk"))
+  }
+
   /** LSH-bucketed ANN: both sides hash to `nBits` hyperplane-sign buckets;
     * candidates are bucket-mates; exact cosine ranks within bucket. One
     * shuffle on the bucket id for both sides. `probeRadius` is the

@@ -446,6 +446,68 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
           .otherwise(expr("n_chars * 100 div n_subwords")))
   }
 
+  // ----------------------------------------------------- d_bpe_roundtrip
+  // BPE encode∘decode identity + character-coverage OOV, inside the hash
+  // gate (r15 — shrinks the honest no_oracle set to 2): the trained
+  // merges stay engine-side, but two INVARIANTS of any correct tokenizer
+  // are engine-independent and hash directly. (1) Decode identity: BPE
+  // merges only ever concatenate adjacent symbols within a word, so
+  // joining the sub-word units and splitting on the terminal `</w>`
+  // marker must reproduce the lowercased whitespace-normalized text
+  // EXACTLY — the `decoded` column is that reconstruction, and DuckDB's
+  // twin is the normalization alone (no model): any segmentation bug
+  // that drops, duplicates, or reorders a symbol breaks the string hash.
+  // (2) Character-coverage OOV: the model trains on the ENGLISH slice, so
+  // its character alphabet (wordSymbols seeds one symbol per code point —
+  // the alphabet IS the training slice's charset) misses the non-English
+  // scripts; per-doc out-of-alphabet code-point counts are the tokenizer
+  // coverage report, replayed relationally in DuckDB from the same
+  // charset definition. Chars count via translate()-deletion — O(doc)
+  // per row, no per-char lambda.
+  private def dBpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("lang") === "en")
+    val model = Corpus.bpeTrain(train, "text", numMerges = 60)
+    val alphaStr = train
+      .select(explode(split(concat_ws("",
+        graft.functions.TextFunctions.tokens(col("text"))), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct()
+      .collect().map(_.getString(0)).sorted.mkString
+    docs
+      .select(col("doc_id"),
+        rtrim(regexp_replace(array_join(Bpe.encode(col("text"), model), ""),
+          "</w>", " ")).as("decoded"))
+      .withColumn("__ns", translate(col("decoded"), " ", ""))
+      .select(col("doc_id"), col("decoded"),
+        length(col("__ns")).cast("long").as("n_cp"),
+        length(translate(col("__ns"), alphaStr, "")).cast("long").as("oov_chars"))
+      .withColumn("oov_per_mille",
+        expr("oov_chars * 1000 div greatest(n_cp, 1)"))
+  }
+
+  private val dBpeRoundtripSql =
+    """WITH d AS (
+      | SELECT doc_id, lang,
+      |  array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0), ' ') AS decoded
+      | FROM documents),
+      |cs AS (
+      | SELECT DISTINCT u.c AS ch
+      | FROM (SELECT replace(decoded, ' ', '') AS s FROM d WHERE lang = 'en') e,
+      |  UNNEST(string_split_regex(e.s, '')) AS u(c) WHERE len(u.c) > 0),
+      |ch AS (
+      | SELECT doc_id, u.c AS ch
+      | FROM d, UNNEST(string_split_regex(replace(decoded, ' ', ''), '')) AS u(c)
+      | WHERE len(u.c) > 0),
+      |agg AS (
+      | SELECT doc_id, COUNT(*) AS n_cp,
+      |  SUM(CASE WHEN cs.ch IS NULL THEN 1 ELSE 0 END) AS oov
+      | FROM ch LEFT JOIN cs USING (ch) GROUP BY doc_id)
+      |SELECT d.doc_id, d.decoded,
+      | CAST(COALESCE(a.n_cp, 0) AS BIGINT) AS n_cp,
+      | CAST(COALESCE(a.oov, 0) AS BIGINT) AS oov_chars,
+      | CAST(COALESCE(a.oov, 0) * 1000 // greatest(COALESCE(a.n_cp, 0), 1) AS BIGINT) AS oov_per_mille
+      |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // --------------------------------------------------------- d_embed_pca
   // PCA over the embedding corpus (Embeddings.pcaTrain — ONE fixed-point
   // Gram pass, bit-identical across partitionings). No SQL engine replays
@@ -565,6 +627,7 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     QueryDef("d_bigram_fluency", dBigramFluency, Some(dBigramFluencySql)),
     QueryDef("d_url_dedup", dUrlDedup, Some(dUrlDedupSql)),
     QueryDef("d_bpe_encode", dBpeEncode, None),
+    QueryDef("d_bpe_roundtrip", dBpeRoundtrip, Some(dBpeRoundtripSql)),
     QueryDef("d_heavy_hitters", dHeavyHitters, Some(dHeavyHittersSql)),
     QueryDef("d_embed_pca", dEmbedPca, Some(dEmbedPcaSql))
   )

@@ -609,7 +609,8 @@ object DocumentQueries {
 
   /** Consumers of [[ivfIndex]]/[[ivfIndexPlanted]] — see [[labelConsumers]]. */
   val ivfConsumers: Set[String] =
-    Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append")
+    Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append",
+      "d_knn_join")
 
   /** Consumers of [[pqBooks]] — see [[labelConsumers]]. */
   val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")
@@ -1063,6 +1064,42 @@ object DocumentQueries {
         e.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10, nProbe = 4)
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
+
+  // ------------------------------------------------------------ d_knn_join
+  // Batch kNN JOIN between two corpora (Similarity.knnJoinIndexed — the
+  // linkage face of the ANN family, r15): the LEFT corpus is the margin
+  // queries remapped into a SEPARATE id space (vec_id + 7e6 — the two-table
+  // record-linkage shape, so there is no self-exclusion: a right row
+  // identical to a left row is a genuine match), the RIGHT corpus is the
+  // planted-margin index the d_ann family probes. Margin carry-over: each
+  // left row finds 11 candidates at cos≈1 in its FIRST probe cell (the
+  // natural right twin + its 10 planted copies — identical vectors rank
+  // the centroids identically), the background never exceeds ~0.42, so
+  // the top-10 is the 10 lowest-id identical rows in BOTH engines and
+  // DuckDB replays it by brute force over the full cross product.
+  private def dKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val left = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    Similarity.knnJoinIndexed(ivfIndexPlanted(spark, dir), left,
+        "embedding", "vec_id", k = 10, nProbe = 4)
+      .select(col("left_id"), col("right_id"), col("rk"))
+  }
+
+  private val dKnnJoinSql =
+    """WITH p AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5),
+      |u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM p),
+      |q AS (SELECT vec_id + 7000000 AS lid, embedding AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT lid, vec_id AS rid, list_cosine_similarity(qv, embedding) AS cos
+      |      FROM q, u)
+      |SELECT lid AS left_id, rid AS right_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS BIGINT) AS rk
+      |FROM s QUALIFY rk <= 10""".stripMargin
 
   // -------------------------------------------------------- d_fingerprint
   // md5-based winnowing bottom-k (TextFunctions.fingerprintHex) so DuckDB
@@ -1858,17 +1895,56 @@ object DocumentQueries {
 
   // ------------------------------------------------------------ p_sketches
   // Approximate aggregation sketches (HyperLogLog++ count-distinct and
-  // approximate quantiles). Sketch internals differ per engine, so no
-  // oracle — AggregatesSpec bounds the error against exact answers instead.
+  // approximate quantiles) under the INVARIANT oracle (the d_embed_pca
+  // pattern, promoted r15 from rows-only): sketch internals differ per
+  // engine, so the raw estimates never reach the hash — instead each
+  // engine computes its OWN estimate next to the both-engine-exact answer
+  // and emits a within-bound FLAG the gate checks. The bounds are an
+  // order of magnitude above the sketches' published error (10% for HLL
+  // at rsd=0.02; 5% value error for rank-ε=1e-3 quantiles on this smooth
+  // price distribution), so a flag flip means a sketch actually broke,
+  // not that two correct sketches disagreed. The exact distinct counts
+  // ride as hashed columns in their own right; AggregatesSpec still
+  // bounds the numeric error directly.
   private def pSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
+        expr("percentile(l_extendedprice, 0.5)").as("__e50"),
+        expr("percentile(l_extendedprice, 0.99)").as("__e99"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("__a99"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("__ap") - col("exact_parts")) * 10 <= col("exact_parts"))
+          .as("hll_parts_ok"),
+        (abs(col("__ao") - col("exact_orders")) * 10 <= col("exact_orders"))
+          .as("hll_orders_ok"),
+        (abs(col("__a50") - col("__e50")) * 20 <= col("__e50")).as("p50_ok"),
+        (abs(col("__a99") - col("__e99")) * 20 <= col("__e99")).as("p99_ok"))
+
+  private val pSketchesSql =
+    """WITH x AS (
+      | SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  approx_count_distinct(l_partkey) AS ap,
+      |  approx_count_distinct(l_orderkey) AS ao,
+      |  quantile_cont(l_extendedprice, 0.5) AS e50,
+      |  quantile_cont(l_extendedprice, 0.99) AS e99,
+      |  approx_quantile(l_extendedprice, 0.5) AS a50,
+      |  approx_quantile(l_extendedprice, 0.99) AS a99
+      | FROM lineitem)
+      |SELECT CAST(exact_parts AS BIGINT) AS exact_parts,
+      | CAST(exact_orders AS BIGINT) AS exact_orders,
+      | abs(ap - exact_parts) * 10 <= exact_parts AS hll_parts_ok,
+      | abs(ao - exact_orders) * 10 <= exact_orders AS hll_orders_ok,
+      | abs(a50 - e50) * 20 <= e50 AS p50_ok,
+      | abs(a99 - e99) * 20 <= e99 AS p99_ok
+      |FROM x""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("p_sketches", pSketches, None),
+    QueryDef("p_sketches", pSketches, Some(pSketchesSql)),
     QueryDef("d_normalize", dNormalize, Some(dNormalizeSql)),
     QueryDef("d_line_dedup", dLineDedup, Some(dLineDedupSql)),
     QueryDef("p_percentiles", pPercentiles, Some(pPercentilesSql)),
@@ -1911,6 +1987,7 @@ object DocumentQueries {
     QueryDef("d_ann_filtered", dAnnFiltered, Some(dAnnFilteredSql)),
     QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
     QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),
+    QueryDef("d_knn_join", dKnnJoin, Some(dKnnJoinSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_drift", pDrift, Some(pDriftSql)),

@@ -159,4 +159,40 @@ class BpeSpec extends AnyFunSuite {
     assert(cov.map(_._3).sum < cov.map(_._2).sum)
     assert(cov.exists(_._3 > 0))
   }
+
+  test("d_bpe_roundtrip: decode identity + charset OOV on a hostile fixture (r15)") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sf
+    val out = SparkEntry.queries("d_bpe_roundtrip")(spark, dir)
+    // identity: the decoded column equals the engine-independent
+    // normalization for EVERY document, under a real trained model
+    val norm = array_join(filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0), " ")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), norm.as("expect"))
+    val joined = out.join(docs, "doc_id")
+    assert(joined.filter(col("decoded") =!= col("expect")).count() == 0,
+      "encode-decode must reproduce the normalized text exactly")
+    // coverage: the English training slice is fully in-alphabet by
+    // construction (its own charset). The synthetic corpus is pure ASCII
+    // (the m_multimodal_sample premise), so cross-lang OOV stays 0 here —
+    // the nonzero path is pinned below on a planted non-ASCII fixture.
+    val byLang = joined.join(
+        Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    assert(byLang.filter(col("lang") === "en")
+      .filter(col("oov_chars") > 0).count() == 0)
+    // planted fixture: the same translate-deletion counting with an
+    // ASCII-only alphabet must count each non-ASCII code point as OOV
+    val oovProbe = Seq(("straße café", 10L), ("ascii only", 9L))
+      .toDF("s", "expect")
+      .select(col("expect"), col("s"),
+        length(translate(translate(col("s"), " ", ""),
+          "abcdefghijklmnopqrstuvwxyz", "")).cast("long").as("oov"))
+      .collect()
+    assert(oovProbe.forall(r => r.getLong(2) ==
+      (if (r.getLong(0) == 10L) 2L else 0L)), oovProbe.mkString(","))
+    // arithmetic: per-mille column derives exactly
+    assert(out.filter(
+      expr("oov_per_mille != oov_chars * 1000 div greatest(n_cp, 1)"))
+      .count() == 0)
+  }
 }

@@ -289,6 +289,32 @@ class DedupSpec extends AnyFunSuite {
     assert(r0.subsetOf(r1), s"radius-1 lost pairs: ${r0 diff r1}")
   }
 
+  test("knnJoin: full-probe equals brute force; identical twin ranks first (r15)") {
+    val e = Tables.embeddings(spark, sf)
+    // separate id space: remapped left ids never collide with right ids,
+    // so bruteForceTopK's self-exclusion never fires and it computes the
+    // UNEXCLUDED per-left top-k — exactly knnJoin's contract
+    val left = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(e, left, "embedding", "vec_id", 10)
+      .select("query_id", "corpus_id", "rk").as[(Long, Long, Long)]
+      .collect().toSet
+    // nProbe = nCentroids: every cell probed -> exact blocked brute force
+    val full = Similarity.knnJoin(left, e, "embedding", "vec_id", k = 10,
+        nCentroids = 4, nProbe = 4)
+      .select("left_id", "right_id", "rk").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(full == brute, "full-probe knnJoin must equal brute force")
+    // a single probe still finds each left row's identical right twin at
+    // rank 1 (identical vectors rank the centroids identically)
+    val one = Similarity.knnJoin(left, e, "embedding", "vec_id", k = 1,
+        nCentroids = 4, nProbe = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    assert(one.length == 5)
+    assert(one.forall { case (l, r) => r == l - 7000000L },
+      s"rank-1 must be the identical twin: ${one.toSeq}")
+  }
+
   test("sq8TopK: int8 quantization + exact re-rank nearly matches float brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
