@@ -64,7 +64,72 @@ case class BloomMightContainExpr(child: Expression, bf: Broadcast[BloomFilter])
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** `might_contain` over EVERY element of a `array<bigint>` key column in
+  * one generated call — true when ANY key might be in the filter. The
+  * loop runs in plain JVM code against the task-cached filter instance,
+  * replacing the `exists(keys, k -> might_contain(k))` higher-order
+  * formulation whose per-element lambda evaluates INTERPRETED (boxed
+  * key, closure dispatch per element): on the streaming near-dup gate
+  * that interpreted probe was the measured per-batch ceiling
+  * (GateProfile r15: 2.6 s vs 0.5 s per 6250-doc single-task batch).
+  */
+case class BloomAnyExpr(child: Expression, bf: Broadcast[BloomFilter])
+    extends UnaryExpression with Predicate {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_any needs array<bigint> keys, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val filter = bf.value
+    var i = 0
+    var hit = false
+    val n = arr.numElements()
+    while (!hit && i < n) {
+      if (!arr.isNullAt(i) && filter.mightContainLong(arr.getLong(i))) hit = true
+      i += 1
+    }
+    hit
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfClass = classOf[BloomFilter].getName
+    val bRef = ctx.addReferenceObj("bloomBroadcast", bf,
+      classOf[Broadcast[_]].getName)
+    val bloom = ctx.addMutableState(bfClass, "bloomAny",
+      v => s"$v = ($bfClass) $bRef.value();", forceInline = true)
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $in.numElements();
+         |for (int $i = 0; !${ev.value} && $i < $n; $i++) {
+         |  if (!$in.isNullAt($i) && $bloom.mightContainLong($in.getLong($i))) {
+         |    ${ev.value} = true;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_any"
+}
+
 object BloomExpr {
   def mightContain(key: Column, bf: Broadcast[BloomFilter]): Column =
     ColumnBridge.column(BloomMightContainExpr(ColumnBridge.expression(key), bf))
+
+  def mightContainAny(keys: Column, bf: Broadcast[BloomFilter]): Column =
+    ColumnBridge.column(BloomAnyExpr(ColumnBridge.expression(keys), bf))
 }

@@ -95,10 +95,10 @@ object StreamScale {
                OutputMode.Update())),
       ("quality_gate", docsN,
         () => (Streams.qualityGate(docsStream), OutputMode.Append())),
-      // contaminationStream ends in an unwatermarked aggregation (shared
-      // shingle counts) — Update is its only legal streaming output mode
+      // Append since r15: the broadcast-index contamination gate is
+      // stateless (the old join+aggregation form was Update-only)
       ("contamination", docsN,
-        () => (Streams.contaminationStream(docsStream, bench), OutputMode.Update())),
+        () => (Streams.contaminationStream(docsStream, bench), OutputMode.Append())),
       ("neardup_gate", docsN,
         () => (Streams.crossNearDedupStream(docsStream, bench), OutputMode.Append()))
     )

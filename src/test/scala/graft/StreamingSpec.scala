@@ -108,9 +108,11 @@ class StreamingSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(docsDir)
     val bench = Tables.documents(spark, TestSpark.sf)
       .filter(pmod(col("doc_id"), lit(10)) === 0)
+    // Append since r15: the broadcast-index gate is stateless (the old
+    // join+aggregation form needed Complete/Update)
     val streamed = Streams.runToMemory(spark,
       Streams.contaminationStream(Streams.documentStream(spark, docsDir), bench),
-      "contam_stream", OutputMode.Complete())
+      "contam_stream", OutputMode.Append())
       .as[(Long, Long, Long)].collect().toSet
     val batch = graft.operators.Contamination.sharedShingles(
         Tables.documents(spark, TestSpark.sf), bench, "text", "doc_id")
