@@ -511,12 +511,18 @@ object Dfasdl {
     * parser's newline default for sign-less leaves. Returns the pattern
     * (unwrapped) and each leaf's capture-group index within it.
     */
+  /** One leaf's shape fragment — a lazy capture to its stop-sign (or the
+    * newline default). The leaf's TYPE is invisible here: dispatch
+    * between same-shape branches is the typed predicates' job.
+    */
+  private def leafFrag(f: Field): String = {
+    val start = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
+    s"($start.*?)" +
+      f.attr("stop-sign").map(s => s"(?:$s)").getOrElse("(?:\\r\\n?|\\n|$)")
+  }
+
   private def tokenStreamPlan(fields: Seq[Field]): (String, Seq[Int]) = {
-    def startOf(f: Field) = f.attr("start-sign").map(p => s"(?:$p)").getOrElse("")
-    val frags = fields.map { f =>
-      s"(${startOf(f)}.*?)" +
-        f.attr("stop-sign").map(s => s"(?:$s)").getOrElse("(?:\\r\\n?|\\n|$)")
-    }
+    val frags = fields.map(leafFrag)
     val idxs = frags.map(groupsIn).scanLeft(0)(_ + _).init.map(_ + 1)
     (frags.mkString, idxs)
   }
@@ -1038,58 +1044,172 @@ object Dfasdl {
     * first.
     */
   private def choiceStreamCols(doc: Doc)
-      : (String, Seq[Column], Column, Seq[Column]) = {
+      : (String, Seq[Seq[Column]], Column, Seq[Column]) = {
     require(doc.preamble.isEmpty,
       "choice-stream documents with a preamble/header are not supported " +
         "(the record pattern scans whole files); strip the header upstream")
     val combos = choiceStreamCombos(doc)
-    // each combination contributes a regex alternative plus one staged
-    // match per record; past a few dozen the pattern itself becomes the
-    // scan cost. No schema the reference ships comes near this.
+    // the combination space still bounds the dispatch: every combination
+    // has a representable index and (for shape-diverse schemas) its own
+    // alternation branch. No schema the reference ships comes near 64.
     require(combos.size <= 64,
       s"choice document expands to ${combos.size} branch combinations " +
         "(> 64); split the record or reduce the choice fan-out")
-    val plans = combos.map(tokenStreamPlan)
-    val groupCols = plans.zipWithIndex.map { case ((p, _), i) =>
+
+    // ---- r15 DECOMPOSED dispatch. The r12 formulation enumerated every
+    // combination: one staged regex match + one typed predicate per
+    // combination, O(combos × leaves) work per record — the 64-way
+    // SourceScale stressor priced it at 462k rows/s. Two structural facts
+    // collapse that:
+    //   (1) leaf fragments are type-blind (`(start.*?)stop`), so
+    //       combinations sharing the per-slot SHAPE tuple share one
+    //       full-record pattern — one regex match per DISTINCT pattern
+    //       ("shape class"), not per combination;
+    //   (2) within a shape class, each slot's typed check reads only its
+    //       own tokens, so the first fully-type-matching combination is
+    //       the PER-SLOT first-passing branch, independently per slot —
+    //       the 2^k type cross-product never enumerates.
+    // Cross-class priority is exact: each class computes its candidate's
+    // ORIGINAL combination index (mixed-radix over the per-slot picks)
+    // and the winner is the least index — bit-for-bit the r12 "first
+    // combination that shape-matches and type-parses" rule, including
+    // interleaved same-shape branches and type-failure retry ACROSS
+    // shape classes. Work per record: |distinct patterns| regex matches
+    // + |distinct checks| + |classes × slots| tiny coalesces.
+    val slotOpts: Seq[Seq[Seq[Field]]] = doc.slots.map {
+      case f: Field      => Seq(Seq(f))
+      case c: ChoiceSlot => c.branches.map(_.leaves)
+    }
+    // stride_s = Π sizes after s (choiceStreamCombos: LAST slot fastest)
+    val strides: Seq[Int] =
+      slotOpts.scanRight(1)((opts, acc) => opts.size * acc).tail
+    // shape classes in first-occurrence (= least-combo-index) order
+    val picks: Seq[Seq[Int]] =
+      slotOpts.foldLeft(Seq(Seq.empty[Int])) { (acc, opts) =>
+        for (p <- acc; b <- opts.indices) yield p :+ b
+      }
+    def shapeTuple(pick: Seq[Int]): Seq[Seq[String]] =
+      pick.zip(slotOpts).map { case (b, opts) => opts(b).map(leafFrag) }
+    val classes: Seq[Seq[Seq[String]]] = picks.map(shapeTuple).distinct
+
+    // one staged group-match column per DISTINCT flat pattern
+    val classFlat: Seq[String] = classes.map(_.flatten.mkString)
+    val distinctPatterns = classFlat.distinct
+    val patIdx: Map[String, Int] = distinctPatterns.zipWithIndex.toMap
+    val groupCols = distinctPatterns.zipWithIndex.map { case (p, j) =>
       graft.functions.RegexFns
-        .regexpGroups(col("__rec"), "^" + p + "$").as(s"__g$i")
+        .regexpGroups(col("__rec"), "^" + p + "$").as(s"__g$j")
     }
-    def arr(i: Int) = col(s"__g$i")
-    // null array = combination's pattern did not match; the isNotNull
-    // seed also keeps str leaves (branchMatches = true) from passing a
-    // non-matching combination
-    val preds = combos.zip(plans).zipWithIndex.map {
-      case ((leaves, (_, idxs)), i) =>
-        leaves.zip(idxs).map { case (f, g) =>
-          branchMatches(f, applyTrim(f, element_at(arr(i), g)))
-        }.foldLeft(arr(i).isNotNull)(_ && _)
+
+    // typed checks stage once per distinct (pattern, group, check shape);
+    // constant-true kinds (str and the other branchMatches catch-alls)
+    // contribute nothing
+    def trivialCheck(f: Field): Boolean = f.kind match {
+      case "num" | "formatnum" | "date" | "datetime" | "formattime" => false
+      case "formatstr" => f.attr("format").isEmpty
+      case _ => true
     }
-    // The winning combination as ONE staged index column: coalesce picks
-    // the first true predicate (in-order retry), null = no combination
-    // parses. Expressing first-match-wins this way keeps the dispatch
-    // LINEAR in combination count — the [[firstMatchOnly]] fold embeds
-    // every earlier predicate's subtree into each later one, O(C²·L)
-    // expression NODES, which at the 64-combination cap is ~10⁶ nodes and
-    // OOMs the planner before a single row moves (found by SourceScale's
-    // cap stressor).
+    val checkDefs =
+      scala.collection.mutable.LinkedHashMap[(Int, Int, String), (String, Column)]()
+    def checkOf(pi: Int, g: Int, f: Field): Option[Column] =
+      if (trivialCheck(f)) None
+      else {
+        val shape = Seq(f.kind, f.attr("format").getOrElse(""),
+          f.attr("trim").getOrElse("")).mkString("|")
+        val (name, _) = checkDefs.getOrElseUpdate((pi, g, shape),
+          (s"__c${checkDefs.size}",
+            branchMatches(f, applyTrim(f, element_at(col(s"__g$pi"), g)))))
+        Some(col(name))
+      }
+
+    // per class: group layout, per-slot candidate dispatch, combo index
+    final case class SlotCand(pos: Int, leaves: Seq[Field], groupIdxs: Seq[Int])
+    final case class ClassPlan(pi: Int, cands: Seq[Seq[SlotCand]],
+                               pickName: Seq[Option[String]], base: Int)
+    var pickSeq = List.newBuilder[Column]
+    val classPlans: Seq[ClassPlan] = classes.zipWithIndex.map { case (ct, p) =>
+      val pi = patIdx(classFlat(p))
+      // group base per slot, then per leaf within the slot's fragments
+      val slotBases = ct.map(_.map(groupsIn).sum).scanLeft(0)(_ + _).init
+      val cands: Seq[Seq[SlotCand]] = slotOpts.zipWithIndex.map { case (opts, s) =>
+        val gs = ct(s).map(groupsIn).scanLeft(slotBases(s))(_ + _).init.map(_ + 1)
+        opts.zipWithIndex.collect {
+          case (leaves, pos) if leaves.map(leafFrag) == ct(s) =>
+            SlotCand(pos, leaves, gs)
+        }
+      }
+      val pickName: Seq[Option[String]] = cands.zipWithIndex.map { case (cs, s) =>
+        val conjs = cs.map(c => c.leaves.zip(c.groupIdxs)
+          .flatMap { case (f, g) => checkOf(pi, g, f) })
+        if (cs.size == 1 && conjs.head.isEmpty) None // constant pick
+        else {
+          val name = s"__p${p}_$s"
+          val pick = coalesce(cs.zip(conjs).map { case (c, conj) =>
+            when(conj.foldLeft(lit(true))(_ && _), lit(c.pos))
+          }: _*)
+          pickSeq += pick.as(name)
+          Some(name)
+        }
+      }
+      val base = cands.zip(pickName).zipWithIndex.collect {
+        case ((cs, None), s) => cs.head.pos * strides(s)
+      }.sum
+      ClassPlan(pi, cands, pickName, base)
+    }
+    val pickCols = pickSeq.result()
+
+    // class candidate = its winner's ORIGINAL combination index
+    val ccCols = classPlans.zipWithIndex.map { case (cp, p) =>
+      val guard = cp.pickName.flatten
+        .foldLeft(col(s"__g${cp.pi}").isNotNull)((acc, n) => acc && col(n).isNotNull)
+      val idxExpr = cp.pickName.zipWithIndex.collect {
+        case (Some(n), s) => col(n) * strides(s)
+      }.foldLeft(lit(cp.base): Column)(_ + _)
+      when(guard, idxExpr).as(s"__cc$p")
+    }
+    val ccRefs = classPlans.indices.map(p => col(s"__cc$p"))
     val winner =
-      coalesce(preds.zipWithIndex.map { case (p, i) => when(p, lit(i)) }: _*)
-        .as("__winner")
+      (if (ccRefs.size == 1) ccRefs.head else least(ccRefs: _*)).as("__winner")
+
     val cols = doc.fields.map { f =>
-      val pieces = combos.zipWithIndex.flatMap { case (leaves, i) =>
-        val idxs = plans(i)._2
-        leaves.zip(idxs).collectFirst {
-          case (lf, g) if lf.id == f.id =>
-            when(col("__winner") === i,
-              coerce(f, applyTrim(f, element_at(arr(i), g))))
+      val pieces = classPlans.zipWithIndex.flatMap { case (cp, p) =>
+        cp.cands.zipWithIndex.flatMap { case (cs, s) =>
+          cs.flatMap { c =>
+            c.leaves.zip(c.groupIdxs).collectFirst {
+              case (lf, g) if lf.id == f.id =>
+                val classWon = col("__winner") === col(s"__cc$p")
+                val cond = cp.pickName(s) match {
+                  case Some(n) => classWon && col(n) === c.pos
+                  case None    => classWon
+                }
+                when(cond, coerce(f, applyTrim(f, element_at(col(s"__g${cp.pi}"), g))))
+            }
+          }
         }
       }
       coalesce(pieces: _*).as(f.id)
     }
     val recPattern =
-      "(" + plans.map { case (p, _) => s"(?:$p)" }.mkString("|") + ")"
-    (recPattern, groupCols, winner, cols)
+      "(" + distinctPatterns.map(p => s"(?:$p)").mkString("|") + ")"
+    val stages: Seq[Seq[Column]] =
+      Seq(groupCols, checkDefs.values.map { case (n, c) => c.as(n) }.toSeq,
+        pickCols, ccCols).filter(_.nonEmpty)
+    (recPattern, stages, winner, cols)
   }
+
+  /** Stage the choice-stream projections in dependency order (groups →
+    * checks → slot picks → class candidates) — sibling aliases cannot
+    * reference each other inside one projection. The first stage replaces
+    * the projection (drops `__rec`); later stages are additive.
+    */
+  private def stageChoiceStream(recs: DataFrame,
+                                stages: Seq[Seq[Column]]): DataFrame =
+    stages match {
+      case head +: tail =>
+        tail.foldLeft(recs.select(head: _*))((df, st) =>
+          df.select(col("*") +: st: _*))
+      case _ => recs
+    }
 
   /** Read a choice-stream document ([[isChoiceStreamDoc]]): records frame
     * by line when EVERY branch combination is [[lineAnchoredRun]]
@@ -1122,16 +1242,15 @@ object Dfasdl {
 
   private def readChoiceStream(spark: SparkSession, path: String,
                                doc: Doc): DataFrame = {
-    val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
+    val (recPattern, stages, winner, cols) = choiceStreamCols(doc)
     // block framing needs ONE static record arity; a choice doc's arity
     // varies by branch combination, so only the 1-line case frames by
     // line — and a fixseq-bounded doc stays wholetext (first-`max`
     // records in FILE order, which only sequential framing preserves)
     val anchored = doc.rowLimit.isEmpty &&
       choiceStreamCombos(doc).forall(lineAnchoredRun)
-    val recs = recordStrings(spark, path, recPattern,
-      if (anchored) Some(1) else None)
-      .select(groupCols: _*)
+    val recs = stageChoiceStream(recordStrings(spark, path, recPattern,
+      if (anchored) Some(1) else None), stages)
     // a line no combination parses is dropped by [[dispatchRows]]'s
     // null-winner explode — the line-framed twin of wholetext's
     // never-extracted malformed region
@@ -1189,15 +1308,16 @@ object Dfasdl {
         .select(cols: _*)
     }
     if (isChoiceStreamDoc(doc)) {
-      val (recPattern, groupCols, winner, cols) = choiceStreamCols(doc)
+      val (recPattern, stages, winner, cols) = choiceStreamCols(doc)
       return dispatchRows(
-        spark.readStream.option("wholetext", "true")
-          .schema(StructType(Seq(StructField("value", StringType))))
-          .text(dirPath)
-          .select(explode(regexp_extract_all(col("value"), lit(recPattern),
-            lit(1))).as("__rec"))
-          .filter(length(col("__rec")) > 0) // see readTokenStream
-          .select(groupCols: _*),
+        stageChoiceStream(
+          spark.readStream.option("wholetext", "true")
+            .schema(StructType(Seq(StructField("value", StringType))))
+            .text(dirPath)
+            .select(explode(regexp_extract_all(col("value"), lit(recPattern),
+              lit(1))).as("__rec"))
+            .filter(length(col("__rec")) > 0), // see readTokenStream
+          stages),
         winner, cols)
     }
     // single-field sign-less records: whole lines, same as the batch

@@ -82,7 +82,7 @@ object SourceScale {
     * staged matches per record — the number that justifies (or indicts)
     * the cap.
     */
-  private val choice64Doc = Dfasdl.parseSchema(
+  private[tools] val choice64Doc = Dfasdl.parseSchema(
     """<dfasdl xmlns="http://www.dfasdl.org/DFASDL" id="SRC64">
       |  <seq id="s"><elem id="r">
       |    <num id="okey" stop-sign=";"/>
