@@ -510,6 +510,45 @@ object Similarity {
       cosineSim(col("qv"), col("cv")).as("cos")), k)
   }
 
+  /** RANGE search (FAISS `range_search`): every corpus neighbor whose
+    * cosine similarity to the query is at least `tau` — the radius face of
+    * the ANN family (near-duplicate harvesting, contamination sweeps,
+    * "everything within a threshold" linkage), where top-k's fixed k is the
+    * wrong contract because the true neighbor count varies per query. Same
+    * probe skeleton as [[ivfQuery]] (coarse-quantizer cell pruning is the
+    * only approximation; nProbe = nCells degrades to exact, spec-pinned
+    * against [[bruteForceRange]]), but unlike the top-k paths there is NO
+    * rank window at all: candidates filter map-side on the cosine
+    * threshold and only survivors leave the scan — the selective-filter
+    * shape, not a sort, so the output exchange is the result itself.
+    * Output: (query_id, corpus_id, cos), unbounded per query by design.
+    */
+  def rangeSearch(index: IvfIndex, queries: DataFrame, vecCol: String,
+                  idCol: String, tau: Double, nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.withColumn("cell",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("cell"))
+    index.indexed.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(tau))
+  }
+
+  /** Exact range search: the [[rangeSearch]] baseline, [[bruteForceTopK]]'s
+    * broadcast shape with the rank tail replaced by the threshold filter.
+    */
+  def bruteForceRange(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                      idCol: String, tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= lit(tau))
+  }
+
   /** FILTERED ANN probe — metadata-predicate vector search (FAISS's
     * IDSelector, every vector DB's payload filter): the index is built on
     * the FULL corpus and the predicate applies at QUERY time, so one
@@ -794,6 +833,37 @@ object Similarity {
         cosineSim(col("qv"), col("cv")).as("cos"))
     rankTail(scored, k)
       .select(col("query_id").as("left_id"), col("corpus_id").as("right_id"),
+        col("cos"), col("rk"))
+  }
+
+  /** k-NN GRAPH over one corpus: each vector's k nearest OTHER corpus
+    * vectors — the SemDeDup / SSL-prototypes / graph-clustering building
+    * block, the self-join face of the ANN family. Every row is both query
+    * and candidate: the corpus joins ITSELF on the IVF cell id (probe
+    * widening replicates only the query side's (id, vector) pair nProbe
+    * ways, never the indexed side), so there is no broadcast assumption on
+    * either side — the exchange keys are cell ids, and nCentroids sizes
+    * cells exactly as [[knnJoin]]'s scale note prescribes (√N cells at
+    * 100 TB bounds the per-cell quadratic and spreads the join keys).
+    * nProbe = nCells degrades to the exact blocked brute force
+    * (spec-pinned against [[bruteForceTopK]], whose self-exclusion is the
+    * same contract). `nodes` optionally restricts the QUERY side (the
+    * graph over a subset of sources against the full corpus) — the filter
+    * applies BEFORE cell ranking, so unqueried rows never replicate.
+    * Output: (src, dst, cos, rk), rk 1..k per src.
+    */
+  def knnGraph(index: IvfIndex, k: Int, nProbe: Int = 2,
+               nodes: Option[Column] = None): DataFrame = {
+    val base = nodes.fold(index.indexed)(p => index.indexed.filter(p))
+    val q = base.select(col("corpus_id").as("query_id"), col("cv").as("qv"))
+    val probed = q.withColumn("cell",
+        explode(slice(cellRanking(col("qv"), index.centroids), 1, nProbe)))
+    val scored = index.indexed.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosineSim(col("qv"), col("cv")).as("cos"))
+    rankTail(scored, k)
+      .select(col("query_id").as("src"), col("corpus_id").as("dst"),
         col("cos"), col("rk"))
   }
 

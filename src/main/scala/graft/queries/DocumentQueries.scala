@@ -610,7 +610,7 @@ object DocumentQueries {
   /** Consumers of [[ivfIndex]]/[[ivfIndexPlanted]] — see [[labelConsumers]]. */
   val ivfConsumers: Set[String] =
     Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append",
-      "d_knn_join")
+      "d_knn_join", "d_ann_range", "d_knn_graph")
 
   /** Consumers of [[pqBooks]] — see [[labelConsumers]]. */
   val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")
@@ -1099,6 +1099,68 @@ object DocumentQueries {
       |      FROM q, u)
       |SELECT lid AS left_id, rid AS right_id,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY lid ORDER BY cos DESC, rid ASC) AS BIGINT) AS rk
+      |FROM s QUALIFY rk <= 10""".stripMargin
+
+  // ------------------------------------------------------------ d_ann_range
+  // RANGE search (FAISS range_search, r15): all neighbors with cos >= tau
+  // over the planted-margin index — the radius face of the ANN family,
+  // where top-k's fixed k is the wrong contract. Margin carry-over: each
+  // natural query's 10 planted copies sit at cos ~= 1 in its FIRST probe
+  // cell and the background never exceeds ~0.42, so the tau = 0.8 range
+  // set is exactly the 10 copies in BOTH engines and DuckDB replays it by
+  // brute force — SET equality, no rank column, so even the ulp-scale
+  // engine difference in the cosine value itself is outside the hash.
+  private def dAnnRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.rangeSearch(ivfIndexPlanted(spark, dir),
+        e.filter(col("vec_id") < 5), "embedding", "vec_id",
+        tau = 0.8, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"))
+  }
+
+  private val dAnnRangeSql =
+    """WITH p AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5),
+      |u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM p),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5)
+      |SELECT qid AS query_id, vec_id AS corpus_id
+      |FROM q, u
+      |WHERE vec_id != qid AND list_cosine_similarity(qv, embedding) >= 0.8""".stripMargin
+
+  // ------------------------------------------------------------ d_knn_graph
+  // k-NN GRAPH (r15): each node's 10 nearest OTHER vectors within ONE
+  // corpus — the self-join face of the ANN family (SemDeDup / SSL-
+  // prototypes / graph clustering build this first). Query side restricted
+  // to the planted FAMILY nodes (the 5 naturals + their 50 copies, ids
+  // 100000 + q*10 + j): each family node's true top-10 is its 10
+  // identical-vector twins (self excluded), all in its first probe cell,
+  // with the twin cosines EXACTLY equal per engine (identical input bits,
+  // identical float ops) so the rank order inside the family is the dst-id
+  // ascending tie-break in both engines and DuckDB replays (src, dst, rk)
+  // by brute force over the family x corpus product.
+  private def dKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(ivfIndexPlanted(spark, dir), k = 10, nProbe = 4,
+        nodes = Some(col("corpus_id") < 5 ||
+          (col("corpus_id") >= 100000L && col("corpus_id") < 100050L)))
+      .select(col("src"), col("dst"), col("rk"))
+
+  private val dKnnGraphSql =
+    """WITH p AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5),
+      |u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM p),
+      |fam AS (SELECT vec_id AS src, embedding AS qv FROM u
+      |        WHERE src < 5 OR (src >= 100000 AND src < 100050)),
+      |s AS (SELECT src, vec_id AS dst,
+      |        list_cosine_similarity(qv, embedding) AS cos
+      |      FROM fam, u WHERE vec_id != src)
+      |SELECT src, dst,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
       |FROM s QUALIFY rk <= 10""".stripMargin
 
   // -------------------------------------------------------- d_fingerprint
@@ -1988,6 +2050,8 @@ object DocumentQueries {
     QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
     QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),
     QueryDef("d_knn_join", dKnnJoin, Some(dKnnJoinSql)),
+    QueryDef("d_ann_range", dAnnRange, Some(dAnnRangeSql)),
+    QueryDef("d_knn_graph", dKnnGraph, Some(dKnnGraphSql)),
     QueryDef("d_fingerprint", dFingerprint, Some(dFingerprintSql)),
     QueryDef("p_histogram", pHistogram, Some(pHistogramSql)),
     QueryDef("p_drift", pDrift, Some(pDriftSql)),

@@ -315,6 +315,53 @@ class DedupSpec extends AnyFunSuite {
       s"rank-1 must be the identical twin: ${one.toSeq}")
   }
 
+  test("rangeSearch: full-probe equals brute-force range; tau is respected (r15)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val idx = Similarity.ivfBuild(e, "embedding", "vec_id",
+      nCentroids = 4, persist = false)
+    // nProbe = nCells -> every cell probed -> exact
+    val full = Similarity.rangeSearch(idx, q, "embedding", "vec_id",
+        tau = 0.3, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceRange(e, q, "embedding", "vec_id", 0.3)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "full-probe rangeSearch must equal brute force")
+    assert(brute.nonEmpty, "tau = 0.3 should match something at sf0.01")
+    // every returned cosine clears the threshold, and tightening tau can
+    // only shrink the set
+    val cosines = Similarity.rangeSearch(idx, q, "embedding", "vec_id",
+      tau = 0.3, nProbe = 4).select("cos").as[Double].collect()
+    assert(cosines.forall(_ >= 0.3))
+    val tight = Similarity.rangeSearch(idx, q, "embedding", "vec_id",
+        tau = 0.5, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(full), "tighter tau must be a subset")
+  }
+
+  test("knnGraph: full-probe equals brute force; nodes filter restricts sources (r15)") {
+    val e = Tables.embeddings(spark, sf).limit(120)
+    val idx = Similarity.ivfBuild(e, "embedding", "vec_id",
+      nCentroids = 4, persist = false)
+    // brute force with corpus as its own query set: bruteForceTopK's
+    // self-exclusion is exactly knnGraph's contract
+    val brute = Similarity.bruteForceTopK(e, e, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id", "rk").as[(Long, Long, Long)]
+      .collect().toSet
+    val full = Similarity.knnGraph(idx, k = 5, nProbe = 4)
+      .select("src", "dst", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(full == brute, "full-probe knnGraph must equal brute force")
+    // no self-edges, exactly k per source
+    assert(full.forall { case (s, d, _) => s != d })
+    assert(full.groupBy(_._1).forall(_._2.size == 5))
+    // nodes predicate: only the selected sources appear, with the SAME
+    // neighbor lists as the unrestricted graph
+    val sub = Similarity.knnGraph(idx, k = 5, nProbe = 4,
+        nodes = Some(col("corpus_id") < 10))
+      .select("src", "dst", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(sub == full.filter(_._1 < 10), "restricted graph must agree")
+  }
+
   test("sq8TopK: int8 quantization + exact re-rank nearly matches float brute force") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
