@@ -275,6 +275,56 @@ object DocumentQueries {
       |SELECT doc_id, CAST(score AS BIGINT) AS score
       |FROM sc WHERE score > 0""".stripMargin
 
+  // --------------------------------------------------------- s_semdedup
+  // ONLINE SemDeDup (r15): the streaming ingest form of semantic dedup —
+  // an incoming embedding drops when it has cosine >= 0.8 to ANY vector
+  // of the static reference corpus, probed through the reference's IVF
+  // cell layout (Streams.semDedupGateStream: map-side cell assignment +
+  // stream-static LEFT ANTI join, zero state). A REAL readStream →
+  // writeStream parquet pipeline runs per invocation. Margin fixture:
+  // incoming = the 50 planted identical copies of vec_id < 5 (same cell
+  // as their twins by construction, cos = 1 -> must drop) + 500 NEGATED
+  // naturals (cos(-v, u) = -cos(v, u) <= the background bound ~0.42
+  // against EVERY reference vector -> must survive), so the survivor set
+  // is exact at the 0.8 threshold in both engines and DuckDB replays it
+  // by brute-force NOT EXISTS.
+  private def sSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val idx = ivfIndex(spark, dir)
+    val root = SourceQueries.cachedArtifact("semgatestage", dir) { tmp =>
+      val copies = annPlanted(e.select("vec_id", "embedding"))
+        .filter(col("vec_id") >= 100000L)
+      val novel = e.filter(col("vec_id") < 500)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      copies.unionByName(novel).write.mode("overwrite").parquet(tmp + "/in")
+    }
+    val rep = java.nio.file.Files.createTempDirectory("graft_semgate")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val q = graft.streaming.Streams
+      .semDedupGateStream(stream, idx, "embedding", tau = 0.8)
+      .select(col("vec_id"))
+      .writeStream.format("parquet")
+      .option("path", rep.toString + "/r")
+      .option("checkpointLocation", rep.toString + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+  }
+
+  private val sSemDedupSql =
+    """WITH inc AS (
+      |  SELECT 100000 + vec_id*10 + j AS vec_id, embedding
+      |  FROM embeddings, generate_series(0,9) AS t(j) WHERE vec_id < 5
+      |  UNION ALL
+      |  SELECT vec_id + 200000, list_transform(embedding, x -> -x)
+      |  FROM embeddings WHERE vec_id < 500)
+      |SELECT i.vec_id FROM inc i
+      |WHERE NOT EXISTS (SELECT 1 FROM embeddings r
+      |  WHERE list_cosine_similarity(i.embedding, r.embedding) >= 0.8)""".stripMargin
+
   // ------------------------------------------------------- d_dsir_sample
   // DSIR-style importance resampling (Xie et al., NeurIPS'23): the target
   // domain is the English slice of the corpus, the raw corpus is all of
@@ -610,7 +660,7 @@ object DocumentQueries {
   /** Consumers of [[ivfIndex]]/[[ivfIndexPlanted]] — see [[labelConsumers]]. */
   val ivfConsumers: Set[String] =
     Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append",
-      "d_knn_join", "d_ann_range", "d_knn_graph")
+      "d_knn_join", "d_ann_range", "d_knn_graph", "s_semdedup")
 
   /** Consumers of [[pqBooks]] — see [[labelConsumers]]. */
   val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")
@@ -2024,6 +2074,7 @@ object DocumentQueries {
     QueryDef("d_quality_model", dQualityModel, Some(dQualityModelSql)),
     QueryDef("d_dsir_sample", dDsirSample, Some(dDsirSampleSql)),
     QueryDef("s_quality_model", sQualityModel, Some(sQualityModelSql)),
+    QueryDef("s_semdedup", sSemDedup, Some(sSemDedupSql)),
     QueryDef("d_lang_id", dLangId, Some(dLangIdSql)),
     QueryDef("d_dedup_minhash", dMinhash, Some(dMinhashSql)),
     QueryDef("d_dedup_simhash", dSimhash, None),

@@ -323,6 +323,42 @@ object Streams {
       .drop("__sig", "__keys", "__pass")
   }
 
+  /** Streaming SEMANTIC dedup gate — online SemDeDup: drop an incoming
+    * document whose embedding has cosine ≥ `tau` to ANY vector of a static
+    * reference corpus, probed through the reference's IVF cell layout
+    * ([[graft.operators.Similarity.ivfBuild]] — build once offline, gate
+    * forever). The incoming batch assigns to its nearest cell map-side
+    * (the centroids are driver literals in one codegen pass, exactly the
+    * probe's own cell ranking), and a stream-static LEFT ANTI equi-join on
+    * the cell id applies the cosine threshold as the join residual — zero
+    * state, zero stream-side shuffle beyond the (bounded) micro-batch
+    * keyed by cell; at cluster scale the static side is the
+    * cell-partitioned index table, so each batch reads only the cells it
+    * probes.
+    *
+    * Cell-pruning caveat (the FAISS recall argument, conservative the safe
+    * way around for an ingest gate): a near-dup pair straddling a cell
+    * boundary can escape the gate — an IDENTICAL vector cannot, it ranks
+    * the centroids identically and lands in its twin's cell — so the gate
+    * admits a small near-boundary slice that batch [[graft.operators.Dedup.semanticDedup]]
+    * would drop, and NEVER falsely drops a novel document (the anti-join
+    * only removes rows with a genuine cos ≥ tau witness in the probed
+    * cell).
+    */
+  def semDedupGateStream(docs: DataFrame, index: graft.operators.Similarity.IvfIndex,
+                         vecCol: String = "embedding",
+                         tau: Double = 0.9): DataFrame = {
+    val assigned = docs.withColumn("__cell", element_at(
+      graft.functions.VectorExprs.nearestCells(col(vecCol), index.centroids), 1))
+    val ref = index.indexed
+      .select(col("cell").as("__refcell"), col("cv").as("__rv"))
+    assigned.join(ref,
+        assigned("__cell") === ref("__refcell") &&
+          graft.functions.VectorExprs.cosineSim(assigned(vecCol), ref("__rv")) >= lit(tau),
+        "left_anti")
+      .drop("__cell")
+  }
+
   /** Streaming frequent-token report: the Misra–Gries sketch
     * ([[graft.functions.MisraGriesAgg]]) as a streaming global aggregate —
     * each micro-batch's partials merge into the running state-store buffer,

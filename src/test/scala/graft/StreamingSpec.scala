@@ -170,6 +170,41 @@ class StreamingSpec extends AnyFunSuite {
       "unpersisting the handle must release the cached reference digests")
   }
 
+  test("semDedupGateStream: online SemDeDup matches brute-force survivors (r15)") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExprs
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val idx = Similarity.ivfBuild(e, "embedding", "vec_id",
+      nCentroids = 4, persist = false)
+    // incoming = identical copies of reference vectors (must DROP: an
+    // identical vector ranks the centroids identically, so it lands in
+    // its twin's cell and the cos = 1 residual fires) + negated vectors
+    // (novel BY CONSTRUCTION: cos(-v, u) = -cos(v, u), bounded by the
+    // corpus's background cosine — must SURVIVE)
+    val copies = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val negated = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val incoming = copies.unionByName(negated)
+    val dir = Files.createTempDirectory("semgate_stream").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val survived = Streams.runToMemory(spark,
+      Streams.semDedupGateStream(stream, idx, "embedding", tau = 0.8)
+        .select(col("vec_id")),
+      "semgate_survivors").as[Long].collect().toSet
+    // brute-force survivors: no reference vector within tau, no cells
+    val brute = incoming.as("i").join(e.as("r"),
+        VectorExprs.cosineSim(col("i.embedding"), col("r.embedding")) >= lit(0.8),
+        "left_anti")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(survived == brute,
+      s"gate/brute disagree: ${(survived diff brute).take(3)} / ${(brute diff survived).take(3)}")
+    assert(survived == (0L until 50L).map(_ + 200000L).toSet,
+      "exactly the negated novels must survive")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     // inner stream-stream joins emit matches as they arrive (the watermark
     // only bounds buffered state), so a one-drop finite input yields the
