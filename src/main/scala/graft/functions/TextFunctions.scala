@@ -15,8 +15,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  /** Whitespace token count — [[tokens]]' size via the one-pass
+    * [[TokenProfileExpr]] byte scan (r15): no token array, no interpreted
+    * empty-filter lambda; PropertySpec pins equality with the
+    * higher-order formulation.
+    */
+  def tokenCount(text: Column): Column =
+    TokenSetExprs.tokenProfile(text, Seq.empty).getField("n_toks")
 
   /** BPE-ish sub-word segmentation: word pieces and standalone
     * punctuation/symbol runs, like the GPT-2 pre-tokenizer's coarse shape.
@@ -39,20 +44,25 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "this", "be", "are")
 
-  /** Stopwords per mille of tokens — a standard fluency signal. */
+  /** Stopwords per mille of tokens — a standard fluency signal. One-pass
+    * token profile (r15): the former `filter(toks, array_contains(...))`
+    * evaluated its lambda interpreted per TOKEN — the streaming quality
+    * gate's measured per-document ceiling.
+    */
   def stopwordPerMille(text: Column, stops: Seq[String] = stopwordsEn): Column = {
-    val toks = tokens(text)
-    val nStop = size(filter(toks, t => array_contains(lit(stops.toArray), t)))
-    when(size(toks) === 0, lit(0L))
-      .otherwise(floor(nStop.cast(LongType) * 1000 / size(toks))).cast(LongType)
+    val p = TokenSetExprs.tokenProfile(text, Seq(stops))
+    val nToks = p.getField("n_toks")
+    val nStop = p.getField("hits").getItem(0)
+    when(nToks === 0L, lit(0L))
+      .otherwise(floor(nStop * 1000 / nToks)).cast(LongType)
   }
 
   /** Mean token length per mille (×1000, integer) — length-quality signal. */
   def meanTokenLenPerMille(text: Column): Column = {
-    val toks = tokens(text)
-    val totalLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    when(size(toks) === 0, lit(0L))
-      .otherwise(floor(totalLen * 1000 / size(toks))).cast(LongType)
+    val p = TokenSetExprs.tokenProfile(text, Seq.empty)
+    val nToks = p.getField("n_toks")
+    when(nToks === 0L, lit(0L))
+      .otherwise(floor(p.getField("sum_len") * 1000 / nToks)).cast(LongType)
   }
 
   /** Composite quality heuristic in [0,1000]: penalizes very short docs,
@@ -82,12 +92,15 @@ object TextFunctions {
     */
   def langId(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val toks = tokens(text)
-    val scores = langStops.map { case (lang, stops) =>
-      lang -> size(filter(toks, t => array_contains(lit(stops.toArray), t)))
-    }
-    val best = scores.toSeq.sortBy(_._1).foldLeft((lit("und"), lit(0))) {
-      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    // all four language profiles score in ONE token-profile pass (r15);
+    // alphabetical language order preserves the original tie-break
+    // (strictly-greater keeps the earlier language, "und" at zero)
+    val langs = langStops.toSeq.sortBy(_._1)
+    val p = TokenSetExprs.tokenProfile(text, langs.map(_._2))
+    val best = langs.zipWithIndex.foldLeft((lit("und"), lit(0L))) {
+      case ((bl, bs), ((lang, _), i)) =>
+        val s = p.getField("hits").getItem(i)
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }._1
     when(cjk * 5 > length(text), lit("zh")).otherwise(best)
   }

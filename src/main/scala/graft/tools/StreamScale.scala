@@ -101,7 +101,29 @@ object StreamScale {
         () => (Streams.contaminationStream(docsStream, bench), OutputMode.Append())),
       ("neardup_gate", docsN,
         () => (Streams.crossNearDedupStream(docsStream, bench), OutputMode.Append()))
-    )
+    ) ++ {
+      // r15: the online SemDeDup gate — every incoming embedding probes
+      // the static IVF reference (cell assignment map-side, anti-join on
+      // the cell). Reference = the corpus itself, so every row scores a
+      // full cell's worth of candidates and drops: the worst-case (most
+      // compute) path for the gate.
+      val emb = graft.Tables.embeddings(spark, src)
+        .select(col("vec_id"), col("embedding"))
+      val embDir = s"$base/emb"
+      emb.repartition(nBatches).write.mode("overwrite").parquet(embDir)
+      val embN = spark.read.parquet(embDir).count()
+      val idx = graft.operators.Similarity.ivfBuild(emb, "embedding",
+        "vec_id", nCentroids = 16)
+      idx.indexed.count() // build outside the timed window, like `bench`
+      val embSchema = spark.read.parquet(embDir).schema
+      Seq(("semdedup_gate", embN, () => (
+        Streams.semDedupGateStream(
+          spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(embSchema).parquet(embDir),
+          idx, "embedding", tau = 2.0), // tau > 1: nothing matches, every
+        // candidate still scores — isolates probe compute from drop-rate
+        OutputMode.Append())))
+    }
 
     val results = surfaces.map { case (name, rows, mk) =>
       val (df, mode) = mk()

@@ -47,6 +47,41 @@ class PropertySpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("property: one-pass token profile == higher-order formulation (r15)") {
+    // adversarial whitespace/unicode coverage: every Java-\s char, unicode
+    // whitespace that \s does NOT match (NBSP, ideographic space), multi-
+    // byte tokens, case folding (incl. İ whose lowering adds a code
+    // point), leading/trailing/multiple separators, empties
+    val tricky = Seq(
+      "", " ", "\t\n\f\r", "the quick  brown\tfox", " the the THE ",
+      "café Über straße", "你好 世界",
+      "a b", "İstanbul IS is", "and\nof\rto\finis",
+      "  x  ", "the", "THE.", "word-with-dash the,comma")
+    val gen = samples(Gen.listOfN(10,
+      Gen.oneOf(word, Gen.oneOf(tricky), sentence)).map(_.mkString(" ")), 40)
+    val data = (tricky ++ gen).toDF("s")
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is")
+    // higher-order reference semantics, computed in the same job
+    val toks = filter(split(lower(col("s")), "\\s+"), t => length(t) > 0)
+    val rows = data.select(
+        tokenCount(col("s")).as("fast_n"),
+        size(toks).cast("long").as("ref_n"),
+        stopwordPerMille(col("s"), stops).as("fast_stop"),
+        when(size(toks) === 0, 0L).otherwise(floor(
+          size(filter(toks, t => array_contains(lit(stops.toArray), t)))
+            .cast("long") * 1000 / size(toks))).cast("long").as("ref_stop"),
+        meanTokenLenPerMille(col("s")).as("fast_len"),
+        when(size(toks) === 0, 0L).otherwise(floor(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 1000
+            / size(toks))).cast("long").as("ref_len"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == r.getLong(1), s"token count diverged at row $i: $r")
+      assert(r.getLong(2) == r.getLong(3), s"stopword pm diverged at row $i: $r")
+      assert(r.getLong(4) == r.getLong(5), s"mean len pm diverged at row $i: $r")
+    }
+  }
+
   test("property: splitSelect matches Scala split semantics incl. missing idx") {
     val data = samples(Gen.listOfN(4, word).map(_.mkString("#")))
     for (idx <- Seq(0, 2, 9)) {
