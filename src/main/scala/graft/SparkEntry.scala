@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.defs ++ TransformerQueries.defs ++ DocumentQueries.defs ++
       MiscQueries.defs ++ SourceQueries.defs ++ AnalyticsQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ RetrievalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -964,4 +964,96 @@ object Corpus {
         graft.functions.QualityModelFns.score(col(textCol), model))
       .orderBy(col("dsir_score").desc, col(idCol).asc)
       .limit(k)
+
+  /** Top-`k` within-document co-occurring token pairs by pointwise mutual
+    * information over a bounded vocabulary — the association-statistics
+    * report (word2vec's signal, collocation mining, topic diagnostics) a
+    * curation pipeline runs next to [[topNgrams]]' raw frequency view.
+    *
+    * Vocabulary: the `vocabSize` most document-frequent tokens (df DESC,
+    * token ASC — deterministic). PMI = log(N * c_xy / (c_x * c_y)); log is
+    * monotone, so pairs RANK by the exact rational argument and the
+    * ranking replays in any engine as one IEEE multiply/divide chain over
+    * integer counts ((c_xy * N) / (c_x * c_y), ties on the pair text).
+    * Output is integer-exact: (tok_a, tok_b, c_xy, c_x, c_y, rk).
+    *
+    * 100 TB shape: the vocab table is `vocabSize` rows and BROADCASTS (its
+    * ranking window is global but runs over distinct terms); per-document
+    * vocab-token sets build in one keyed aggregate bounded by `vocabSize`
+    * elements; pairs explode MAP-SIDE from the sorted per-doc array (never
+    * a doc-keyed self-join shuffle); the pair count is one
+    * partial-combined aggregate over at most vocabSize² keys; the final
+    * cut is TakeOrderedAndProject.
+    */
+  def pmiTopPairs(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int, k: Int, minTokenLen: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(lower(col(textCol)), "[^a-z]+"))).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+    val dfT = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val vocab = dfT.withColumn("vrk",
+        row_number().over(Window.orderBy(col("df").desc, col("token").asc)))
+      .filter(col("vrk") <= vocabSize)
+      .select(col("token"), col("df"))
+    val nDocs = tok.select(count_distinct(col("doc_id")).as("n_docs"))
+    val perDoc = tok.join(broadcast(vocab.select("token")), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("token"))).as("toks"))
+    val pairs = perDoc
+      .select(col("doc_id"), explode(col("toks")).as("tok_a"), col("toks"))
+      .select(col("doc_id"), col("tok_a"), explode(col("toks")).as("tok_b"))
+      .filter(col("tok_a") < col("tok_b"))
+    val cxy = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_xy"))
+    val withMarginals = cxy
+      .join(broadcast(vocab.select(col("token").as("tok_a"), col("df").as("c_x"))), "tok_a")
+      .join(broadcast(vocab.select(col("token").as("tok_b"), col("df").as("c_y"))), "tok_b")
+      .crossJoin(broadcast(nDocs))
+    val pmiArg = (col("c_xy").cast(org.apache.spark.sql.types.DoubleType) * col("n_docs")) /
+      (col("c_x").cast(org.apache.spark.sql.types.DoubleType) * col("c_y"))
+    withMarginals
+      .orderBy(pmiArg.desc, col("tok_a").asc, col("tok_b").asc).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(pmiArg.desc, col("tok_a").asc, col("tok_b").asc))
+        .cast(LongType))
+      .select("tok_a", "tok_b", "c_xy", "c_x", "c_y", "rk")
+  }
+
+  /** EXACT context-window tiling of a token stream (the GPT-style
+    * concat-then-slice step [[packSequences]] deliberately stops short of):
+    * within each group, documents concatenate in `orderCol` order and the
+    * stream slices into windows of exactly `budget` tokens — a document
+    * STRADDLING a boundary is split, and each output row is one
+    * (sequence, document) slice carrying where the slice starts in the
+    * document (`doc_off`), where it lands in the sequence (`seq_off`) and
+    * how many tokens it contributes (`take_n`). Every sequence except a
+    * group's last therefore sums to exactly `budget` tokens with no gaps:
+    * the invariants `sum(take_n) over doc == doc's token count` and
+    * `sum(take_n) over (group, seq) == budget` (last seq ≤) are what specs
+    * pin. Pure integer arithmetic end to end.
+    *
+    * 100 TB shape: one running-sum window per group (groups partition the
+    * work — shard by hash upstream for parallelism), then a map-side
+    * explode of each document over the ≤ 1 + len/budget windows it spans.
+    * No joins, no second shuffle; long division (`div`) keeps the window
+    * ids exact where a double floor would lose precision past 2^53.
+    */
+  def packChunks(df: DataFrame, groupCol: String, orderCol: String,
+                 tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokenCol) > 0)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("__start", col("__cum") - col(tokenCol))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__start div $budget"),
+          expr(s"(__cum - 1) div $budget"))))
+      .withColumn("__s", greatest(col("__start"), col("seq_id") * budget))
+      .withColumn("__e", least(col("__cum"), (col("seq_id") + 1) * budget))
+      .select(col(groupCol), col("seq_id").cast(LongType).as("seq_id"),
+        col(orderCol),
+        (col("__s") - col("__start")).cast(LongType).as("doc_off"),
+        (col("__s") - col("seq_id") * budget).cast(LongType).as("seq_off"),
+        (col("__e") - col("__s")).cast(LongType).as("take_n"))
+  }
 }

@@ -77,17 +77,221 @@ object Multimodal {
       }.toDF("id", "counts", "n_bytes")
   }
 
-  /** STUB — pixel decode. The plumbing contract: binary in, H×W×C float
-    * tensor (flattened) out. No codec library is available in this build;
-    * wire an actual decoder here in production. Header-level decode —
-    * format, dimensions, bit depth — is NOT stubbed: [[decodeHeader]] is a
-    * real pure-JDK parser.
+  /** A decoded raster: geometry plus the flattened H×W×C pixel bytes in
+    * row-major, channel-interleaved order (the PNG wire order).
+    */
+  final case class Raster(width: Int, height: Int, channels: Int,
+                          pixels: Array[Byte])
+
+  /** REAL pixel decode for PNG (r15 — retires the pixel-level stub for the
+    * one format the JDK can decompress without a codec library): full
+    * ISO/IEC 15948 chunk walk (IHDR geometry, concatenated IDAT streams,
+    * IEND), zlib inflate via `java.util.zip.Inflater`, and per-scanline
+    * UNFILTERING of all five filter types (None/Sub/Up/Average/Paeth,
+    * §9.2) — the actual reconstruction arithmetic, not a header peek.
+    * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    * non-interlaced. Anything else — and any truncated, oversized-length,
+    * or length-mismatched stream — returns None rather than a torn raster.
+    * JPEG/video stay header-only ([[decodeHeader]]): entropy decoding
+    * needs a codec library this container doesn't ship.
+    */
+  def decodePng(b: Array[Byte]): Option[Raster] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 || sig.indices.exists(i => u8(i) != sig(i))) return None
+    var i = 8
+    var w = 0; var h = 0; var depth = -1; var colorType = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end) {
+      if (i + 8 > b.length) return None // chunk header truncated
+      val len = be32(i)
+      if (len < 0 || i.toLong + 12L + len > b.length) return None
+      val typ = (u8(i + 4) << 24) | (u8(i + 5) << 16) | (u8(i + 6) << 8) | u8(i + 7)
+      typ match {
+        case 0x49484452 => // IHDR
+          if (len < 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          depth = u8(i + 16); colorType = u8(i + 17); interlace = u8(i + 20)
+        case 0x49444154 => idat.write(b, i + 8, len) // IDAT
+        case 0x49454e44 => end = true                // IEND
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (depth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    val stride = w * ch
+    val rawLen = h * (stride + 1) // one filter byte per scanline
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        if (n == 0 && inf.needsInput()) return None // stream short
+        got += n
+      }
+      // a longer-than-geometry stream is as corrupt as a shorter one
+      if (got != rawLen || inf.inflate(new Array[Byte](1)) != 0) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val out = new Array[Byte](h * stride)
+    @inline def paeth(a: Int, u: Int, c: Int): Int = {
+      val p = a + u - c
+      val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+    }
+    var r = 0
+    while (r < h) {
+      val filter = raw(r * (stride + 1)) & 0xff
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
+        val up = if (r > 0) out(dst - stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + paeth(left, up, ul)
+          case _ => return None
+        }
+        out(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(Raster(w, h, ch, out))
+  }
+
+  /** Encode a raster as a minimal valid PNG (filter 0 scanlines, one
+    * deflated IDAT, CRC-32 per chunk) — the fixture/round-trip counterpart
+    * of [[decodePng]], also pure JDK (`Deflater`/`CRC32`).
+    */
+  def encodePng(img: Raster): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height * img.channels,
+      s"pixel buffer ${img.pixels.length} != w*h*c")
+    val colorType = img.channels match {
+      case 1 => 0; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"unsupported channels $c")
+    }
+    val stride = img.width * img.channels
+    val raw = new Array[Byte](img.height * (stride + 1))
+    var r = 0
+    while (r < img.height) {
+      // raw(r*(stride+1)) stays 0: filter type None
+      System.arraycopy(img.pixels, r * stride, raw, r * (stride + 1) + 1, stride)
+      r += 1
+    }
+    val comp = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(img.width) ++ be32(img.height) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    chunk("IDAT", comp)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A decoded PCM clip: format fields plus the interleaved 16-bit samples. */
+  final case class PcmClip(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** REAL audio decode for WAV/PCM (r15): RIFF/WAVE chunk walk, `fmt `
+    * validation (format tag 1 = linear PCM, 16-bit), little-endian sample
+    * extraction from `data`. A truncated data chunk, a non-PCM format tag
+    * or a non-16-bit depth returns None — never a torn clip. Compressed
+    * audio stays out of scope for the same no-codec-library reason as
+    * JPEG.
+    */
+  def decodeWav(b: Array[Byte]): Option[PcmClip] = {
+    @inline def u8(i: Int): Int = b(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false; var rate = 0; var nCh = 0
+    var samples: Array[Short] = null
+    while (i + 8 <= b.length && samples == null) {
+      val len = le32(i + 4)
+      if (len < 0 || i.toLong + 8L + len > b.length) return None
+      if (tag(i, "fmt ")) {
+        if (len < 16) return None
+        val audioFormat = le16(i + 8)
+        nCh = le16(i + 10); rate = le32(i + 12)
+        val bits = le16(i + 22)
+        if (audioFormat != 1 || bits != 16 || nCh <= 0) return None
+        fmtOk = true
+      } else if (tag(i, "data")) {
+        if (!fmtOk || len % 2 != 0) return None
+        val n = len / 2
+        val s = new Array[Short](n)
+        var j = 0
+        while (j < n) { s(j) = le16(i + 8 + 2 * j).toShort; j += 1 }
+        samples = s
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (samples == null) None else Some(PcmClip(rate, nCh, samples))
+  }
+
+  /** Encode 16-bit PCM as a minimal canonical WAV — the fixture/round-trip
+    * counterpart of [[decodeWav]].
+    */
+  def encodeWav(clip: PcmClip): Array[Byte] = {
+    val dataLen = clip.samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(clip.channels.toShort).putInt(clip.sampleRate)
+      .putInt(clip.sampleRate * clip.channels * 2)
+      .putShort((clip.channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    clip.samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Pixel decode in the plumbing contract's shape — binary in, flattened
+    * H×W×C float tensor out (channel values scaled to [0,1]) — REAL for
+    * PNG via [[decodePng]]; other formats still require a codec library.
     */
   def decodePixels(bin: Array[Byte]): Array[Float] =
-    throw new UnsupportedOperationException(
-      "pixel decode requires an image codec library, none ships in this " +
-        "container; byteHistogram demonstrates the identical partition/batch " +
-        "plumbing with a codec-free feature")
+    decodePng(bin) match {
+      case Some(img) => img.pixels.map(p => (p & 0xff) / 255.0f)
+      case None => throw new UnsupportedOperationException(
+        "pixel decode is implemented pure-JDK for PNG only; other codecs " +
+          "don't ship in this container")
+    }
 
   /** REAL header decode (r15 — retires the SURVEY §2e "decode stubbed"
     * note at the metadata level): parse the container header of an opaque

@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Corpus, Retrieval}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 retrieval surfaces: BM25 ranking, hybrid reciprocal-rank
+  * fusion, PMI co-occurrence statistics, and exact context-window packing —
+  * the corpus-search and sequence-composition steps of an LLM data
+  * pipeline, each with an exact DuckDB oracle.
+  *
+  * Exactness per SURVEY §6: ranking scores are IEEE double `+ - * /` chains
+  * over integer aggregates with the SAME literals and operation tree on
+  * both engines (derived constants like k1·b are computed once in Scala and
+  * INTERPOLATED into the SQL — 1.2*0.75 re-derived in SQL rounds
+  * differently from the shared literal); cross-term sums fold in fixed
+  * order, never through a float SUM aggregate. Hashes carry only integer
+  * and string columns.
+  */
+object RetrievalQueries {
+
+  // shared tokenizer fragment (the d_tfidf twin)
+  private val tokSql =
+    """tok AS (
+      | SELECT doc_id, t AS token FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+      |  FROM documents)
+      | WHERE length(t) >= 3)""".stripMargin
+
+  // BM25 constants: computed ONCE here, interpolated into both engines.
+  private val K1 = 1.2
+  private val B = 0.75
+  private val K1p1 = K1 + 1.0
+  private val K1omb = K1 * (1.0 - B)
+  private val K1b = K1 * B
+
+  // Query terms: df ranks 11..13 — mid-frequency on the synthetic corpus's
+  // 30-token template vocabulary (measured: df dense around rank 10-20 at
+  // every SF, ties broken by token text).
+  private val QOffset = 10
+  private val QTerms = 3
+  private val qranks = (QOffset + 1) to (QOffset + QTerms)
+
+  private def lexBase(spark: SparkSession, dir: String) = {
+    val stats = Retrieval.lexStats(Tables.documents(spark, dir), "doc_id", "text")
+    val qterms = Retrieval.queryTermsByDf(stats.df, QTerms, QOffset)
+    (stats, qterms)
+  }
+
+  private val lexBaseSql =
+    s"""$tokSql,
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |tf AS (
+       | SELECT doc_id, token, tf,
+       |  CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+       | FROM tf0),
+       |docfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(tf) AS total_tok FROM tf0),
+       |qt AS (
+       | SELECT token, df, qrank FROM (
+       |  SELECT token, df,
+       |   ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS qrank
+       |  FROM docfreq) r
+       | WHERE qrank > $QOffset AND qrank <= ${QOffset + QTerms})""".stripMargin
+
+  // per-(doc, query-term) BM25 contribution — the EXACT operation tree of
+  // Retrieval.bm25PerTerm with the Scala-computed coefficients inlined
+  private val bm25ScoredSql =
+    s"""bscored AS (
+       | SELECT tf.doc_id, qt.qrank, tf.tf, tf.dl,
+       |  (((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf AS DOUBLE) * CAST('$K1p1' AS DOUBLE))
+       |      / ((CAST(tf AS DOUBLE) + CAST('$K1omb' AS DOUBLE))
+       |         + (CAST('$K1b' AS DOUBLE) * CAST(dl AS DOUBLE))
+       |           / (CAST(total_tok AS DOUBLE) / n_docs)))) AS s
+       | FROM tf JOIN qt USING (token) CROSS JOIN tot)""".stripMargin
+
+  private def pivotSql(src: String, name: String): String = {
+    val cols = qranks.map(q =>
+      s"MAX(CASE WHEN qrank = $q THEN s END) AS s_$q, " +
+      s"MAX(CASE WHEN qrank = $q THEN tf END) AS tf0_$q").mkString(",\n  ")
+    val score = qranks.map(q => s"COALESCE(s_$q, CAST(0 AS DOUBLE))")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""${name}0 AS (
+       | SELECT doc_id,
+       |  $cols,
+       |  MAX(dl) AS dl
+       | FROM $src GROUP BY 1),
+       |$name AS (
+       | SELECT doc_id,
+       |  ${qranks.map(q => s"CAST(COALESCE(tf0_$q, 0) AS BIGINT) AS tf_$q").mkString(", ")},
+       |  dl, $score AS score
+       | FROM ${name}0)""".stripMargin
+  }
+
+  // ------------------------------------------------------------- d_bm25
+  // Okapi BM25 top-20 for the corpus-derived 3-term query. The idf ships in
+  // its log-free odds form (Retrieval.bm25PerTerm logIdf=false) so the
+  // entire score is a replayable double chain; ranks and the integer stats
+  // (per-term tf, dl) reach the hash, the score itself never does.
+  private def dBm25(spark: SparkSession, dir: String): DataFrame = {
+    val (stats, qterms) = lexBase(spark, dir)
+    val perTerm = Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false)
+    val fused = Retrieval.fuseFixedOrder(perTerm, qranks)
+    Retrieval.topK(fused, 20)
+      .select(col("doc_id") +: qranks.map(q => col(s"tf_$q")) :+ col("dl") :+ col("rk"): _*)
+  }
+
+  private val dBm25Sql =
+    s"""WITH $lexBaseSql,
+       |$bm25ScoredSql,
+       |${pivotSql("bscored", "bpiv")}
+       |SELECT doc_id, ${qranks.map(q => s"tf_$q").mkString(", ")}, dl,
+       | CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |FROM bpiv QUALIFY rk <= 20""".stripMargin
+
+  // ------------------------------------------------------- d_rrf_fusion
+  // Hybrid retrieval: BM25 top-50 ⊕ query-likelihood-LM top-50 via
+  // reciprocal-rank fusion (k=60). Both rankers run over the shared lexical
+  // statistics; the fusion arithmetic is two IEEE divisions and one add per
+  // document, over EXACT integer ranks — absent-from-list contributes 0.
+  private def dRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val (stats, qterms) = lexBase(spark, dir)
+    val bm25 = Retrieval.topK(
+      Retrieval.fuseFixedOrder(
+        Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false), qranks), 50)
+    val ql = Retrieval.topK(
+      Retrieval.fuseFixedOrder(Retrieval.qlPerTerm(stats, qterms), qranks), 50)
+    Retrieval.rrfFuse(bm25, ql, kRrf = 60.0, k = 20)
+      .select("doc_id", "r_a", "r_b", "rk")
+  }
+
+  private val dRrfFusionSql =
+    s"""WITH $lexBaseSql,
+       |$bm25ScoredSql,
+       |qscored AS (
+       | SELECT tf.doc_id, qt.qrank, tf.tf, tf.dl,
+       |  (CAST(tf AS DOUBLE) / dl) AS s
+       | FROM tf JOIN qt USING (token)),
+       |${pivotSql("bscored", "bpiv")},
+       |${pivotSql("qscored", "qpiv")},
+       |ra AS (
+       | SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_a
+       | FROM bpiv QUALIFY r_a <= 50),
+       |rb AS (
+       | SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_b
+       | FROM qpiv QUALIFY r_b <= 50),
+       |fused AS (
+       | SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+       |  CAST(COALESCE(r_a, 0) AS BIGINT) AS r_a,
+       |  CAST(COALESCE(r_b, 0) AS BIGINT) AS r_b,
+       |  ((CASE WHEN r_a IS NULL THEN CAST(0 AS DOUBLE)
+       |         ELSE 1.0 / (60.0 + CAST(r_a AS DOUBLE)) END)
+       |   + (CASE WHEN r_b IS NULL THEN CAST(0 AS DOUBLE)
+       |           ELSE 1.0 / (60.0 + CAST(r_b AS DOUBLE)) END)) AS score
+       | FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+       |SELECT doc_id, r_a, r_b,
+       | CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |FROM fused QUALIFY rk <= 20""".stripMargin
+
+  // ----------------------------------------------------- d_cooccur_pmi
+  // Top-30 within-document co-occurring pairs over the 16 most
+  // document-frequent tokens, ranked by the PMI argument
+  // (c_xy·N)/(c_x·c_y) — log is monotone, so the rational argument ranks
+  // identically and replays as one double multiply/divide chain. Integer
+  // counts and ranks reach the hash.
+  private def dCooccurPmi(spark: SparkSession, dir: String): DataFrame =
+    Corpus.pmiTopPairs(Tables.documents(spark, dir), "doc_id", "text",
+      vocabSize = 16, k = 30)
+
+  private val dCooccurPmiSql =
+    s"""WITH $tokSql,
+       |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+       |docfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM dtok GROUP BY 1),
+       |vocab AS (
+       | SELECT token, df FROM (
+       |  SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS vrk
+       |  FROM docfreq) r
+       | WHERE vrk <= 16),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dtok),
+       |keep AS (SELECT doc_id, dtok.token FROM dtok JOIN vocab USING (token)),
+       |pairs AS (
+       | SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS c_xy
+       | FROM keep a JOIN keep b
+       |   ON a.doc_id = b.doc_id AND a.token < b.token
+       | GROUP BY 1, 2),
+       |m AS (
+       | SELECT tok_a, tok_b, c_xy, va.df AS c_x, vb.df AS c_y,
+       |  ((CAST(c_xy AS DOUBLE) * n_docs) / (CAST(va.df AS DOUBLE) * vb.df)) AS arg
+       | FROM pairs
+       | JOIN vocab va ON va.token = tok_a
+       | JOIN vocab vb ON vb.token = tok_b
+       | CROSS JOIN nd)
+       |SELECT tok_a, tok_b, c_xy, c_x, c_y,
+       | CAST(ROW_NUMBER() OVER (ORDER BY arg DESC, tok_a ASC, tok_b ASC) AS BIGINT) AS rk
+       |FROM m QUALIFY rk <= 30""".stripMargin
+
+  // ---------------------------------------------------- d_pack_chunks
+  // Exact context-window tiling at 512 tokens per sequence (per source, in
+  // doc_id order): straddling documents SPLIT across windows, each output
+  // row one (sequence, document) slice with doc_off / seq_off / take_n.
+  // Complements d_token_pack's bin-assignment view; pure integer
+  // arithmetic, long division — replayable at any precision.
+  private def dPackChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Corpus.packChunks(t, "source", "doc_id", "n_tokens", budget = 512L)
+  }
+
+  private val dPackChunksSql =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      | FROM t WHERE n_tokens > 0),
+      |e AS (
+      | SELECT source, doc_id, cum, cum - n_tokens AS strt,
+      |  unnest(generate_series((cum - n_tokens) // 512, (cum - 1) // 512)) AS seq_id
+      | FROM c)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+      | CAST(GREATEST(strt, seq_id * 512) - strt AS BIGINT) AS doc_off,
+      | CAST(GREATEST(strt, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+      | CAST(LEAST(cum, (seq_id + 1) * 512) - GREATEST(strt, seq_id * 512) AS BIGINT) AS take_n
+      |FROM e""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_bm25", dBm25, Some(dBm25Sql)),
+    QueryDef("d_rrf_fusion", dRrfFusion, Some(dRrfFusionSql)),
+    QueryDef("d_cooccur_pmi", dCooccurPmi, Some(dCooccurPmiSql)),
+    QueryDef("d_pack_chunks", dPackChunks, Some(dPackChunksSql))
+  )
+}
