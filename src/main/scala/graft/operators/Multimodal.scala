@@ -293,6 +293,67 @@ object Multimodal {
           "don't ship in this container")
     }
 
+  /** Batched PNG pixel-level screening: decode each payload with
+    * [[decodePng]] and report integer raster statistics — geometry plus
+    * per-channel pixel sums (first three channels; -1 where absent), with
+    * ok=0 / all -1 for payloads that fail the full decode (truncation,
+    * bad filter, length-mismatched zlib stream). The per-partition batched
+    * iteration is the vectorized-decoder shape; only fixed-width stats
+    * leave the task, never pixel buffers.
+    */
+  def pngStats(df: DataFrame, binCol: String, idCol: String,
+               batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+          decodePng(bytes) match {
+            case Some(img) =>
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < img.pixels.length) {
+                val c = i % img.channels
+                if (c < 3) sums(c) += img.pixels(i) & 0xff
+                i += 1
+              }
+              (id, 1L, img.width.toLong, img.height.toLong, img.channels.toLong,
+                if (img.channels > 0) sums(0) else -1L,
+                if (img.channels > 1) sums(1) else -1L,
+                if (img.channels > 2) sums(2) else -1L)
+            case None => (id, 0L, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        })
+      }.toDF("id", "ok", "width", "height", "channels", "sum_c0", "sum_c1", "sum_c2")
+  }
+
+  /** Batched WAV/PCM screening: decode each payload with [[decodeWav]] and
+    * report integer clip statistics — format fields, sample count, total
+    * and peak absolute amplitude (the silence/clipping screens an audio
+    * curation pass runs) — with ok=0 / all -1 for undecodable payloads.
+    */
+  def wavStats(df: DataFrame, binCol: String, idCol: String,
+               batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+          decodeWav(bytes) match {
+            case Some(clip) =>
+              var sumAbs = 0L; var maxAbs = 0L
+              clip.samples.foreach { s =>
+                val a = math.abs(s.toLong)
+                sumAbs += a; if (a > maxAbs) maxAbs = a
+              }
+              (id, 1L, clip.sampleRate.toLong, clip.channels.toLong,
+                clip.samples.length.toLong, sumAbs, maxAbs)
+            case None => (id, 0L, -1L, -1L, -1L, -1L, -1L)
+          }
+        })
+      }.toDF("id", "ok", "sample_rate", "channels", "n_samples", "sum_abs", "max_abs")
+  }
+
   /** REAL header decode (r15 — retires the SURVEY §2e "decode stubbed"
     * note at the metadata level): parse the container header of an opaque
     * media payload with pure JDK byte arithmetic — no codec library — and

@@ -318,6 +318,117 @@ object MiscQueries {
       |FROM orders ASOF JOIN e
       | ON o_custkey = user_id AND o_orderdate <= e.ts""".stripMargin
 
+  // ------------------------------------------------- m_multimodal_pixels
+  // REAL pixel decode (r15 — the pixel-level companion to
+  // m_multimodal_decode's header walk): the fixture ENCODES a genuine PNG
+  // per document (Multimodal.encodePng: deflated IDAT, CRC-32 chunks) whose
+  // pixel values derive from doc_id arithmetic, and the query must decode
+  // it back — signature, chunk walk, Inflater, scanline unfiltering —
+  // to report integer raster stats. DuckDB replays the planted pixel
+  // function over generate_series without ever touching PNG bytes, so any
+  // decoder defect (wrong stride, filter, channel order, inflate slip)
+  // breaks the hash. The doc_id % 7 == 3 leg truncates the payload to 20
+  // bytes, pinning the corrupt → ok=0/-1 contract.
+  private def mPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val w = (8 + id % 5).toInt; val h = (6 + id % 3).toInt
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            px((y * w + x) * 3 + c) =
+              ((id * 5 + x * 3 + y * 7 + c * 11) % 256).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = Multimodal.encodePng(Multimodal.Raster(w, h, 3, px))
+      (id, if (id % 7 == 3) bytes.take(20) else bytes)
+    }).toDF("doc_id", "payload")
+    Multimodal.pngStats(payloads, "payload", "doc_id")
+      .select(col("id").as("doc_id"), col("ok"), col("width"), col("height"),
+        col("channels"), col("sum_c0"), col("sum_c1"), col("sum_c2"))
+  }
+
+  private val mPixelsSql =
+    """WITH g AS (
+      | SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+      |  doc_id % 7 = 3 AS corrupt
+      | FROM documents WHERE doc_id < 300),
+      |px AS (
+      | SELECT doc_id, w, unnest(generate_series(0, w*h - 1)) AS p
+      | FROM g WHERE NOT corrupt),
+      |s AS (
+      | SELECT doc_id,
+      |  SUM((doc_id*5 + (p % w)*3 + (p // w)*7) % 256) AS s0,
+      |  SUM((doc_id*5 + (p % w)*3 + (p // w)*7 + 11) % 256) AS s1,
+      |  SUM((doc_id*5 + (p % w)*3 + (p // w)*7 + 22) % 256) AS s2
+      | FROM px GROUP BY 1)
+      |SELECT g.doc_id,
+      | CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS ok,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE w END AS BIGINT) AS width,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE h END AS BIGINT) AS height,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE 3 END AS BIGINT) AS channels,
+      | CAST(COALESCE(s0, -1) AS BIGINT) AS sum_c0,
+      | CAST(COALESCE(s1, -1) AS BIGINT) AS sum_c1,
+      | CAST(COALESCE(s2, -1) AS BIGINT) AS sum_c2
+      |FROM g LEFT JOIN s USING (doc_id)""".stripMargin
+
+  // -------------------------------------------------- m_multimodal_audio
+  // REAL audio decode (r15): the fixture encodes genuine 16-bit PCM WAV
+  // containers (Multimodal.encodeWav) with doc_id-derived sample rate,
+  // length and waveform; the query decodes them back (RIFF chunk walk,
+  // fmt validation, little-endian sample extraction) and reports the
+  // silence/clipping screens — total and peak absolute amplitude — that
+  // DuckDB replays arithmetically. The doc_id % 11 == 5 leg drops the
+  // last 3 bytes so the data chunk's declared length overruns the
+  // payload, pinning the truncated → ok=0/-1 contract.
+  private def mAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val n = (64 + id % 32).toInt
+      val samples = Array.tabulate(n)(i => ((id * 31 + i * 17) % 4096 - 2048).toShort)
+      val bytes = Multimodal.encodeWav(Multimodal.PcmClip(rate, 1, samples))
+      (id, if (id % 11 == 5) bytes.dropRight(3) else bytes)
+    }).toDF("doc_id", "payload")
+    Multimodal.wavStats(payloads, "payload", "doc_id")
+      .select(col("id").as("doc_id"), col("ok"), col("sample_rate"),
+        col("channels"), col("n_samples"), col("sum_abs"), col("max_abs"))
+  }
+
+  private val mAudioSql =
+    """WITH g AS (
+      | SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate, 64 + doc_id % 32 AS n,
+      |  doc_id % 11 = 5 AS corrupt
+      | FROM documents WHERE doc_id < 300),
+      |sm AS (
+      | SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+      | FROM g WHERE NOT corrupt),
+      |s AS (
+      | SELECT doc_id,
+      |  SUM(ABS((doc_id*31 + i*17) % 4096 - 2048)) AS sa,
+      |  MAX(ABS((doc_id*31 + i*17) % 4096 - 2048)) AS ma
+      | FROM sm GROUP BY 1)
+      |SELECT g.doc_id,
+      | CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS ok,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE rate END AS BIGINT) AS sample_rate,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE 1 END AS BIGINT) AS channels,
+      | CAST(CASE WHEN corrupt THEN -1 ELSE n END AS BIGINT) AS n_samples,
+      | CAST(COALESCE(sa, -1) AS BIGINT) AS sum_abs,
+      | CAST(COALESCE(ma, -1) AS BIGINT) AS max_abs
+      |FROM g LEFT JOIN s USING (doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
     QueryDef("q26_asof_forward", qAsofForward, Some(qAsofForwardSql)),
@@ -329,6 +440,8 @@ object MiscQueries {
     QueryDef("t_transcode", tTranscode, Some(tTranscodeSql)),
     QueryDef("m_multimodal_feat", mFeatures, Some(mFeaturesSql)),
     QueryDef("m_multimodal_sample", mSample, Some(mSampleSql)),
-    QueryDef("m_multimodal_decode", mDecode, Some(mDecodeSql))
+    QueryDef("m_multimodal_decode", mDecode, Some(mDecodeSql)),
+    QueryDef("m_multimodal_pixels", mPixels, Some(mPixelsSql)),
+    QueryDef("m_multimodal_audio", mAudio, Some(mAudioSql))
   )
 }

@@ -228,10 +228,42 @@ object RetrievalQueries {
       | CAST(LEAST(cum, (seq_id + 1) * 512) - GREATEST(strt, seq_id * 512) AS BIGINT) AS take_n
       |FROM e""".stripMargin
 
+  // ------------------------------------------------------------- s_pack
+  // CONTINUOUS sequence packing under the hash gate: the staged corpus
+  // streams through Streams.packStream (stateful flatMapGroupsWithState —
+  // the open context window rides keyed state) into a parquet sink, one
+  // deterministic drain (all staged files in one batch, per-source doc_id
+  // order inside it), and the final table must equal the BATCH tiling —
+  // the oracle is d_pack_chunks' SQL verbatim. Cross-batch carry is pinned
+  // separately in StreamingSpec's two-drain parity test.
+  private def sPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val in = SourceQueries.cachedArtifact("packin", dir) { out =>
+      t.write.mode("overwrite").parquet(out)
+    }
+    val rep = java.nio.file.Files.createTempDirectory("graft_packgate")
+    graft.TempFiles.cleanupAtExit(rep)
+    implicit val s: SparkSession = spark
+    val stream = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+    val q = graft.streaming.Streams.packStream(stream, budget = 512L)
+      .toDF()
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", rep.toString + "/r")
+      .option("checkpointLocation", rep.toString + "/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+      .select("source", "seq_id", "doc_id", "doc_off", "seq_off", "take_n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d_bm25", dBm25, Some(dBm25Sql)),
     QueryDef("d_rrf_fusion", dRrfFusion, Some(dRrfFusionSql)),
     QueryDef("d_cooccur_pmi", dCooccurPmi, Some(dCooccurPmiSql)),
-    QueryDef("d_pack_chunks", dPackChunks, Some(dPackChunksSql))
+    QueryDef("d_pack_chunks", dPackChunks, Some(dPackChunksSql)),
+    QueryDef("s_pack", sPack, Some(dPackChunksSql))
   )
 }

@@ -404,6 +404,52 @@ object Streams {
       }
   }
 
+  case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+  case class PackState(seq_id: Long, used: Long)
+  case class PackSlice(source: String, seq_id: Long, doc_id: Long,
+                       doc_off: Long, seq_off: Long, take_n: Long)
+
+  /** CONTINUOUS sequence packing — the streaming face of
+    * [[graft.operators.Corpus.packChunks]]: incoming documents tile into
+    * exact `budget`-token context windows per source, and the OPEN window
+    * (sequence id + tokens used) carries across micro-batches in keyed
+    * state, so a sequence can span a batch boundary without gaps or
+    * padding. Each output row is one (sequence, document) slice with
+    * doc_off / seq_off / take_n; every closed sequence holds exactly
+    * `budget` tokens.
+    *
+    * Determinism contract: within a batch, each source's documents pack in
+    * doc_id order (the batch buffer holds only (source, id, n_tokens)
+    * triples — never text); batch BOUNDARIES must be deterministic by
+    * construction (one drain per staged file set, or all-at-once — the r13
+    * FileStreamSource rule). Zero-token documents emit nothing. State is
+    * two longs per source — O(#sources), unbounded corpus.
+    */
+  def packStream(docs: DataFrame, budget: Long)
+                (implicit spark: SparkSession): Dataset[PackSlice] = {
+    import spark.implicits._
+    require(budget > 0, s"token budget must be positive, got $budget")
+    docs.selectExpr("source", "doc_id", "n_tokens").as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = Seq.newBuilder[PackSlice]
+          rows.filter(_.n_tokens > 0).toSeq.sortBy(_.doc_id).foreach { d =>
+            var off = 0L
+            while (off < d.n_tokens) {
+              val take = math.min(budget - st.used, d.n_tokens - off)
+              out += PackSlice(src, st.seq_id, d.doc_id, off, st.used, take)
+              off += take
+              st = if (st.used + take == budget) PackState(st.seq_id + 1, 0L)
+                   else PackState(st.seq_id, st.used + take)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Continuous parquet sink with checkpointing — the production file-drop
     * shape: exactly-once per file batch, resumable from the checkpoint.
     */

@@ -105,4 +105,131 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0) == ((1L, "png", Some(16), Some(32), Some(1))))
     assert(out(1) == ((2L, "unknown", None, None, None)))
   }
+
+  // ------------------------------------------------ real PNG pixel codec
+
+  private def raster(w: Int, h: Int, ch: Int)(f: (Int, Int, Int) => Int) = {
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px((y * w + x) * ch + c) = f(x, y, c).toByte
+    Multimodal.Raster(w, h, ch, px)
+  }
+
+  test("PNG encode→decode round-trips gray, RGB and RGBA rasters exactly") {
+    for (ch <- Seq(1, 3, 4)) {
+      val img = raster(7, 5, ch)((x, y, c) => (x * 31 + y * 47 + c * 101) % 256)
+      val back = Multimodal.decodePng(Multimodal.encodePng(img))
+      assert(back.nonEmpty, s"channels=$ch")
+      assert(back.get.width == 7 && back.get.height == 5 && back.get.channels == ch)
+      assert(back.get.pixels.toSeq == img.pixels.toSeq, s"channels=$ch")
+    }
+  }
+
+  test("PNG decoder reconstructs all five scanline filter types") {
+    // Hand-build the FILTERED stream (encodePng only emits filter 0): a
+    // 4x5 RGB image where row r uses filter r (None/Sub/Up/Average/Paeth),
+    // then deflate it and wrap in chunks via encodePng's own framing by
+    // splicing the IDAT. Expected pixels derive from the spec recurrences.
+    val w = 4; val h = 5; val ch = 3; val stride = w * ch
+    val expected = new Array[Byte](h * stride)
+    val filtered = new Array[Byte](h * (stride + 1))
+    val rnd = new scala.util.Random(42)
+    for (r <- 0 until h) {
+      filtered(r * (stride + 1)) = r.toByte // filter type = row index
+      for (x <- 0 until stride) {
+        val cur = rnd.nextInt(256)
+        filtered(r * (stride + 1) + 1 + x) = cur.toByte
+        val left = if (x >= ch) expected(r * stride + x - ch) & 0xff else 0
+        val up = if (r > 0) expected((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= ch) expected((r - 1) * stride + x - ch) & 0xff else 0
+        val p = left + up - ul
+        val paeth =
+          if (math.abs(p - left) <= math.abs(p - up) &&
+              math.abs(p - left) <= math.abs(p - ul)) left
+          else if (math.abs(p - up) <= math.abs(p - ul)) up else ul
+        val v = r match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + paeth
+        }
+        expected(r * stride + x) = (v & 0xff).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    // frame: signature + IHDR + custom IDAT + IEND (reuse encodePng's CRC math
+    // by building a same-geometry shell and replacing its IDAT payload)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk("IDAT", buf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val got = Multimodal.decodePng(out.toByteArray)
+    assert(got.nonEmpty)
+    assert(got.get.pixels.toSeq == expected.toSeq)
+  }
+
+  test("PNG decoder refuses torn payloads instead of returning torn rasters") {
+    val img = raster(6, 4, 3)((x, y, c) => x + y + c)
+    val good = Multimodal.encodePng(img)
+    assert(Multimodal.decodePng(good.take(20)).isEmpty)       // mid-IHDR cut
+    assert(Multimodal.decodePng(good.dropRight(15)).isEmpty)  // IEND gone
+    assert(Multimodal.decodePng(good.take(good.length - 30)).isEmpty)
+    // geometry/stream length mismatch: lie about the height
+    val lying = good.clone()
+    lying(23) = 99.toByte // IHDR height low byte
+    assert(Multimodal.decodePng(lying).isEmpty)
+    // 16-bit depth and interlace are out of scope, not mis-decoded
+    val deep = good.clone(); deep(24) = 16.toByte
+    assert(Multimodal.decodePng(deep).isEmpty)
+  }
+
+  test("WAV encode→decode round-trips PCM samples, rejects truncation") {
+    val samples = Array.tabulate(200)(i => ((i * 37) % 4096 - 2048).toShort)
+    val clip = Multimodal.PcmClip(16000, 2, samples)
+    val bytes = Multimodal.encodeWav(clip)
+    val back = Multimodal.decodeWav(bytes)
+    assert(back.nonEmpty)
+    assert(back.get.sampleRate == 16000 && back.get.channels == 2)
+    assert(back.get.samples.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWav(bytes.dropRight(1)).isEmpty) // data overrun
+    assert(Multimodal.decodeWav(bytes.take(30)).isEmpty)     // no data chunk
+    assert(Multimodal.decodeWav("RIFFxxxx".getBytes).isEmpty)
+    // non-PCM format tag refused
+    val alaw = bytes.clone(); alaw(20) = 6.toByte
+    assert(Multimodal.decodeWav(alaw).isEmpty)
+  }
+
+  test("pngStats / wavStats report exact integer stats with ok=0 for corrupt") {
+    val img = raster(3, 2, 3)((x, y, c) => x * 3 + y * 7 + c * 11)
+    val png = Multimodal.encodePng(img)
+    val pdf = Seq((1L, png), (2L, png.take(10))).toDF("doc_id", "payload")
+    val prows = Multimodal.pngStats(pdf, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val expSum0 = (for (y <- 0 until 2; x <- 0 until 3) yield x * 3 + y * 7).sum
+    assert(prows(1L) == ((1L, 3L, 2L, expSum0.toLong)))
+    assert(prows(2L) == ((0L, -1L, -1L, -1L)))
+    val wav = Multimodal.encodeWav(Multimodal.PcmClip(8000, 1,
+      Array[Short](-5, 3, 0, 2047, -2048)))
+    val adf = Seq((1L, wav), (2L, wav.dropRight(2))).toDF("doc_id", "payload")
+    val arows = Multimodal.wavStats(adf, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(arows(1L) == ((1L, 5L, 5L + 3 + 0 + 2047 + 2048, 2048L)))
+    assert(arows(2L) == ((0L, -1L, -1L, -1L)))
+  }
 }

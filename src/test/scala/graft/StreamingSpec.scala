@@ -837,4 +837,40 @@ class StreamingSpec extends AnyFunSuite {
       .select(countDistinct("user_id")).as[Long].collect()(0)
     assert(out.select("user_id").distinct().count() == users)
   }
+
+  test("packStream carries the open window across micro-batches (packChunks parity)") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val mid = docs.agg(max("doc_id")).as[Long].collect()(0) / 2
+    val inDir = Files.createTempDirectory("packin").toString
+    val outDir = Files.createTempDirectory("packout").toString + "/r"
+    val ckpt = Files.createTempDirectory("packckpt").toString
+    // drop 1: the low half of every source — the open window at its end
+    // must continue, not reset, when drop 2 arrives
+    docs.filter(col("doc_id") < mid).write.mode("append").parquet(inDir)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+    val q = Streams.packStream(stream, budget = 512L).toDF()
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    docs.filter(col("doc_id") >= mid).write.mode("append").parquet(inDir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("source", "seq_id", "doc_id", "doc_off", "seq_off", "take_n")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val want = graft.operators.Corpus
+      .packChunks(docs, "source", "doc_id", "n_tokens", 512L)
+      .select("source", "seq_id", "doc_id", "doc_off", "seq_off", "take_n")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // the carry was real: some sequence at the batch boundary resumed
+    // mid-window (a drop-2 doc landing at a nonzero seq_off it could only
+    // inherit from drop 1's open window)
+    val firstDrop2 = got.filter(r => r._3 >= mid).groupBy(_._1)
+      .map { case (_, rs) => rs.minBy(r => (r._2, r._5)) }
+    assert(firstDrop2.exists(_._5 != 0L))
+  }
 }
