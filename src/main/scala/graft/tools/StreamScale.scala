@@ -95,6 +95,16 @@ object StreamScale {
                OutputMode.Update())),
       ("quality_gate", docsN,
         () => (Streams.qualityGate(docsStream), OutputMode.Append())),
+      // r15: continuous sequence packing — tokenCount is the per-row cost,
+      // the keyed state is two longs per source
+      ("pack", docsN,
+        () => ({ implicit val s: SparkSession = spark
+                 Streams.packStream(
+                   docsStream.select(col("doc_id"), col("source"),
+                     graft.functions.TextFunctions.tokenCount(col("text"))
+                       .as("n_tokens")),
+                   budget = 2048L).toDF() },
+               OutputMode.Append())),
       // Append since r15: the broadcast-index contamination gate is
       // stateless (the old join+aggregation form was Update-only)
       ("contamination", docsN,
