@@ -990,10 +990,10 @@ object Corpus {
     val tok = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(split(lower(col(textCol)), "[^a-z]+"))).as("token"))
       .filter(length(col("token")) >= minTokenLen)
+    // TakeOrdered cut, not a ranking window: a real corpus's vocabulary is
+    // multi-million terms and must never funnel through one partition
     val dfT = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
-    val vocab = dfT.withColumn("vrk",
-        row_number().over(Window.orderBy(col("df").desc, col("token").asc)))
-      .filter(col("vrk") <= vocabSize)
+    val vocab = dfT.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
       .select(col("token"), col("df"))
     val nDocs = tok.select(count_distinct(col("doc_id")).as("n_docs"))
     val perDoc = tok.join(broadcast(vocab.select("token")), "token")

@@ -63,13 +63,16 @@ object Retrieval {
   /** Pick a deterministic multi-term query from the corpus itself: the
     * terms ranked `offset+1 .. offset+nTerms` by (df DESC, token ASC).
     * Self-contained at any scale factor — no fixture vocabulary to ship.
-    * The global ranking window runs over the distinct-TERM table (vocab
-    * scale, not corpus scale).
+    * The cut is orderBy+limit (TakeOrderedAndProject — per-partition heaps
+    * merging offset+nTerms rows on the driver), so a real corpus's
+    * multi-million-term vocabulary never funnels through a single-partition
+    * ranking window; the row_number then runs over ≤ offset+nTerms rows.
     */
   def queryTermsByDf(dfTable: DataFrame, nTerms: Int, offset: Int): DataFrame =
-    dfTable.withColumn("qrank",
+    dfTable.orderBy(col("df").desc, col("token").asc).limit(offset + nTerms)
+      .withColumn("qrank",
         row_number().over(Window.orderBy(col("df").desc, col("token").asc)))
-      .filter(col("qrank") > offset && col("qrank") <= offset + nTerms)
+      .filter(col("qrank") > offset)
       .select(col("token"), col("df"), col("qrank"))
 
   /** Per-(document, query-term) BM25 contribution.
