@@ -96,6 +96,7 @@ object Multimodal {
     * needs a codec library this container doesn't ship.
     */
   def decodePng(b: Array[Byte]): Option[Raster] = {
+    if (b == null) return None
     @inline def u8(i: Int): Int = b(i) & 0xff
     @inline def be32(i: Int): Int =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -125,6 +126,12 @@ object Multimodal {
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
     }
+    // decompression-bomb guard: refuse geometries whose raster cannot be a
+    // JVM array (and, long before that, whose inflation a screening task
+    // should never attempt) — a 16-byte header must not command a 2 GB
+    // allocation. 256 MB bounds any real curation-time screen.
+    val pixLenL = w.toLong * h * ch
+    if (pixLenL + h > (256L << 20)) return None
     val stride = w * ch
     val rawLen = h * (stride + 1) // one filter byte per scanline
     val raw = new Array[Byte](rawLen)
@@ -230,6 +237,7 @@ object Multimodal {
     * JPEG.
     */
   def decodeWav(b: Array[Byte]): Option[PcmClip] = {
+    if (b == null) return None
     @inline def u8(i: Int): Int = b(i) & 0xff
     @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     @inline def le32(i: Int): Int =

@@ -195,6 +195,28 @@ class MultimodalSpec extends AnyFunSuite {
     // 16-bit depth and interlace are out of scope, not mis-decoded
     val deep = good.clone(); deep(24) = 16.toByte
     assert(Multimodal.decodePng(deep).isEmpty)
+    // null payloads refuse instead of NPEing the task
+    assert(Multimodal.decodePng(null).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("PNG decoder refuses decompression bombs without allocating") {
+    // a valid 25-byte header claiming a 60000x60000 RGBA raster (13.4 GB)
+    // must be refused by the geometry guard, not attempted
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(60000) ++ be32(60000) ++ Array[Byte](8, 6, 0, 0, 0))
+    chunk("IEND", Array.emptyByteArray)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodePng(out.toByteArray).isEmpty)
+    assert((System.nanoTime() - t0) < 1e9) // refusal, not a 13 GB attempt
   }
 
   test("WAV encode→decode round-trips PCM samples, rejects truncation") {
