@@ -140,6 +140,40 @@ object Retrieval {
         .over(Window.orderBy(col("score").desc, col("doc_id").asc))
         .cast(LongType))
 
+  /** One-call BM25 retrieval: corpus-derived query terms (df ranks
+    * `offset+1 .. offset+nTerms`), per-term scoring, fixed-order fusion,
+    * top-k with ranks. `logIdf = true` (default) is the standard
+    * Lucene/ATIRE ln(1+odds) form; pass false for the cross-engine-exact
+    * odds form the oracle queries use.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               nTerms: Int = 3, offset: Int = 10, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = true, minTokenLen: Int = 3): DataFrame = {
+    val stats = lexStats(docs, idCol, textCol, minTokenLen)
+    val qterms = queryTermsByDf(stats.df, nTerms, offset)
+    topK(fuseFixedOrder(bm25PerTerm(stats, qterms, k1, b, logIdf),
+      (offset + 1) to (offset + nTerms)), k)
+  }
+
+  /** One-call hybrid retrieval: BM25 and query-likelihood rankers over the
+    * SAME lexical statistics (one tokenize/aggregate pass feeds both),
+    * fused by reciprocal rank.
+    */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 nTerms: Int = 3, offset: Int = 10, listK: Int = 50,
+                 k: Int = 20, kRrf: Double = 60.0,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 logIdf: Boolean = true, minTokenLen: Int = 3): DataFrame = {
+    val stats = lexStats(docs, idCol, textCol, minTokenLen)
+    val qterms = queryTermsByDf(stats.df, nTerms, offset)
+    val qranks = (offset + 1) to (offset + nTerms)
+    val bm25 = topK(fuseFixedOrder(
+      bm25PerTerm(stats, qterms, k1, b, logIdf), qranks), listK)
+    val ql = topK(fuseFixedOrder(qlPerTerm(stats, qterms), qranks), listK)
+    rrfFuse(bm25, ql, kRrf, k)
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR'09):
     * fused(d) = 1/(kRrf + r_a(d)) + 1/(kRrf + r_b(d)), a document absent
     * from one list contributing +0.0 from that list. Ranks are exact

@@ -42,12 +42,6 @@ object RetrievalQueries {
   private val QTerms = 3
   private val qranks = (QOffset + 1) to (QOffset + QTerms)
 
-  private def lexBase(spark: SparkSession, dir: String) = {
-    val stats = Retrieval.lexStats(Tables.documents(spark, dir), "doc_id", "text")
-    val qterms = Retrieval.queryTermsByDf(stats.df, QTerms, QOffset)
-    (stats, qterms)
-  }
-
   private val lexBaseSql =
     s"""$tokSql,
        |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -99,13 +93,11 @@ object RetrievalQueries {
   // its log-free odds form (Retrieval.bm25PerTerm logIdf=false) so the
   // entire score is a replayable double chain; ranks and the integer stats
   // (per-term tf, dl) reach the hash, the score itself never does.
-  private def dBm25(spark: SparkSession, dir: String): DataFrame = {
-    val (stats, qterms) = lexBase(spark, dir)
-    val perTerm = Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false)
-    val fused = Retrieval.fuseFixedOrder(perTerm, qranks)
-    Retrieval.topK(fused, 20)
+  private def dBm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+        nTerms = QTerms, offset = QOffset, k = 20, k1 = K1, b = B,
+        logIdf = false)
       .select(col("doc_id") +: qranks.map(q => col(s"tf_$q")) :+ col("dl") :+ col("rk"): _*)
-  }
 
   private val dBm25Sql =
     s"""WITH $lexBaseSql,
@@ -120,16 +112,11 @@ object RetrievalQueries {
   // reciprocal-rank fusion (k=60). Both rankers run over the shared lexical
   // statistics; the fusion arithmetic is two IEEE divisions and one add per
   // document, over EXACT integer ranks — absent-from-list contributes 0.
-  private def dRrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val (stats, qterms) = lexBase(spark, dir)
-    val bm25 = Retrieval.topK(
-      Retrieval.fuseFixedOrder(
-        Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false), qranks), 50)
-    val ql = Retrieval.topK(
-      Retrieval.fuseFixedOrder(Retrieval.qlPerTerm(stats, qterms), qranks), 50)
-    Retrieval.rrfFuse(bm25, ql, kRrf = 60.0, k = 20)
+  private def dRrfFusion(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridTopK(Tables.documents(spark, dir), "doc_id", "text",
+        nTerms = QTerms, offset = QOffset, listK = 50, k = 20, kRrf = 60.0,
+        k1 = K1, b = B, logIdf = false)
       .select("doc_id", "r_a", "r_b", "rk")
-  }
 
   private val dRrfFusionSql =
     s"""WITH $lexBaseSql,

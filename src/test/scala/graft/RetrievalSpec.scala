@@ -77,6 +77,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fused(4L)._5 == (4.0 / 5L) + (1.0 / 5L))
   }
 
+  test("bm25TopK / hybridTopK one-call wrappers: k ranked rows, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text", k = 15)
+      .select("doc_id", "rk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(a.length == 15 && a.map(_._2).toSeq == (1L to 15L))
+    val again = Retrieval.bm25TopK(docs, "doc_id", "text", k = 15)
+      .select("doc_id", "rk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(a.toSeq == again.toSeq)
+    val h = Retrieval.hybridTopK(docs, "doc_id", "text", k = 12)
+      .select("doc_id", "r_a", "r_b", "rk").as[(Long, Long, Long, Long)]
+      .collect()
+    assert(h.length == 12 && h.map(_._4).sorted.toSeq == (1L to 12L))
+    // every fused row cites at least one source list
+    assert(h.forall(r => r._2 > 0 || r._3 > 0))
+  }
+
   test("rrfFuse: shared-top doc wins; single-list docs contribute one term") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rk")
     val b = Seq((10L, 2L), (13L, 1L)).toDF("doc_id", "rk")
