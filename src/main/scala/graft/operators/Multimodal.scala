@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * batch-wise per partition.
   *
   * The Spark-side shape — schema, partition-parallel batched extraction,
-  * deterministic features — is real and tested; the actual pixel/sample
-  * DECODER is stubbed (`decodePixels`) because no image/audio codec library
-  * ships in this container. A production deployment drops its codec into
-  * `decodePixels` without touching any of the plumbing.
+  * deterministic features — is real and tested, and so are the DECODERS
+  * (r15): PNG through a self-contained wire-level path ([[decodePng]] —
+  * chunk walk, Inflater, all five scanline filters), JPEG/GIF/BMP through
+  * the JDK's own codec ([[decodeImage]] — `javax.imageio` ships in
+  * java.desktop; earlier rounds' "no codec library in this container"
+  * claim was wrong), and WAV/PCM sample extraction ([[decodeWav]]).
   */
 object Multimodal {
 
@@ -92,8 +94,9 @@ object Multimodal {
     * Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
     * non-interlaced. Anything else — and any truncated, oversized-length,
     * or length-mismatched stream — returns None rather than a torn raster.
-    * JPEG/video stay header-only ([[decodeHeader]]): entropy decoding
-    * needs a codec library this container doesn't ship.
+    * JPEG decodes through the JDK codec instead ([[decodeImage]]); this
+    * path exists for the wire-level arithmetic and for deployments without
+    * java.desktop.
     */
   def decodePng(b: Array[Byte]): Option[Raster] = {
     if (b == null) return None
@@ -232,9 +235,9 @@ object Multimodal {
   /** REAL audio decode for WAV/PCM (r15): RIFF/WAVE chunk walk, `fmt `
     * validation (format tag 1 = linear PCM, 16-bit), little-endian sample
     * extraction from `data`. A truncated data chunk, a non-PCM format tag
-    * or a non-16-bit depth returns None — never a torn clip. Compressed
-    * audio stays out of scope for the same no-codec-library reason as
-    * JPEG.
+    * or a non-16-bit depth returns None — never a torn clip. Perceptually
+    * compressed audio (MP3/AAC/Opus) stays out of scope: the JDK ships no
+    * decoder for those (javax.sound covers PCM-family encodings only).
     */
   def decodeWav(b: Array[Byte]): Option[PcmClip] = {
     if (b == null) return None
@@ -289,17 +292,116 @@ object Multimodal {
     out.array()
   }
 
+  /** JDK-codec image decode (r15): `javax.imageio` SHIPS in this JDK's
+    * java.desktop module — JPEG (full entropy decode), PNG, GIF, BMP — so
+    * the "no codec library in the container" boundary earlier rounds
+    * recorded was wrong and is hereby retired. Returns an RGB raster
+    * (3 channels, row-major interleaved, alpha dropped) or None for
+    * undecodable payloads; the same bomb guard as [[decodePng]] applies
+    * AFTER the header parse, before pixel extraction. [[decodePng]] stays
+    * as the self-contained wire-level path (it exercises the actual
+    * unfilter arithmetic and needs no java.desktop).
+    */
+  def decodeImage(bin: Array[Byte]): Option[Raster] = {
+    if (bin == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bin))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > (256L << 20)) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          out(o) = ((p >> 16) & 0xff).toByte
+          out(o + 1) = ((p >> 8) & 0xff).toByte
+          out(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Raster(w, h, 3, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode an RGB raster as baseline JPEG via the JDK codec — the fixture
+    * counterpart of [[decodeImage]]'s JPEG path.
+    */
+  def encodeJpeg(img: Raster): Array[Byte] = {
+    require(img.channels == 3, s"JPEG fixture encodes RGB, got ${img.channels}")
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = (y * img.width + x) * 3
+        bi.setRGB(x, y,
+          ((img.pixels(o) & 0xff) << 16) | ((img.pixels(o + 1) & 0xff) << 8) |
+            (img.pixels(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpeg", bos)
+    bos.toByteArray
+  }
+
   /** Pixel decode in the plumbing contract's shape — binary in, flattened
-    * H×W×C float tensor out (channel values scaled to [0,1]) — REAL for
-    * PNG via [[decodePng]]; other formats still require a codec library.
+    * H×W×C float tensor out (channel values scaled to [0,1]). PNG decodes
+    * through the self-contained wire-level path; everything else through
+    * the JDK codec ([[decodeImage]] — JPEG/GIF/BMP).
     */
   def decodePixels(bin: Array[Byte]): Array[Float] =
-    decodePng(bin) match {
+    decodePng(bin).orElse(decodeImage(bin)) match {
       case Some(img) => img.pixels.map(p => (p & 0xff) / 255.0f)
       case None => throw new UnsupportedOperationException(
-        "pixel decode is implemented pure-JDK for PNG only; other codecs " +
-          "don't ship in this container")
+        "payload is not a decodable image (PNG wire path + JDK ImageIO both refused)")
     }
+
+  /** Batched JPEG screening with a LOSSY-codec oracle contract: decode each
+    * payload via the JDK codec and report exact geometry plus a
+    * `within_tol` flag — max absolute per-channel error against the
+    * caller-supplied expected uniform color, bounded by `tol`. The flag is
+    * the invariant-oracle trick for an entropy-coded format: reconstruction
+    * values are codec-version-specific, but uniform-color blocks must come
+    * back within quantization distance (measured max 3 at default quality
+    * over the fixture palette; a stride/channel/colorspace defect shows
+    * 50+), so the FLAG is engine-portable while the decode stays real.
+    */
+  def jpegUniformStats(df: DataFrame, binCol: String, idCol: String,
+                       expR: org.apache.spark.sql.Column,
+                       expG: org.apache.spark.sql.Column,
+                       expB: org.apache.spark.sql.Column,
+                       tol: Int = 8, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(binCol),
+        expR.cast(LongType), expG.cast(LongType), expB.cast(LongType))
+      .as[(Long, Array[Byte], Long, Long, Long)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes, r, g, b) =>
+          decodeImage(bytes) match {
+            case Some(img) =>
+              var maxErr = 0L
+              var i = 0
+              while (i < img.pixels.length) {
+                val exp = (i % 3) match { case 0 => r; case 1 => g; case _ => b }
+                val e = math.abs((img.pixels(i) & 0xff) - exp)
+                if (e > maxErr) maxErr = e
+                i += 1
+              }
+              (id, 1L, img.width.toLong, img.height.toLong,
+                if (maxErr <= tol) 1L else 0L)
+            case None => (id, 0L, -1L, -1L, -1L)
+          }
+        })
+      }.toDF("id", "ok", "width", "height", "within_tol")
+  }
 
   /** Batched PNG pixel-level screening: decode each payload with
     * [[decodePng]] and report integer raster statistics — geometry plus

@@ -429,6 +429,45 @@ object MiscQueries {
       | CAST(COALESCE(ma, -1) AS BIGINT) AS max_abs
       |FROM g LEFT JOIN s USING (doc_id)""".stripMargin
 
+  // --------------------------------------------------- m_multimodal_jpeg
+  // REAL JPEG pixel decode through the JDK codec (r15 — javax.imageio
+  // ships in java.desktop, so the "no codec library in this container"
+  // boundary recorded in earlier rounds was WRONG and is retired): the
+  // fixture encodes genuine baseline JPEGs (entropy-coded, quantized) of
+  // uniform doc_id-derived color; the query must run the full decode —
+  // Huffman, dequantize, IDCT, YCbCr→RGB — and report exact geometry plus
+  // the within-tolerance flag (the invariant-oracle trick for a LOSSY
+  // codec: reconstruction values are codec-specific, but uniform blocks
+  // must come back within quantization distance — measured max error 3
+  // over the full palette, tol 8, while a stride/channel/colorspace defect
+  // shows 50+). doc_id % 13 == 7 truncates to 10 bytes, pinning ok=0.
+  private def mJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val w = (8 + id % 5).toInt; val h = (6 + id % 3).toInt
+      val rgb = Array(((id * 5) % 256).toByte, ((id * 7) % 256).toByte,
+        ((id * 11) % 256).toByte)
+      val px = Array.tabulate(w * h * 3)(i => rgb(i % 3))
+      val bytes = Multimodal.encodeJpeg(Multimodal.Raster(w, h, 3, px))
+      (id, if (id % 13 == 7) bytes.take(10) else bytes)
+    }).toDF("doc_id", "payload")
+    Multimodal.jpegUniformStats(payloads, "payload", "doc_id",
+        pmod(col("doc_id") * 5, lit(256)), pmod(col("doc_id") * 7, lit(256)),
+        pmod(col("doc_id") * 11, lit(256)), tol = 8)
+      .select(col("id").as("doc_id"), col("ok"), col("width"), col("height"),
+        col("within_tol"))
+  }
+
+  private val mJpegSql =
+    """SELECT doc_id,
+      | CAST(CASE WHEN doc_id % 13 = 7 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+      | CAST(CASE WHEN doc_id % 13 = 7 THEN -1 ELSE 8 + doc_id % 5 END AS BIGINT) AS width,
+      | CAST(CASE WHEN doc_id % 13 = 7 THEN -1 ELSE 6 + doc_id % 3 END AS BIGINT) AS height,
+      | CAST(CASE WHEN doc_id % 13 = 7 THEN -1 ELSE 1 END AS BIGINT) AS within_tol
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q18_asof_join", qAsof, Some(qAsofSql)),
     QueryDef("q26_asof_forward", qAsofForward, Some(qAsofForwardSql)),
@@ -442,6 +481,7 @@ object MiscQueries {
     QueryDef("m_multimodal_sample", mSample, Some(mSampleSql)),
     QueryDef("m_multimodal_decode", mDecode, Some(mDecodeSql)),
     QueryDef("m_multimodal_pixels", mPixels, Some(mPixelsSql)),
-    QueryDef("m_multimodal_audio", mAudio, Some(mAudioSql))
+    QueryDef("m_multimodal_audio", mAudio, Some(mAudioSql)),
+    QueryDef("m_multimodal_jpeg", mJpeg, Some(mJpegSql))
   )
 }

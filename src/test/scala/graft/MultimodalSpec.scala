@@ -235,6 +235,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(alaw).isEmpty)
   }
 
+  test("decodeImage (JDK codec): JPEG lossy round-trip bounded, PNG exact, torn refused") {
+    // uniform-color JPEG: full entropy decode must land within quantization
+    // distance of the planted color (measured max 3; a colorspace or
+    // stride defect shows 50+)
+    val uni = raster(10, 8, 3)((_, _, c) => Seq(200, 60, 130)(c))
+    val jb = Multimodal.encodeJpeg(uni)
+    val back = Multimodal.decodeImage(jb)
+    assert(back.nonEmpty && back.get.width == 10 && back.get.height == 8)
+    val maxErr = back.get.pixels.zipWithIndex.map { case (p, i) =>
+      math.abs((p & 0xff) - Seq(200, 60, 130)(i % 3)) }.max
+    assert(maxErr <= 8, s"JPEG uniform reconstruction err $maxErr")
+    // the JDK codec reads our own PNG encoder's output EXACTLY
+    val img = raster(7, 5, 3)((x, y, c) => (x * 31 + y * 47 + c * 101) % 256)
+    val viaIIO = Multimodal.decodeImage(Multimodal.encodePng(img))
+    assert(viaIIO.nonEmpty && viaIIO.get.pixels.toSeq == img.pixels.toSeq)
+    // torn and null payloads refuse
+    assert(Multimodal.decodeImage(jb.take(10)).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // decodePixels routes PNG through the wire path, JPEG through the codec
+    assert(Multimodal.decodePixels(Multimodal.encodePng(img)).length == 7 * 5 * 3)
+    assert(Multimodal.decodePixels(jb).length == 10 * 8 * 3)
+  }
+
   test("pngStats / wavStats report exact integer stats with ok=0 for corrupt") {
     val img = raster(3, 2, 3)((x, y, c) => x * 3 + y * 7 + c * 11)
     val png = Multimodal.encodePng(img)
