@@ -660,7 +660,8 @@ object DocumentQueries {
   /** Consumers of [[ivfIndex]]/[[ivfIndexPlanted]] — see [[labelConsumers]]. */
   val ivfConsumers: Set[String] =
     Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append",
-      "d_knn_join", "d_ann_range", "d_knn_graph", "s_semdedup")
+      "d_knn_join", "d_ann_range", "d_knn_graph", "s_semdedup",
+      "s_ann_serve")
 
   /** Consumers of [[pqBooks]] — see [[labelConsumers]]. */
   val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")
@@ -1006,6 +1007,35 @@ object DocumentQueries {
     val e = Tables.embeddings(spark, dir)
     Similarity.ivfQuery(ivfIndexPlanted(spark, dir), e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 10, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"), col("rk"))
+  }
+
+  // s_ann_serve: ONLINE ANN serving under the hash gate (r15 — the query
+  // path of the IVF lifecycle; build/append/rebuild-swap/filter/range/knn
+  // already gate, this is the serving face): the margin queries stream
+  // through Streams.toAnnServeSink — a real readStream → foreachBatch
+  // pipeline probing the SAME planted-margin index d_ann_ivf probes, each
+  // trigger's top-10 landing as a replay-idempotent batch_id partition —
+  // and the read-back table must equal the batch probe, so the shared
+  // brute-force margin oracle replays it. Serving is stateless per query:
+  // batch boundaries cannot change results (StreamingSpec pins the
+  // two-drain union ≡ the batch probe).
+  private def sAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndexPlanted(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    val root = SourceQueries.cachedArtifact("annserve", dir) { tmp =>
+      q.write.mode("overwrite").parquet(tmp + "/in")
+    }
+    val rep = java.nio.file.Files.createTempDirectory("graft_annserve")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val sq = graft.streaming.Streams.toAnnServeSink(stream, idx,
+      "embedding", "vec_id", k = 10, nProbe = 4,
+      rep.toString + "/r", rep.toString + "/ckpt")
+    sq.processAllAvailable(); sq.stop()
+    spark.read.parquet(rep.toString + "/r")
       .select(col("query_id"), col("corpus_id"), col("rk"))
   }
 
@@ -2097,6 +2127,7 @@ object DocumentQueries {
     QueryDef("d_ann_opq", dAnnOpq, Some(annMarginSql)),
     QueryDef("d_ann_ivfpq", dAnnIvfPq, Some(annMarginSql)),
     QueryDef("d_ann_ivf", dAnnIvf, Some(annMarginSql)),
+    QueryDef("s_ann_serve", sAnnServe, Some(annMarginSql)),
     QueryDef("d_ann_filtered", dAnnFiltered, Some(dAnnFilteredSql)),
     QueryDef("d_ann_ivf_disk", dAnnIvfDisk, Some(annMarginSql)),
     QueryDef("d_ann_append", dAnnAppend, Some(annMarginSql)),

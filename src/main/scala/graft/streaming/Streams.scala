@@ -969,6 +969,32 @@ object Streams {
     * an epoch cadence and rebuild-and-swap offline when population skew
     * says the quantizer went stale.
     */
+  /** ONLINE ANN serving — the query path of the IVF lifecycle (build →
+    * append → rebuild-swap → SERVE): each micro-batch of query vectors
+    * probes the static index (coarse cell ranking map-side, exact cosine
+    * over probed cells, per-query top-k) and the results land as an
+    * OVERWRITTEN `batch_id=N` partition — replay-idempotent after
+    * checkpoint recovery (the r13 report discipline; a blind append would
+    * double-serve a replayed trigger). The quantizer never moves
+    * mid-stream; pair with [[toIvfAppendSink]] for ingest and the Publish
+    * swap for rebuilds. Serving is stateless per query, so batch
+    * boundaries cannot change results — union over batches equals the
+    * batch probe over the union (spec-pinned).
+    */
+  def toAnnServeSink(queries: DataFrame,
+                     index: graft.operators.Similarity.IvfIndex,
+                     vecCol: String, idCol: String, k: Int, nProbe: Int,
+                     outDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity
+          .ivfQuery(index, batch.toDF(), vecCol, idCol, k, nProbe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
   def toIvfAppendSink(streamed: DataFrame, checkpointDir: String,
                       indexPath: String, vecCol: String, idCol: String,
                       dedupIds: Boolean = true)

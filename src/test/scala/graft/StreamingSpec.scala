@@ -838,6 +838,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("user_id").distinct().count() == users)
   }
 
+  test("toAnnServeSink: streamed top-k over two drains equals the batch probe") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      trainTarget = 4000)
+    val queries = e.filter(col("vec_id") < 20)
+    val inDir = Files.createTempDirectory("servein").toString
+    val outDir = Files.createTempDirectory("serveout").toString + "/r"
+    val ckpt = Files.createTempDirectory("serveckpt").toString
+    queries.filter(col("vec_id") < 10).write.mode("append").parquet(inDir)
+    val q = Streams.toAnnServeSink(
+      spark.readStream.schema(queries.schema).parquet(inDir),
+      idx, "embedding", "vec_id", k = 5, nProbe = 3, outDir, ckpt)
+    q.processAllAvailable()
+    queries.filter(col("vec_id") >= 10).write.mode("append").parquet(inDir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Similarity.ivfQuery(idx, queries, "embedding", "vec_id",
+        k = 5, nProbe = 3)
+      .select("query_id", "corpus_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want) // serving is stateless per query
+    // replay-idempotent layout: results live under batch_id partitions
+    val batches = spark.read.parquet(outDir).select("batch_id")
+      .distinct().count()
+    assert(batches >= 2)
+  }
+
   test("packStream carries the open window across micro-batches (packChunks parity)") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), col("source"),
