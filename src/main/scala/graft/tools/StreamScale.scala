@@ -82,6 +82,37 @@ object StreamScale {
       ((System.nanoTime() - t0) / 1e9, batches.get())
     }
 
+    // r15: the online SemDeDup gate — every incoming embedding probes
+    // the static IVF reference (cell assignment map-side, anti-join on
+    // the cell). Reference = the corpus itself, so every row scores a
+    // full cell's worth of candidates and drops: the worst-case (most
+    // compute) path for the gate.
+    val emb = graft.Tables.embeddings(spark, src)
+      .select(col("vec_id"), col("embedding"))
+    val embDir = s"$base/emb"
+    // fan the STREAMED side x10 (ids remapped, vectors reused): the
+    // embeddings table is 10-25x smaller than documents, so at
+    // nBatches triggers its micro-batches under-amortize the fixed
+    // per-trigger cost (plan + static-side broadcast) that every other
+    // surface amortizes over 3k+ row batches — the x10 fan prices the
+    // gate's sustained capacity, not its trigger floor
+    emb.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(9))).as("j"))
+      .select((col("vec_id") * 10 + col("j")).cast("long").as("vec_id"),
+        col("embedding"))
+      .repartition(nBatches).write.mode("overwrite").parquet(embDir)
+    val embN = spark.read.parquet(embDir).count()
+    val refN = emb.count()
+    // √N cell sizing (the knnJoin scale note): per-row candidate work is
+    // one cell ≈ √N vectors; 16 cells on a 20k reference meant 1250
+    // candidates per row and the gate measured 4.35 s/batch of pure
+    // cosine scanning
+    val idx = graft.operators.Similarity.ivfBuild(emb, "embedding",
+      "vec_id", nCentroids = math.max(16, math.sqrt(refN.toDouble).toInt),
+      trainTarget = 8000)
+    idx.indexed.count() // build outside the timed window, like `bench`
+    val embSchema = spark.read.parquet(embDir).schema
+
     val surfaces = Seq[(String, Long, () => (DataFrame, OutputMode))](
       ("windowed_agg", eventsN,
         () => (Streams.windowedCounts(eventsStream), OutputMode.Update())),
@@ -112,36 +143,6 @@ object StreamScale {
       ("neardup_gate", docsN,
         () => (Streams.crossNearDedupStream(docsStream, bench), OutputMode.Append()))
     ) ++ {
-      // r15: the online SemDeDup gate — every incoming embedding probes
-      // the static IVF reference (cell assignment map-side, anti-join on
-      // the cell). Reference = the corpus itself, so every row scores a
-      // full cell's worth of candidates and drops: the worst-case (most
-      // compute) path for the gate.
-      val emb = graft.Tables.embeddings(spark, src)
-        .select(col("vec_id"), col("embedding"))
-      val embDir = s"$base/emb"
-      // fan the STREAMED side x10 (ids remapped, vectors reused): the
-      // embeddings table is 10-25x smaller than documents, so at
-      // nBatches triggers its micro-batches under-amortize the fixed
-      // per-trigger cost (plan + static-side broadcast) that every other
-      // surface amortizes over 3k+ row batches — the x10 fan prices the
-      // gate's sustained capacity, not its trigger floor
-      emb.select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(0), lit(9))).as("j"))
-        .select((col("vec_id") * 10 + col("j")).cast("long").as("vec_id"),
-          col("embedding"))
-        .repartition(nBatches).write.mode("overwrite").parquet(embDir)
-      val embN = spark.read.parquet(embDir).count()
-      val refN = emb.count()
-      // √N cell sizing (the knnJoin scale note): per-row candidate work is
-      // one cell ≈ √N vectors; 16 cells on a 20k reference meant 1250
-      // candidates per row and the gate measured 4.35 s/batch of pure
-      // cosine scanning
-      val idx = graft.operators.Similarity.ivfBuild(emb, "embedding",
-        "vec_id", nCentroids = math.max(16, math.sqrt(refN.toDouble).toInt),
-        trainTarget = 8000)
-      idx.indexed.count() // build outside the timed window, like `bench`
-      val embSchema = spark.read.parquet(embDir).schema
       Seq(("semdedup_gate", embN, () => (
         Streams.semDedupGateStream(
           spark.readStream.option("maxFilesPerTrigger", 1)
@@ -176,6 +177,25 @@ object StreamScale {
       val rps = (docsN / math.max(sec, 1e-9)).round
       println(s"[streamscale] drift_sink: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
       s""""drift_sink":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
+    } :+ {
+      // r15: online ANN SERVING — every micro-batch of query vectors runs
+      // the full probe (cell ranking, exact cosine over probed cells,
+      // per-query top-10) via the foreachBatch serve sink; results land as
+      // batch_id partitions, so the batch count reads back from the report
+      val rep = s"$base/serverep-${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = Streams.toAnnServeSink(
+        spark.readStream.option("maxFilesPerTrigger", 1)
+          .schema(embSchema).parquet(embDir),
+        idx, "embedding", "vec_id", k = 10, nProbe = 2,
+        rep, s"$base/ckpt-${System.nanoTime()}")
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = spark.read.parquet(rep)
+        .select(col("batch_id")).distinct().count()
+      val rps = (embN / math.max(sec, 1e-9)).round
+      println(s"[streamscale] ann_serve: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
+      s""""ann_serve":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
     }
     println(s"""{"metric":"stream_scale","events_n":$eventsN,""" +
       s""""docs_n":$docsN,"n_batches":$nBatches,""" +
