@@ -302,8 +302,17 @@ object Multimodal {
     * as the self-contained wire-level path (it exercises the actual
     * unfilter arithmetic and needs no java.desktop).
     */
+  /** ImageIO's DEFAULT stream cache is a disk temp file per image — a
+    * per-row file create/delete at corpus scale. Route through the memory
+    * cache once per JVM (executor-side too: this initializer runs wherever
+    * the task first touches the object).
+    */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bin: Array[Byte]): Option[Raster] = {
     if (bin == null) return None
+    imageIoMemCache
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bin))
       if (img == null) return None
@@ -332,6 +341,7 @@ object Multimodal {
     */
   def encodeJpeg(img: Raster): Array[Byte] = {
     require(img.channels == 3, s"JPEG fixture encodes RGB, got ${img.channels}")
+    imageIoMemCache
     val bi = new java.awt.image.BufferedImage(img.width, img.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

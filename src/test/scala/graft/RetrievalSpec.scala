@@ -93,6 +93,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(h.forall(r => r._2 > 0 || r._3 > 0))
   }
 
+  test("bm25TopK plan: TakeOrdered cut, no corpus-scale range sort") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val df = Retrieval.bm25TopK(docs, "doc_id", "text", k = 20)
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): String = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    val plan = unwrap(df.queryExecution.executedPlan)
+    // the final cut is per-partition heaps + a k-row driver merge
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // neither the vocabulary cut nor the top-k may global-sort the corpus
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("rrfFuse: shared-top doc wins; single-list docs contribute one term") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rk")
     val b = Seq((10L, 2L), (13L, 1L)).toDF("doc_id", "rk")
