@@ -298,9 +298,13 @@ object Multimodal {
     * recorded was wrong and is hereby retired. Returns an RGB raster
     * (3 channels, row-major interleaved, alpha dropped) or None for
     * undecodable payloads; the same bomb guard as [[decodePng]] applies
-    * AFTER the header parse, before pixel extraction. [[decodePng]] stays
-    * as the self-contained wire-level path (it exercises the actual
-    * unfilter arithmetic and needs no java.desktop).
+    * after the HEADER parse but BEFORE the codec's full decode — the
+    * dimensions come from `ImageReader.getWidth/getHeight` (a header read),
+    * so a hostile payload declaring a multi-gigapixel geometry is refused
+    * without ever allocating its raster (r16, ADVICE: a bare
+    * `ImageIO.read` allocates the whole raster inside the codec first).
+    * [[decodePng]] stays as the self-contained wire-level path (it
+    * exercises the actual unfilter arithmetic and needs no java.desktop).
     */
   /** ImageIO's DEFAULT stream cache is a disk temp file per image — a
     * per-row file create/delete at corpus scale. Route through the memory
@@ -314,7 +318,21 @@ object Multimodal {
     if (bin == null) return None
     imageIoMemCache
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bin))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bin))
+      if (iis == null) return None
+      val img = try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // geometry guard on the HEADER dims, before the codec allocates
+          val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh * 3 > (256L << 20)) return None
+          reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > (256L << 20)) return None

@@ -441,6 +441,11 @@ object MiscQueries {
   // must come back within quantization distance — measured max error 3
   // over the full palette, tol 8, while a stride/channel/colorspace defect
   // shows 50+). doc_id % 13 == 7 truncates to 10 bytes, pinning ok=0.
+  // JDK-VERSION COUPLING (r16, ADVICE): the oracle hardcodes within_tol=1,
+  // so the gate assumes the JDK's JPEG encoder/decoder pair stays inside
+  // tol=8 for all 256 palette values. MultimodalSpec's full-palette test
+  // pins the measured max error <= 4 (2x margin) — a codec change trips
+  // that named spec before it can flake this oracle.
   private def mJpeg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir).filter(col("doc_id") < 300)

@@ -424,6 +424,16 @@ object Streams {
     * construction (one drain per staged file set, or all-at-once — the r13
     * FileStreamSource rule). Zero-token documents emit nothing. State is
     * two longs per source — O(#sources), unbounded corpus.
+    *
+    * Memory shape (r16, ADVICE): the STATE is O(1) per source, but the
+    * in-flight micro-batch is not — the doc_id-order contract forces each
+    * source's triples for the batch into one task's heap before emission
+    * (24 bytes/doc; a 100M-doc single-batch drain of one source is ~2.4 GB
+    * in one task). At scale, size triggers (`maxFilesPerTrigger`) so a
+    * batch per source stays in task memory; the gate's one-drain fixture
+    * is small by construction. The sort cannot move upstream: Spark does
+    * not guarantee group-iterator order into flatMapGroupsWithState even
+    * over sorted partitions.
     */
   def packStream(docs: DataFrame, budget: Long)
                 (implicit spark: SparkSession): Dataset[PackSlice] = {
@@ -435,7 +445,10 @@ object Streams {
         (src: String, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
           var st = state.getOption.getOrElse(PackState(0L, 0L))
           val out = Seq.newBuilder[PackSlice]
-          rows.filter(_.n_tokens > 0).toSeq.sortBy(_.doc_id).foreach { d =>
+          val buf = rows.filter(_.n_tokens > 0).toArray
+          java.util.Arrays.sort(buf,
+            (a: PackDoc, b: PackDoc) => java.lang.Long.compare(a.doc_id, b.doc_id))
+          buf.foreach { d =>
             var off = 0L
             while (off < d.n_tokens) {
               val take = math.min(budget - st.used, d.n_tokens - off)

@@ -95,11 +95,18 @@ object StreamScale {
     // nBatches triggers its micro-batches under-amortize the fixed
     // per-trigger cost (plan + static-side broadcast) that every other
     // surface amortizes over 3k+ row batches — the x10 fan prices the
-    // gate's sustained capacity, not its trigger floor
+    // gate's sustained capacity, not its trigger floor.
+    // Fanned ids OFFSET PAST the corpus id range (r16, ADVICE: the old
+    // vec_id*10+j remap collided with real corpus ids, so ivfQuery's
+    // self-exclusion silently dropped an unrelated corpus vector from
+    // some fanned queries' candidate sets) — j=0 keeps the original id
+    // (self-exclusion is the un-fanned query's own semantics), j>=1
+    // lands beyond maxId where no corpus row can match.
+    val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
     emb.select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(9))).as("j"))
-      .select((col("vec_id") * 10 + col("j")).cast("long").as("vec_id"),
-        col("embedding"))
+      .select((col("vec_id") + col("j").cast("long") * lit(maxId + 1L))
+        .cast("long").as("vec_id"), col("embedding"))
       .repartition(nBatches).write.mode("overwrite").parquet(embDir)
     val embN = spark.read.parquet(embDir).count()
     val refN = emb.count()

@@ -259,6 +259,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePixels(jb).length == 10 * 8 * 3)
   }
 
+  test("JPEG uniform reconstruction error over the FULL gate palette stays ≤ tol/2") {
+    // m_multimodal_jpeg's oracle hardcodes within_tol=1 for every
+    // non-corrupt row, which couples the gate to the JDK codec pair staying
+    // inside tol=8 for all 256 palette values. This spec pins that coupling
+    // with 2x margin: the EXACT palette and geometries the gate generates
+    // (doc_id-derived uniform colors, 8-12 x 6-8), measured max error must
+    // stay <= 4. A JDK encoder/decoder change (default quality /
+    // subsampling) trips THIS spec first — a named signal, not an oracle
+    // flake (r16, ADVICE item 3).
+    val maxErr = (0 until 256).map { id =>
+      val w = 8 + id % 5; val h = 6 + id % 3
+      val rgb = Array((id * 5) % 256, (id * 7) % 256, (id * 11) % 256)
+      val px = Array.tabulate(w * h * 3)(i => rgb(i % 3).toByte)
+      val back = Multimodal.decodeImage(
+        Multimodal.encodeJpeg(Multimodal.Raster(w, h, 3, px)))
+      assert(back.nonEmpty && back.get.width == w && back.get.height == h)
+      back.get.pixels.zipWithIndex
+        .map { case (p, i) => math.abs((p & 0xff) - rgb(i % 3)) }.max
+    }.max
+    assert(maxErr <= 4, s"JPEG palette reconstruction err $maxErr (gate tol 8)")
+  }
+
   test("pngStats / wavStats report exact integer stats with ok=0 for corrupt") {
     val img = raster(3, 2, 3)((x, y, c) => x * 3 + y * 7 + c * 11)
     val png = Multimodal.encodePng(img)
