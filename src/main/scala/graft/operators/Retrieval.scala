@@ -174,6 +174,57 @@ object Retrieval {
     rrfFuse(bm25, ql, kRrf, k)
   }
 
+  /** One-call dense⊕lexical HYBRID retrieval — the RAG/curation retrieval
+    * shape: RRF-fuse the corpus's BM25 lexical top-`listKLex` with the IVF
+    * ANN dense top-`listKDense` of ONE query vector over a shared id
+    * space. The lexical leg runs this object's BM25 stack (corpus-derived
+    * query terms, fixed-order fusion, TakeOrderedAndProject cut); the
+    * dense leg probes a prebuilt [[Similarity.IvfIndex]] (offline build,
+    * nProbe cells per query, exact cosine inside the cells); the fusion is
+    * [[rrfFuse]]'s exact-integer-rank arithmetic — two IEEE divisions and
+    * a fixed-order add per document, replayable bit-for-bit.
+    *
+    * `queryVec` must carry exactly ONE query row (`qIdCol`, `vecCol`):
+    * dense ranks are per-query, and fusing several queries' rank lists
+    * into one lexical ranking would interleave unrelated ranks. Run one
+    * fusion per query (the lexical leg reuses across calls via its own
+    * `lexStats`). `qtermDocs`, when set, derives the lexical query terms
+    * from THAT corpus's df ranking instead of `docs`' own — the
+    * incremental-indexing shape where term selection is frozen on a base
+    * corpus while scoring sees newly added documents.
+    *
+    * 100 TB shape: both legs are list-sized before the fusion touches
+    * them — the lexical cut is a per-partition heap merge, the dense leg
+    * exchanges only (cell, id, vector) candidates from nProbe cells — so
+    * the full-outer fusion join runs over ≤ listKLex + listKDense rows.
+    */
+  def hybridDenseTopK(docs: DataFrame, idCol: String, textCol: String,
+                      index: Similarity.IvfIndex, queryVec: DataFrame,
+                      vecCol: String, qIdCol: String,
+                      nTerms: Int = 3, offset: Int = 10,
+                      listKLex: Int = 50, listKDense: Int = 10,
+                      k: Int = 20, kRrf: Double = 60.0, nProbe: Int = 4,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      logIdf: Boolean = true, minTokenLen: Int = 3,
+                      qtermDocs: Option[DataFrame] = None): DataFrame = {
+    val stats = lexStats(docs, idCol, textCol, minTokenLen)
+    val qterms = qtermDocs match {
+      case None => queryTermsByDf(stats.df, nTerms, offset)
+      case Some(base) =>
+        // selection by the BASE ranking, df/idf from the scored corpus
+        queryTermsByDf(lexStats(base, idCol, textCol, minTokenLen).df,
+            nTerms, offset)
+          .select(col("token"), col("qrank")).join(stats.df, "token")
+    }
+    val qranks = (offset + 1) to (offset + nTerms)
+    val lex = topK(fuseFixedOrder(
+      bm25PerTerm(stats, qterms, k1, b, logIdf), qranks), listKLex)
+    val dense = Similarity
+      .ivfQuery(index, queryVec, vecCol, qIdCol, k = listKDense, nProbe = nProbe)
+      .select(col("corpus_id").as("doc_id"), col("rk"))
+    rrfFuse(lex.select(col("doc_id"), col("rk")), dense, kRrf, k)
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR'09):
     * fused(d) = 1/(kRrf + r_a(d)) + 1/(kRrf + r_b(d)), a document absent
     * from one list contributing +0.0 from that list. Ranks are exact

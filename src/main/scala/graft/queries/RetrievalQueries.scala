@@ -146,6 +146,118 @@ object RetrievalQueries {
        | CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
        |FROM fused QUALIFY rk <= 20""".stripMargin
 
+  // --------------------------------------------------- d_hybrid_dense
+  // Dense⊕lexical HYBRID retrieval (r16) — the actual RAG/curation
+  // retrieval shape (d_rrf_fusion fuses two LEXICAL rankers; this fuses
+  // lexical BM25 with IVF ANN ranks). Both-modality planted margins make
+  // the IVF probe provably equal to brute force so DuckDB can replay BOTH
+  // rank lists exactly:
+  //  * the 10 planted rows at ids 100000..100009 are simultaneously the
+  //    dense margin fixture (exact copies of query vector 0, carried by
+  //    the SAME planted index d_ann_ivf probes: cos=1 beats every
+  //    background cosine and the copies sit in the query's first probe
+  //    cell, so IVF top-10 == brute-force top-10 == ids ascending) and
+  //    lexically loaded documents (texts built from the base corpus's
+  //    df-rank-11..13 query terms, tf_11 = j+1 — deterministic BM25
+  //    scores in both engines);
+  //  * query-term SELECTION runs over the BASE corpus's df ranking (the
+  //    planted texts would otherwise shift the ranks that choose them —
+  //    circular), while BM25 SCORING uses the union corpus's df/totals —
+  //    the incremental-indexing production shape;
+  //  * the fusion is d_rrf_fusion's exact arithmetic: integer ranks, two
+  //    IEEE divisions, fixed-order add. Hash carries doc_id + 3 ranks.
+  private def dHybridDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val terms = Retrieval.queryTermsByDf(
+        Retrieval.lexStats(base, "doc_id", "text").df, QTerms, QOffset)
+      .orderBy("qrank").select("token").as[String].collect() // 3 rows, bounded
+    val planted = (0 until 10).map { j =>
+      (100000L + j, (Seq.fill(j + 1)(terms(0)) ++ terms.drop(1)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val union = base.unionByName(planted)
+    Retrieval.hybridDenseTopK(union, "doc_id", "text",
+        DocumentQueries.ivfIndexPlanted(spark, dir),
+        Tables.embeddings(spark, dir).filter(col("vec_id") === 0L)
+          .select("vec_id", "embedding"),
+        "embedding", "vec_id",
+        nTerms = QTerms, offset = QOffset, listKLex = 50, listKDense = 10,
+        k = 20, kRrf = 60.0, nProbe = 4, k1 = K1, b = B, logIdf = false,
+        qtermDocs = Some(base))
+  }
+
+  private val dHybridDenseSql =
+    s"""WITH tokb AS (
+       | SELECT doc_id, t AS token FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+       |  FROM documents)
+       | WHERE length(t) >= 3),
+       |dfb AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokb GROUP BY 1),
+       |qt AS (
+       | SELECT token, qrank FROM (
+       |  SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS qrank
+       |  FROM dfb) r
+       | WHERE qrank > $QOffset AND qrank <= ${QOffset + QTerms}),
+       |pl AS (
+       | SELECT 100000 + j AS doc_id,
+       |  repeat((SELECT token FROM qt WHERE qrank = ${QOffset + 1}) || ' ', j + 1)
+       |   || (SELECT token FROM qt WHERE qrank = ${QOffset + 2}) || ' '
+       |   || (SELECT token FROM qt WHERE qrank = ${QOffset + 3}) AS text
+       | FROM generate_series(0, 9) AS g(j)),
+       |u AS (
+       | SELECT doc_id, text FROM documents
+       | UNION ALL SELECT doc_id, text FROM pl),
+       |tok AS (
+       | SELECT doc_id, t AS token FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+       |  FROM u)
+       | WHERE length(t) >= 3),
+       |tf0 AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |tf AS (
+       | SELECT doc_id, token, tf,
+       |  CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+       | FROM tf0),
+       |docfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, SUM(tf) AS total_tok FROM tf0),
+       |qt2 AS (SELECT qt.token, qt.qrank, docfreq.df FROM qt JOIN docfreq USING (token)),
+       |bscored AS (
+       | SELECT tf.doc_id, qt2.qrank, tf.tf, tf.dl,
+       |  (((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf AS DOUBLE) * CAST('$K1p1' AS DOUBLE))
+       |      / ((CAST(tf AS DOUBLE) + CAST('$K1omb' AS DOUBLE))
+       |         + (CAST('$K1b' AS DOUBLE) * CAST(dl AS DOUBLE))
+       |           / (CAST(total_tok AS DOUBLE) / n_docs)))) AS s
+       | FROM tf JOIN qt2 USING (token) CROSS JOIN tot),
+       |${pivotSql("bscored", "bpiv")},
+       |lexr AS (
+       | SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_a
+       | FROM bpiv QUALIFY r_a <= 50),
+       |pco AS (
+       | SELECT 100000 + vec_id*10 + j AS vid, embedding
+       | FROM embeddings, generate_series(0, 9) AS h(j) WHERE vec_id < 5),
+       |uv AS (
+       | SELECT vec_id AS vid, embedding FROM embeddings
+       | UNION ALL SELECT vid, embedding FROM pco),
+       |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ds AS (
+       | SELECT vid AS cid, list_cosine_similarity(qv, embedding) AS cos
+       | FROM dq, uv WHERE vid != qid),
+       |denser AS (
+       | SELECT cid AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC) AS BIGINT) AS r_b
+       | FROM ds QUALIFY r_b <= 10),
+       |fused AS (
+       | SELECT COALESCE(lexr.doc_id, denser.doc_id) AS doc_id,
+       |  CAST(COALESCE(r_a, 0) AS BIGINT) AS r_a,
+       |  CAST(COALESCE(r_b, 0) AS BIGINT) AS r_b,
+       |  ((CASE WHEN r_a IS NULL THEN CAST(0 AS DOUBLE)
+       |         ELSE 1.0 / (60.0 + CAST(r_a AS DOUBLE)) END)
+       |   + (CASE WHEN r_b IS NULL THEN CAST(0 AS DOUBLE)
+       |           ELSE 1.0 / (60.0 + CAST(r_b AS DOUBLE)) END)) AS score
+       | FROM lexr FULL OUTER JOIN denser ON lexr.doc_id = denser.doc_id)
+       |SELECT doc_id, r_a, r_b,
+       | CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |FROM fused QUALIFY rk <= 20""".stripMargin
+
   // ----------------------------------------------------- d_cooccur_pmi
   // Top-30 within-document co-occurring pairs over the 16 most
   // document-frequent tokens, ranked by the PMI argument
@@ -249,6 +361,7 @@ object RetrievalQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d_bm25", dBm25, Some(dBm25Sql)),
     QueryDef("d_rrf_fusion", dRrfFusion, Some(dRrfFusionSql)),
+    QueryDef("d_hybrid_dense", dHybridDense, Some(dHybridDenseSql)),
     QueryDef("d_cooccur_pmi", dCooccurPmi, Some(dCooccurPmiSql)),
     QueryDef("d_pack_chunks", dPackChunks, Some(dPackChunksSql)),
     QueryDef("s_pack", sPack, Some(dPackChunksSql))

@@ -109,6 +109,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("hybridDenseTopK == rrfFuse(bm25 list, brute-force dense list) at full probe") {
+    // shared id space: every doc has text AND a vector; nProbe = nCells
+    // degrades the IVF leg to exact, so the wrapper must equal the
+    // hand-composed fusion of its two legs.
+    val docs = Tables.documents(spark, TestSpark.sf).limit(200)
+      .select(col("doc_id"), col("text")).cache()
+    val vecs = docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (pmod(col("doc_id") * (i + lit(3)) + i * i, lit(97)) / lit(97.0d))
+          .cast("float")).as("embedding")).cache()
+    val idx = graft.operators.Similarity.ivfBuild(vecs, "embedding", "vec_id",
+      nCentroids = 4)
+    val qv = vecs.filter(col("vec_id") === 7L)
+    val got = Retrieval.hybridDenseTopK(docs, "doc_id", "text", idx, qv,
+        "embedding", "vec_id", nTerms = 2, offset = 4, listKLex = 20,
+        listKDense = 10, k = 15, nProbe = 4, logIdf = false)
+      .select("doc_id", "r_a", "r_b", "rk").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._4)
+    val s = Retrieval.lexStats(docs, "doc_id", "text")
+    val qt = Retrieval.queryTermsByDf(s.df, 2, 4)
+    val lex = Retrieval.topK(Retrieval.fuseFixedOrder(
+      Retrieval.bm25PerTerm(s, qt, logIdf = false), Seq(5, 6)), 20)
+    val dense = graft.operators.Similarity
+      .bruteForceTopK(vecs, qv, "embedding", "vec_id", k = 10)
+      .select(col("corpus_id").as("doc_id"), col("rk"))
+    val want = Retrieval.rrfFuse(lex.select(col("doc_id"), col("rk")), dense, 60.0, 15)
+      .select("doc_id", "r_a", "r_b", "rk").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._4)
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 15 && got.exists(_._3 > 0) && got.exists(_._2 > 0))
+  }
+
   test("rrfFuse: shared-top doc wins; single-list docs contribute one term") {
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rk")
     val b = Seq((10L, 2L), (13L, 1L)).toDF("doc_id", "rk")
