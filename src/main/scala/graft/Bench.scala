@@ -15,8 +15,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // FIRST thing in main: the pre-run loadavg must be read before the
     // session, table warmup, and index prebuild generate their own load —
-    // read any later and the sentinel measures the bench itself
-    val loadBefore = loadavg1m()
+    // read any later and the sentinel measures the bench itself.
+    // ACTIVE load gate (r16): a loaded artifact of record cost r15 a
+    // git-archaeology adjudication (phantom 6-8x regressions on untouched
+    // code). When the box is busy at startup, WAIT for it to quiet —
+    // re-reading every 15 s up to SPARK_GRAFT_LOAD_WAIT seconds (default
+    // 120, 0 disables) — and only then start the sweep; if the window
+    // expires still-loaded, proceed but warn on stderr and stamp the
+    // artifact loaded:true (+ load_waited_s) so no reader ever has to
+    // reconstruct machine state from git history again.
+    val hostCores = Runtime.getRuntime.availableProcessors()
+    val loadGate = hostCores / 4.0
+    val waitBudgetS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "120").toInt
+    var loadBefore = loadavg1m()
+    var waitedS = 0
+    while (loadBefore > loadGate && waitedS < waitBudgetS) {
+      System.err.println(
+        s"[bench] host loaded (load_1m=$loadBefore > $loadGate); waiting 15s " +
+          s"($waitedS/$waitBudgetS s elapsed)")
+      Thread.sleep(15000); waitedS += 15
+      loadBefore = loadavg1m()
+    }
+    if (loadBefore > loadGate)
+      System.err.println(s"[bench] proceeding LOADED after ${waitedS}s wait " +
+        s"(load_1m=$loadBefore); artifact will carry loaded:true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -119,7 +141,6 @@ object Bench {
     //    disagree across artifacts.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    val hostCores = Runtime.getRuntime.availableProcessors()
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timeOnce(name: String,
@@ -172,8 +193,8 @@ object Bench {
     // dominated by this bench's own 32-thread work (informational — it
     // shows how saturated the run itself kept the box), while co-tenant
     // contention is what the before value captures
-    val loaded = loadBefore > hostCores / 4.0
-    val loadJson = s""""load_1m_before":${f(loadBefore)},"load_1m_after":${f(loadAfter)},"host_cores":$hostCores,"loaded":$loaded"""
+    val loaded = loadBefore > loadGate
+    val loadJson = s""""load_1m_before":${f(loadBefore)},"load_1m_after":${f(loadAfter)},"host_cores":$hostCores,"loaded":$loaded,"load_waited_s":$waitedS"""
     val repsJson = repWalls.toSeq.sortBy(_._1).map { case (k, ws) =>
       "\"" + k + "\":[" + ws.map(f).mkString(",") + "]"
     }.mkString("{", ",", "}")

@@ -676,9 +676,15 @@ object Dedup {
     // without lineage truncation the logical plan doubles per round and
     // blows up after ~10 iterations; localCheckpoint materializes the round
     // and restarts the plan from the stored blocks (on a cluster with
-    // unreliable executors this would be a reliable checkpoint dir instead)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // unreliable executors this would be a reliable checkpoint dir instead).
+    // Symmetrize in ONE pass (explode of both orientations), not a
+    // two-branch union: each union branch re-ran the caller's ENTIRE pair
+    // pipeline (candidate enumeration + scoring), which r16's profile
+    // measured as half the edge-build cost on the bench corpus.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     // seed with round one's result directly — label(v) = min(v, neighbors) —

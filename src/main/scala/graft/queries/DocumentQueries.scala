@@ -620,6 +620,16 @@ object DocumentQueries {
     Dedup.ngramJaccardPairs(u, "text", "doc_id",
       blockCols = Seq("lang", "source"), n = 4, threshold = 0.8)
 
+  /** The exact pair derivation [[clusterLabels]] feeds to components() —
+    * exposed (uncached) for tools.CcProfile's stage-cost attribution.
+    */
+  def clusterPairsForProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(clusterInput(spark, dir))
+
+  /** The chained near-dup corpus itself — see [[clusterPairsForProfile]]. */
+  def clusterInputForProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterInput(spark, dir)
+
   // The cluster labels derive ONCE per (session, data dir) and are shared
   // by the three registered consumers (d_dedup_cluster, d_dedup_apply,
   // d_dedup_keep_best): the iterative CC loop is the latency-bound step
@@ -645,7 +655,19 @@ object DocumentQueries {
       e => e.getValue.sparkSession.sparkContext.isStopped)
     labelsCache.computeIfAbsent(
       (System.identityHashCode(spark).toString, dir),
-      _ => Dedup.components(clusterPairs(clusterInput(spark, dir))))
+      _ => {
+        // checkpoint the 300-row chained corpus ONCE: ngramJaccardPairs
+        // runs several internal jobs (distinct-set groupBy, the eager
+        // hottest-block aggregate, member expansion, pair scoring) and
+        // each re-derived the 3-way union + text slicing from parquet —
+        // r16's profile attributed ~2 s of the 7.3 s build to exactly
+        // that. Bounded by construction (doc_id < 100, x3 variants), so
+        // the materialization is fixture-sized at every SF.
+        val input = clusterInput(spark, dir).localCheckpoint()
+        val labels = Dedup.components(clusterPairs(input))
+        input.unpersist(blocking = false)
+        labels
+      })
   }
 
   /** Registry queries consuming [[clusterLabels]] — the SINGLE source of
