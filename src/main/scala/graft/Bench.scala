@@ -73,24 +73,24 @@ object Bench {
     // consumer sets live NEXT TO the artifact accessors (single source of
     // truth — a new consumer registered without updating them would pay
     // the build inside its timed run under SPARK_GRAFT_ONLY)
-    val ivfConsumers = graft.queries.DocumentQueries.ivfConsumers
+    val ivfConsumers = graft.queries.AnnQueries.ivfConsumers
     val buildSec: Option[Double] = if (!anyPicked(ivfConsumers)) None else {
       val tBuild0 = System.nanoTime()
       try {
-        val idx = graft.queries.DocumentQueries.ivfIndex(spark, sfDir)
+        val idx = graft.queries.AnnQueries.ivfIndex(spark, sfDir)
         idx.indexed.count() // materialize the persisted cell assignment
         // the margin-fixture index the oracle-checked d_ann_ivf probes
-        val idxP = graft.queries.DocumentQueries.ivfIndexPlanted(spark, sfDir)
+        val idxP = graft.queries.AnnQueries.ivfIndexPlanted(spark, sfDir)
         idxP.indexed.count()
       } catch { case _: Throwable => () }
       Some((System.nanoTime() - tBuild0) / 1e9)
     }
     // Same offline/online split for the PQ codebooks: train once here,
     // reported as its own line item, so d_ann_pq times encode+probe.
-    val pqConsumers = graft.queries.DocumentQueries.pqConsumers
+    val pqConsumers = graft.queries.AnnQueries.pqConsumers
     val pqBuildSec: Option[Double] = if (!anyPicked(pqConsumers)) None else {
       val tPq0 = System.nanoTime()
-      try graft.queries.DocumentQueries.pqBooks(spark, sfDir)
+      try graft.queries.AnnQueries.pqBooks(spark, sfDir)
       catch { case _: Throwable => () }
       Some((System.nanoTime() - tPq0) / 1e9)
     }

@@ -13,6 +13,7 @@ object SparkEntry {
   /** All verifiable capabilities, grouped per SURVEY.md §2. */
   def registry: Seq[QueryDef] =
     Relational.defs ++ TransformerQueries.defs ++ DocumentQueries.defs ++
+      AnnQueries.defs ++ DriftQueries.defs ++
       MiscQueries.defs ++ SourceQueries.defs ++ AnalyticsQueries.defs ++
       CurationQueries.defs ++ RetrievalQueries.defs
 

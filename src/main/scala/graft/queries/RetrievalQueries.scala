@@ -177,7 +177,7 @@ object RetrievalQueries {
     }.toDF("doc_id", "text")
     val union = base.unionByName(planted)
     Retrieval.hybridDenseTopK(union, "doc_id", "text",
-        DocumentQueries.ivfIndexPlanted(spark, dir),
+        AnnQueries.ivfIndexPlanted(spark, dir),
         Tables.embeddings(spark, dir).filter(col("vec_id") === 0L)
           .select("vec_id", "embedding"),
         "embedding", "vec_id",
@@ -345,15 +345,20 @@ object RetrievalQueries {
     val rep = java.nio.file.Files.createTempDirectory("graft_packgate")
     graft.TempFiles.cleanupAtExit(rep)
     implicit val s: SparkSession = spark
-    val stream = spark.readStream
-      .schema(spark.read.parquet(in).schema).parquet(in)
-    val q = graft.streaming.Streams.packStream(stream, budget = 512L)
-      .toDF()
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", rep.toString + "/r")
-      .option("checkpointLocation", rep.toString + "/ckpt")
-      .start()
-    q.processAllAvailable(); q.stop()
+    // key cardinality = #sources (single digits): start the stateful query
+    // at 8 state partitions — per-trigger store IO scales with partition
+    // count, not keys (Streams.packStream's sizing note; measured 2x)
+    graft.streaming.Streams.withShufflePartitions(spark, 8) {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema).parquet(in)
+      val q = graft.streaming.Streams.packStream(stream, budget = 512L)
+        .toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", rep.toString + "/r")
+        .option("checkpointLocation", rep.toString + "/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
     spark.read.parquet(rep.toString + "/r")
       .select("source", "seq_id", "doc_id", "doc_off", "seq_off", "take_n")
   }

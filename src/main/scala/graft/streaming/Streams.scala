@@ -434,7 +434,34 @@ object Streams {
     * is small by construction. The sort cannot move upstream: Spark does
     * not guarantee group-iterator order into flatMapGroupsWithState even
     * over sorted partitions.
+    *
+    * State-partition sizing (r16, measured 2x): every trigger pays
+    * per-STATE-PARTITION store load/commit file IO, and state partitions
+    * are fixed at the session's shuffle-partition count when the query
+    * first starts. Pack's key cardinality is #sources, so a 32-partition
+    * session leaves most stores empty yet still committing every trigger
+    * — PackProfile measured addBatch 1.0 s → 0.24 s per trigger (whole
+    * drain 18.4 → 9.5 s) by starting the query at 8 partitions. Start
+    * low-cardinality stateful queries under [[withShufflePartitions]]
+    * with n sized to the key count, as the s_pack gate does.
     */
+  /** Run `f` with the session's shuffle-partition count temporarily set
+    * to `n`, restoring the previous value after. For STARTING stateful
+    * streaming queries whose key cardinality is far below the session's
+    * partition count: state-partition count pins to this conf at the
+    * query's first batch (and persists in its checkpoint), and each
+    * trigger pays per-state-partition store load/commit IO whether or not
+    * the partition holds keys. Run the query to completion INSIDE `f` —
+    * the restore is safe once the query is stopped (batch plans read the
+    * conf at action time; the stateful operator reads its checkpoint).
+    */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   def packStream(docs: DataFrame, budget: Long)
                 (implicit spark: SparkSession): Dataset[PackSlice] = {
     import spark.implicits._

@@ -134,13 +134,21 @@ object StreamScale {
       ("quality_gate", docsN,
         () => (Streams.qualityGate(docsStream), OutputMode.Append())),
       // r15: continuous sequence packing — tokenCount is the per-row cost,
-      // the keyed state is two longs per source
+      // the keyed state is two longs per source. r16: the query starts on
+      // a session clone at 8 shuffle partitions — state-partition count
+      // pins at query start and per-trigger store IO scales with the
+      // PARTITION count, not the key count (#sources is single digits);
+      // PackProfile measured addBatch 1.0 s → 0.24 s per trigger.
       ("pack", docsN,
-        () => ({ implicit val s: SparkSession = spark
+        () => ({ val sp = spark.newSession()
+                 sp.conf.set("spark.sql.shuffle.partitions", "8")
+                 implicit val s: SparkSession = sp
                  Streams.packStream(
-                   docsStream.select(col("doc_id"), col("source"),
-                     graft.functions.TextFunctions.tokenCount(col("text"))
-                       .as("n_tokens")),
+                   sp.readStream.option("maxFilesPerTrigger", 1)
+                     .schema(Streams.documentSchema).parquet(docDir)
+                     .select(col("doc_id"), col("source"),
+                       graft.functions.TextFunctions.tokenCount(col("text"))
+                         .as("n_tokens")),
                    budget = 2048L).toDF() },
                OutputMode.Append())),
       // Append since r15: the broadcast-index contamination gate is

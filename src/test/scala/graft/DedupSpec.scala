@@ -610,7 +610,7 @@ class DedupSpec extends AnyFunSuite {
     // margin-fixture probe must equal brute force exactly — the same
     // promotion argument as d_ann_ivf, now for the distributed trainer.
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
-    val corpus = graft.queries.DocumentQueries.annPlanted(e)
+    val corpus = graft.queries.AnnQueries.annPlanted(e)
     val idx = Similarity.ivfBuildDistributed(corpus, "embedding", "vec_id",
       nCentroids = 8, iters = 2, persist = false)
     assert(idx.centroids.length == 8)
@@ -886,7 +886,7 @@ class DedupSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(
-        graft.queries.DocumentQueries.annPlanted(e), q, "embedding", "vec_id", 10)
+        graft.queries.AnnQueries.annPlanted(e), q, "embedding", "vec_id", 10)
       .select("query_id", "corpus_id", "rk")
       .as[(Long, Long, Long)].collect().toSet
     for (name <- Seq("d_ann_sq8", "d_ann_lsh", "d_ann_ivf", "d_ann_ivf_disk",
@@ -905,7 +905,7 @@ class DedupSpec extends AnyFunSuite {
     import graft.functions.{PqAdcExpr, PqEncodeExpr, PqLutExpr}
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
-    val corpus = graft.queries.DocumentQueries.annPlanted(e)
+    val corpus = graft.queries.AnnQueries.annPlanted(e)
     val books = Similarity.pqTrain(e, "embedding", m = 8, ksub = 32)
     val qv = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
       toCol(PqLutExpr(toExpr(col("embedding")), books.books, books.ksub)).as("lut"))
