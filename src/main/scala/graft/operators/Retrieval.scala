@@ -225,6 +225,41 @@ object Retrieval {
     rrfFuse(lex.select(col("doc_id"), col("rk")), dense, kRrf, k)
   }
 
+  /** PER-QUERY reciprocal-rank fusion — the serving-side face of
+    * [[rrfFuse]]: fuse ONE shared lexical rank list (`lex`: doc_id, rk —
+    * a static offline artifact) with per-query dense rank lists (`dense`:
+    * query_id, doc_id, rk) in a single plan, one fused top-`k` per
+    * query_id. Same exact arithmetic as [[rrfFuse]] (integer ranks, two
+    * IEEE divisions, fixed-order add; absent-from-list contributes +0.0).
+    *
+    * Scale shape: the cross join replicates the list-K-bounded `lex`
+    * (≤ listK rows, broadcast) once per distinct query id — irreducible
+    * for fusion (every query fuses against the full lexical list) and
+    * output-sized, never corpus-sized; the rank window partitions by
+    * query_id over ≤ listKLex + listKDense rows per query.
+    */
+  def rrfFusePerQuery(lex: DataFrame, dense: DataFrame, kRrf: Double = 60.0,
+                      k: Int = 20): DataFrame = {
+    val qids = dense.select(col("query_id")).distinct()
+    val l = qids.crossJoin(broadcast(
+      lex.select(col("doc_id"), col("rk").as("r_a"))))
+    val d = dense.select(col("query_id"), col("doc_id"), col("rk").as("r_b"))
+    val j = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+    def contrib(c: Column): Column =
+      when(c.isNotNull, lit(1.0) / (lit(kRrf) + c.cast(DoubleType)))
+        .otherwise(lit(0.0))
+    j.select(col("query_id"), col("doc_id"),
+        coalesce(col("r_a"), lit(0L)).cast(LongType).as("r_a"),
+        coalesce(col("r_b"), lit(0L)).cast(LongType).as("r_b"),
+        (contrib(col("r_a")) + contrib(col("r_b"))).as("score"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc))
+        .cast(LongType))
+      .filter(col("rk") <= k)
+      .drop("score")
+  }
+
   /** Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR'09):
     * fused(d) = 1/(kRrf + r_a(d)) + 1/(kRrf + r_b(d)), a document absent
     * from one list contributing +0.0 from that list. Ranks are exact

@@ -24,7 +24,7 @@ object AnnQueries {
   val ivfConsumers: Set[String] =
     Set("d_ann_ivf", "d_ann_ivfpq", "d_ann_ivf_disk", "d_ann_append",
       "d_knn_join", "d_ann_range", "d_knn_graph", "s_semdedup",
-      "s_ann_serve", "d_hybrid_dense")
+      "s_ann_serve", "d_hybrid_dense", "s_hybrid_serve")
 
   /** Consumers of [[pqBooks]] — see [[ivfConsumers]]. */
   val pqConsumers: Set[String] = Set("d_ann_pq", "d_ann_ivfpq")

@@ -186,8 +186,11 @@ object RetrievalQueries {
         qtermDocs = Some(base))
   }
 
-  private val dHybridDenseSql =
-    s"""WITH tokb AS (
+  // the lexical half of the hybrid oracles (shared by d_hybrid_dense and
+  // s_hybrid_serve): base-corpus term selection, planted both-modality
+  // texts, union stats, BM25 pivot, top-50 rank list `lexr`
+  private val hybridLexSql =
+    s"""tokb AS (
        | SELECT doc_id, t AS token FROM (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
        |  FROM documents)
@@ -231,8 +234,14 @@ object RetrievalQueries {
        |${pivotSql("bscored", "bpiv")},
        |lexr AS (
        | SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_a
-       | FROM bpiv QUALIFY r_a <= 50),
-       |pco AS (
+       | FROM bpiv QUALIFY r_a <= 50)""".stripMargin
+
+  // NOTE: hybridLexSql is FINISHED SQL whose `||` concats a second
+  // stripMargin would mangle (the r4 gotcha) — concatenate, don't
+  // interpolate into a stripMargin literal
+  private val dHybridDenseSql =
+    "WITH " + hybridLexSql + ",\n" +
+    s"""pco AS (
        | SELECT 100000 + vec_id*10 + j AS vid, embedding
        | FROM embeddings, generate_series(0, 9) AS h(j) WHERE vec_id < 5),
        |uv AS (
@@ -256,6 +265,94 @@ object RetrievalQueries {
        | FROM lexr FULL OUTER JOIN denser ON lexr.doc_id = denser.doc_id)
        |SELECT doc_id, r_a, r_b,
        | CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+       |FROM fused QUALIFY rk <= 20""".stripMargin
+
+  // --------------------------------------------------- s_hybrid_serve
+  // ONLINE hybrid retrieval serving (r16 stretch) — the streaming face of
+  // d_hybrid_dense: the five margin query vectors stream through
+  // Streams.toHybridServeSink, each micro-batch probing the SAME durable
+  // planted IVF index (dense top-10 per query — every qid's 10 planted
+  // copies sit in its first probe cell at cos=1, so IVF == brute force
+  // per query) and RRF-fusing against the STATIC lexical BM25 top-50
+  // artifact (the offline half, localCheckpointed once). Serving is
+  // stateless per query → batch boundaries cannot change results
+  // (StreamingSpec pins two-drain == batch fusion); results land as
+  // replay-idempotent batch_id partitions. The oracle replays BOTH halves
+  // brute-force per query and fuses with the same exact-rank arithmetic.
+  /** The static lexical artifact of the hybrid pair — the same union
+    * corpus + ranking d_hybrid_dense's lexical leg computes.
+    */
+  private def hybridLexList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val baseDf = Retrieval.lexStats(base, "doc_id", "text").df
+    val terms = Retrieval.queryTermsByDf(baseDf, QTerms, QOffset)
+      .orderBy("qrank").select("token").as[String].collect() // 3 rows, bounded
+    val planted = (0 until 10).map { j =>
+      (100000L + j, (Seq.fill(j + 1)(terms(0)) ++ terms.drop(1)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stats = Retrieval.lexStats(base.unionByName(planted), "doc_id", "text")
+    val qterms = Retrieval.queryTermsByDf(baseDf, QTerms, QOffset)
+      .select(col("token"), col("qrank")).join(stats.df, "token")
+    Retrieval.topK(Retrieval.fuseFixedOrder(
+        Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false), qranks), 50)
+      .select(col("doc_id"), col("rk"))
+  }
+
+  private def sHybridServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = AnnQueries.ivfIndexPlanted(spark, dir)
+    // the offline lexical artifact: 50 rows, materialized once — each
+    // trigger fuses against it instead of re-running the corpus ranking
+    val lex = hybridLexList(spark, dir).localCheckpoint()
+    val root = SourceQueries.cachedArtifact("hybridserve", dir) { tmp =>
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").write.mode("overwrite").parquet(tmp + "/in")
+    }
+    val rep = java.nio.file.Files.createTempDirectory("graft_hybridserve")
+    graft.TempFiles.cleanupAtExit(rep)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema).parquet(root + "/in")
+    val q = graft.streaming.Streams.toHybridServeSink(stream, idx,
+      "embedding", "vec_id", lex, listKDense = 10, nProbe = 4,
+      kRrf = 60.0, k = 20, rep.toString + "/r", rep.toString + "/ckpt")
+    q.processAllAvailable(); q.stop()
+    spark.read.parquet(rep.toString + "/r")
+      .select(col("query_id"), col("doc_id"), col("r_a"), col("r_b"), col("rk"))
+  }
+
+  // same concat rule as dHybridDenseSql: hybridLexSql is finished SQL
+  private val sHybridServeSql =
+    "WITH " + hybridLexSql + ",\n" +
+    s"""pco AS (
+       | SELECT 100000 + vec_id*10 + j AS vid, embedding
+       | FROM embeddings, generate_series(0, 9) AS h(j) WHERE vec_id < 5),
+       |uv AS (
+       | SELECT vec_id AS vid, embedding FROM embeddings
+       | UNION ALL SELECT vid, embedding FROM pco),
+       |dq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |ds AS (
+       | SELECT qid, vid AS cid, list_cosine_similarity(qv, embedding) AS cos
+       | FROM dq, uv WHERE vid != qid),
+       |denser AS (
+       | SELECT qid, cid AS doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS BIGINT) AS r_b
+       | FROM ds QUALIFY r_b <= 10),
+       |lexq AS (
+       | SELECT q.qid, lexr.doc_id, lexr.r_a
+       | FROM (SELECT DISTINCT qid FROM dq) q CROSS JOIN lexr),
+       |fused AS (
+       | SELECT COALESCE(lexq.qid, denser.qid) AS query_id,
+       |  COALESCE(lexq.doc_id, denser.doc_id) AS doc_id,
+       |  CAST(COALESCE(r_a, 0) AS BIGINT) AS r_a,
+       |  CAST(COALESCE(r_b, 0) AS BIGINT) AS r_b,
+       |  ((CASE WHEN r_a IS NULL THEN CAST(0 AS DOUBLE)
+       |         ELSE 1.0 / (60.0 + CAST(r_a AS DOUBLE)) END)
+       |   + (CASE WHEN r_b IS NULL THEN CAST(0 AS DOUBLE)
+       |           ELSE 1.0 / (60.0 + CAST(r_b AS DOUBLE)) END)) AS score
+       | FROM lexq FULL OUTER JOIN denser
+       |   ON lexq.qid = denser.qid AND lexq.doc_id = denser.doc_id)
+       |SELECT query_id, doc_id, r_a, r_b,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
        |FROM fused QUALIFY rk <= 20""".stripMargin
 
   // ----------------------------------------------------- d_cooccur_pmi
@@ -367,6 +464,7 @@ object RetrievalQueries {
     QueryDef("d_bm25", dBm25, Some(dBm25Sql)),
     QueryDef("d_rrf_fusion", dRrfFusion, Some(dRrfFusionSql)),
     QueryDef("d_hybrid_dense", dHybridDense, Some(dHybridDenseSql)),
+    QueryDef("s_hybrid_serve", sHybridServe, Some(sHybridServeSql)),
     QueryDef("d_cooccur_pmi", dCooccurPmi, Some(dCooccurPmiSql)),
     QueryDef("d_pack_chunks", dPackChunks, Some(dPackChunksSql)),
     QueryDef("s_pack", sPack, Some(dPackChunksSql))

@@ -1035,6 +1035,33 @@ object Streams {
       }
       .start()
 
+  /** Online HYBRID retrieval serving — the streaming face of
+    * [[graft.operators.Retrieval.hybridDenseTopK]]: each micro-batch of
+    * query vectors probes the durable IVF index (dense top-`listKDense`
+    * per query) and RRF-fuses against the STATIC lexical rank list `lex`
+    * (the offline BM25 artifact — listK-bounded, broadcast into the
+    * fusion). Serving is stateless per query, so batch boundaries cannot
+    * change results; each trigger's fused top-`k` lands as an OVERWRITTEN
+    * `batch_id=N` partition, making checkpoint-recovery replays
+    * idempotent (the r13 keyed-sink rule).
+    */
+  def toHybridServeSink(queries: DataFrame,
+                        index: graft.operators.Similarity.IvfIndex,
+                        vecCol: String, idCol: String, lex: DataFrame,
+                        listKDense: Int, nProbe: Int, kRrf: Double, k: Int,
+                        outDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dense = graft.operators.Similarity
+          .ivfQuery(index, batch.toDF(), vecCol, idCol, listKDense, nProbe)
+          .select(col("query_id"), col("corpus_id").as("doc_id"), col("rk"))
+        graft.operators.Retrieval.rrfFusePerQuery(lex, dense, kRrf, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
   def toIvfAppendSink(streamed: DataFrame, checkpointDir: String,
                       indexPath: String, vecCol: String, idCol: String,
                       dedupIds: Boolean = true)

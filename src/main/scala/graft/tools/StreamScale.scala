@@ -211,6 +211,30 @@ object StreamScale {
       val rps = (embN / math.max(sec, 1e-9)).round
       println(s"[streamscale] ann_serve: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
       s""""ann_serve":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
+    } :+ {
+      // r16: online HYBRID serving — the ann_serve probe plus per-query
+      // RRF fusion against a static 50-row lexical artifact (built once,
+      // localCheckpointed; the offline half of hybrid retrieval). The
+      // delta over ann_serve prices the fusion join, not the probe.
+      val lex = graft.operators.Retrieval.bm25TopK(
+          spark.read.parquet(docDir), "doc_id", "text", k = 50)
+        .select(col("doc_id"), col("rk")).localCheckpoint()
+      lex.count()
+      val rep = s"$base/hsrvrep-${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      val q = Streams.toHybridServeSink(
+        spark.readStream.option("maxFilesPerTrigger", 1)
+          .schema(embSchema).parquet(embDir),
+        idx, "embedding", "vec_id", lex, listKDense = 10, nProbe = 2,
+        kRrf = 60.0, k = 20, rep, s"$base/ckpt-${System.nanoTime()}")
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = spark.read.parquet(rep)
+        .select(col("batch_id")).distinct().count()
+      val rps = (embN / math.max(sec, 1e-9)).round
+      lex.unpersist()
+      println(s"[streamscale] hybrid_serve: ${f"$sec%.2f"} s, $rps rows/s, $batches batches")
+      s""""hybrid_serve":{"sec":${f"$sec%.3f"},"rows_per_s":$rps,"batches":$batches}"""
     }
     println(s"""{"metric":"stream_scale","events_n":$eventsN,""" +
       s""""docs_n":$docsN,"n_batches":$nBatches,""" +

@@ -868,6 +868,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 2)
   }
 
+  test("toHybridServeSink: two drains equal the batch fusion; batch_id partitions") {
+    import graft.operators.{Retrieval, Similarity}
+    val e = Tables.embeddings(spark, TestSpark.sf).select("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(e, "embedding", "vec_id", nCentroids = 8,
+      trainTarget = 4000)
+    // a static lexical artifact over the documents corpus (offline half)
+    val lex = Retrieval.bm25TopK(Tables.documents(spark, TestSpark.sf),
+        "doc_id", "text", k = 30)
+      .select(col("doc_id"), col("rk")).localCheckpoint()
+    val queries = e.filter(col("vec_id") < 20)
+    val inDir = Files.createTempDirectory("hsrvin").toString
+    val outDir = Files.createTempDirectory("hsrvout").toString + "/r"
+    val ckpt = Files.createTempDirectory("hsrvckpt").toString
+    queries.filter(col("vec_id") < 10).write.mode("append").parquet(inDir)
+    val q = Streams.toHybridServeSink(
+      spark.readStream.schema(queries.schema).parquet(inDir),
+      idx, "embedding", "vec_id", lex, listKDense = 5, nProbe = 3,
+      kRrf = 60.0, k = 10, outDir, ckpt)
+    q.processAllAvailable()
+    queries.filter(col("vec_id") >= 10).write.mode("append").parquet(inDir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outDir)
+      .select("query_id", "doc_id", "r_a", "r_b", "rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // serving is stateless per query: the two-drain union must equal the
+    // one-shot batch composition over ALL queries
+    val dense = Similarity.ivfQuery(idx, queries, "embedding", "vec_id",
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rk"))
+    val want = Retrieval.rrfFusePerQuery(lex, dense, 60.0, 10)
+      .select("query_id", "doc_id", "r_a", "r_b", "rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._3 > 0) && got.exists(_._4 > 0))
+    // replay-idempotent layout: results live under batch_id partitions
+    assert(spark.read.parquet(outDir).select("batch_id").distinct().count() >= 2)
+    lex.unpersist()
+  }
+
   test("packStream carries the open window across micro-batches (packChunks parity)") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), col("source"),
