@@ -5,8 +5,9 @@ import graft.operators.{Corpus, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-15 retrieval surfaces: BM25 ranking, hybrid reciprocal-rank
-  * fusion, PMI co-occurrence statistics, and exact context-window packing —
+/** Retrieval surfaces (r15 + r16): BM25 ranking, lexical and
+  * dense⊕lexical hybrid reciprocal-rank fusion (batch and online-serving
+  * form), PMI co-occurrence statistics, and exact context-window packing —
   * the corpus-search and sequence-composition steps of an LLM data
   * pipeline, each with an exact DuckDB oracle.
   *
@@ -301,9 +302,14 @@ object RetrievalQueries {
 
   private def sHybridServe(spark: SparkSession, dir: String): DataFrame = {
     val idx = AnnQueries.ivfIndexPlanted(spark, dir)
-    // the offline lexical artifact: 50 rows, materialized once — each
-    // trigger fuses against it instead of re-running the corpus ranking
-    val lex = hybridLexList(spark, dir).localCheckpoint()
+    // the offline lexical artifact: 50 rows, built ONCE per (JVM, dir) and
+    // staged to disk (the cachedArtifact pattern — parquet can't be
+    // reclaimed like localCheckpoint blocks, the r11 prebuild gotcha), so
+    // serving times the probe+fusion, not the offline corpus ranking
+    val lexRoot = SourceQueries.cachedArtifact("hybridlex", dir) { tmp =>
+      hybridLexList(spark, dir).write.mode("overwrite").parquet(tmp + "/lex")
+    }
+    val lex = spark.read.parquet(lexRoot + "/lex")
     val root = SourceQueries.cachedArtifact("hybridserve", dir) { tmp =>
       Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
         .select("vec_id", "embedding").write.mode("overwrite").parquet(tmp + "/in")
