@@ -60,6 +60,35 @@ object Retrieval {
     LexStats(tf, dfT, totals)
   }
 
+  /** INCREMENTAL corpus extension — the index-update shape: extend an
+    * existing [[LexStats]] with newly arrived documents by tokenizing ONLY
+    * the new docs and merging the aggregates (tf rows union — documents
+    * are per-doc-local so dl needs no recompute; df full-outer sums;
+    * totals add). At 100 TB this is the difference between re-tokenizing
+    * the corpus on every batch and paying only for the delta. Exact, not
+    * approximate: every merged aggregate is integer arithmetic, so
+    * `extendLexStats(lexStats(a), b)` equals `lexStats(a ∪ b)` value-for-
+    * value (spec-pinned). `newDocs` must be id-disjoint from the corpus
+    * `stats` was built over — a re-ingested id would double-count df/tf.
+    */
+  def extendLexStats(stats: LexStats, newDocs: DataFrame, idCol: String,
+                     textCol: String, minTokenLen: Int = 3): LexStats = {
+    val n = lexStats(newDocs, idCol, textCol, minTokenLen)
+    val tf = stats.tf.unionByName(n.tf)
+    val df = stats.df.select(col("token"), col("df").as("__da"))
+      .join(n.df.select(col("token"), col("df").as("__db")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("__da"), lit(0L)) + coalesce(col("__db"), lit(0L))).as("df"))
+    val totals = stats.totals
+      .select(col("n_docs").as("__na"), col("total_tok").as("__ta"))
+      .crossJoin(n.totals
+        .select(col("n_docs").as("__nb"), col("total_tok").as("__tb")))
+      .select((col("__na") + col("__nb")).as("n_docs"),
+        (col("__ta") + col("__tb")).as("total_tok"))
+    LexStats(tf, df, totals)
+  }
+
   /** Pick a deterministic multi-term query from the corpus itself: the
     * terms ranked `offset+1 .. offset+nTerms` by (df DESC, token ASC).
     * Self-contained at any scale factor — no fixture vocabulary to ship.
@@ -188,10 +217,10 @@ object Retrieval {
     * dense ranks are per-query, and fusing several queries' rank lists
     * into one lexical ranking would interleave unrelated ranks. Run one
     * fusion per query (the lexical leg reuses across calls via its own
-    * `lexStats`). `qtermDocs`, when set, derives the lexical query terms
-    * from THAT corpus's df ranking instead of `docs`' own — the
-    * incremental-indexing shape where term selection is frozen on a base
-    * corpus while scoring sees newly added documents.
+    * `lexStats`). `extraDocs`, when set, is an id-disjoint document DELTA
+    * merged via [[extendLexStats]] — the incremental-indexing shape:
+    * query-term selection stays frozen on `docs`' own df ranking while
+    * scoring sees the extended corpus, and only the delta tokenizes.
     *
     * 100 TB shape: both legs are list-sized before the fusion touches
     * them — the lexical cut is a per-partition heap merge, the dense leg
@@ -206,14 +235,15 @@ object Retrieval {
                       k: Int = 20, kRrf: Double = 60.0, nProbe: Int = 4,
                       k1: Double = 1.2, b: Double = 0.75,
                       logIdf: Boolean = true, minTokenLen: Int = 3,
-                      qtermDocs: Option[DataFrame] = None): DataFrame = {
-    val stats = lexStats(docs, idCol, textCol, minTokenLen)
-    val qterms = qtermDocs match {
+                      extraDocs: Option[DataFrame] = None): DataFrame = {
+    val baseStats = lexStats(docs, idCol, textCol, minTokenLen)
+    val stats = extraDocs.fold(baseStats)(
+      extendLexStats(baseStats, _, idCol, textCol, minTokenLen))
+    val qterms = extraDocs match {
       case None => queryTermsByDf(stats.df, nTerms, offset)
-      case Some(base) =>
-        // selection by the BASE ranking, df/idf from the scored corpus
-        queryTermsByDf(lexStats(base, idCol, textCol, minTokenLen).df,
-            nTerms, offset)
+      case Some(_) =>
+        // selection by the BASE ranking, df/idf from the extended corpus
+        queryTermsByDf(baseStats.df, nTerms, offset)
           .select(col("token"), col("qrank")).join(stats.df, "token")
     }
     val qranks = (offset + 1) to (offset + nTerms)

@@ -176,15 +176,17 @@ object RetrievalQueries {
     val planted = (0 until 10).map { j =>
       (100000L + j, (Seq.fill(j + 1)(terms(0)) ++ terms.drop(1)).mkString(" "))
     }.toDF("doc_id", "text")
-    val union = base.unionByName(planted)
-    Retrieval.hybridDenseTopK(union, "doc_id", "text",
+    // the planted rows ride as an extendLexStats DELTA (r16): only the 10
+    // new docs tokenize, the base corpus tokenizes once — same integer
+    // aggregates as a from-scratch union pass (spec-pinned), same hash
+    Retrieval.hybridDenseTopK(base, "doc_id", "text",
         AnnQueries.ivfIndexPlanted(spark, dir),
         Tables.embeddings(spark, dir).filter(col("vec_id") === 0L)
           .select("vec_id", "embedding"),
         "embedding", "vec_id",
         nTerms = QTerms, offset = QOffset, listKLex = 50, listKDense = 10,
         k = 20, kRrf = 60.0, nProbe = 4, k1 = K1, b = B, logIdf = false,
-        qtermDocs = Some(base))
+        extraDocs = Some(planted))
   }
 
   // the lexical half of the hybrid oracles (shared by d_hybrid_dense and
@@ -286,14 +288,15 @@ object RetrievalQueries {
   private def hybridLexList(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val baseDf = Retrieval.lexStats(base, "doc_id", "text").df
-    val terms = Retrieval.queryTermsByDf(baseDf, QTerms, QOffset)
+    val baseStats = Retrieval.lexStats(base, "doc_id", "text")
+    val terms = Retrieval.queryTermsByDf(baseStats.df, QTerms, QOffset)
       .orderBy("qrank").select("token").as[String].collect() // 3 rows, bounded
     val planted = (0 until 10).map { j =>
       (100000L + j, (Seq.fill(j + 1)(terms(0)) ++ terms.drop(1)).mkString(" "))
     }.toDF("doc_id", "text")
-    val stats = Retrieval.lexStats(base.unionByName(planted), "doc_id", "text")
-    val qterms = Retrieval.queryTermsByDf(baseDf, QTerms, QOffset)
+    // delta-extend the base stats (extendLexStats): one base tokenize pass
+    val stats = Retrieval.extendLexStats(baseStats, planted, "doc_id", "text")
+    val qterms = Retrieval.queryTermsByDf(baseStats.df, QTerms, QOffset)
       .select(col("token"), col("qrank")).join(stats.df, "token")
     Retrieval.topK(Retrieval.fuseFixedOrder(
         Retrieval.bm25PerTerm(stats, qterms, K1, B, logIdf = false), qranks), 50)

@@ -109,6 +109,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan)
   }
 
+  test("extendLexStats(lexStats(a), b) == lexStats(a ∪ b) value-for-value") {
+    val a = Tables.documents(spark, TestSpark.sf).limit(300)
+      .select(col("doc_id"), col("text"))
+    val b = Seq((900001L, "apple banana apple"), (900002L, "cherry cherry"),
+      (900003L, "zzzz unseen token")).toDF("doc_id", "text")
+    val inc = Retrieval.extendLexStats(Retrieval.lexStats(a, "doc_id", "text"),
+      b, "doc_id", "text")
+    val full = Retrieval.lexStats(a.unionByName(b), "doc_id", "text")
+    def tfSet(s: Retrieval.LexStats) =
+      s.tf.as[(Long, String, Long, Long)].collect().toSet
+    def dfSet(s: Retrieval.LexStats) = s.df.as[(String, Long)].collect().toSet
+    def tot(s: Retrieval.LexStats) = s.totals.as[(Long, Long)].collect().head
+    assert(tfSet(inc) == tfSet(full))
+    assert(dfSet(inc) == dfSet(full))
+    assert(tot(inc) == tot(full))
+    // the delta genuinely contributes: an unseen token appears df=1
+    assert(dfSet(inc).contains(("zzzz", 1L)) || dfSet(inc).contains(("unseen", 1L)))
+  }
+
   test("hybridDenseTopK == rrfFuse(bm25 list, brute-force dense list) at full probe") {
     // shared id space: every doc has text AND a vector; nProbe = nCells
     // degrades the IVF leg to exact, so the wrapper must equal the
