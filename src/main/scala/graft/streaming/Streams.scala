@@ -1050,17 +1050,60 @@ object Streams {
                         vecCol: String, idCol: String, lex: DataFrame,
                         listKDense: Int, nProbe: Int, kRrf: Double, k: Int,
                         outDir: String, checkpointDir: String)
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    // The lexical side is a STATIC listK-bounded artifact: collect it ONCE
+    // at sink construction and ship it as a literal struct array, so each
+    // trigger's fusion is a map-side explode over the batch's query ids
+    // plus ONE keyed aggregate — no per-trigger distinct/full-outer join
+    // (r16: cut the fusion's per-trigger exchanges from ~4 to 2; the
+    // arithmetic is rrfFusePerQuery's exactly, with rank 0 encoding
+    // absent — ranks are >= 1 — and the parity spec pins sink ==
+    // rrfFusePerQuery). The guard keeps a mis-wired corpus-sized frame
+    // from becoming a driver collect.
+    val lexRows = lex.select(col("doc_id"), col("rk")).collect()
+    require(lexRows.length <= 10000,
+      s"toHybridServeSink: lex list has ${lexRows.length} rows — it must be " +
+        "a top-K artifact (<= 10000), not a corpus-sized frame")
+    val lexArr = array(lexRows.map { r =>
+      struct(lit(r.get(0)).as("doc_id"), lit(r.get(1)).cast(LongType).as("r_a"))
+    }: _*)
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val dense = graft.operators.Similarity
           .ivfQuery(index, batch.toDF(), vecCol, idCol, listKDense, nProbe)
-          .select(col("query_id"), col("corpus_id").as("doc_id"), col("rk"))
-        graft.operators.Retrieval.rrfFusePerQuery(lex, dense, kRrf, k)
+        val lexSide = batch.toDF().select(col(idCol).as("query_id"))
+          .select(col("query_id"), explode(lexArr).as("__e"))
+          .select(col("query_id"), col("__e.doc_id").as("doc_id"),
+            col("__e.r_a").as("r_a"), lit(0L).as("r_b"))
+        val denseSide = dense.select(col("query_id"),
+          col("corpus_id").as("doc_id"), lit(0L).as("r_a"),
+          col("rk").cast(LongType).as("r_b"))
+        // a duplicate query id in a batch collapses here (same ranks).
+        // denseSide LEFT of the union: the left frame's session owns the
+        // plan, and only the MAIN session (dense derives from the index)
+        // carries the TopKPerGroup strategy — the micro-batch clone that
+        // lexSide's batch frame belongs to plans the custom node as
+        // "No plan for TopKPerGroup"
+        val g = denseSide.unionByName(lexSide)
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(max(col("r_a")).as("r_a"), max(col("r_b")).as("r_b"))
+        def contrib(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(c > 0, lit(1.0) / (lit(kRrf) + c.cast(DoubleType)))
+            .otherwise(lit(0.0))
+        g.select(col("query_id"), col("doc_id"), col("r_a"), col("r_b"),
+            (contrib(col("r_a")) + contrib(col("r_b"))).as("score"))
+          .withColumn("rk", row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score").desc, col("doc_id").asc))
+            .cast(LongType))
+          .filter(col("rk") <= k)
+          .drop("score")
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
+  }
 
   def toIvfAppendSink(streamed: DataFrame, checkpointDir: String,
                       indexPath: String, vecCol: String, idCol: String,
