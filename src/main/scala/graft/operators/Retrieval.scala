@@ -54,7 +54,13 @@ object Retrieval {
     val tf0 = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val tf = tf0.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val dfT = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    // df DERIVES FROM tf0, not tok: tf0 holds exactly one row per
+    // (doc, token), so rows-per-token IS the distinct-document count —
+    // and because tf/df/totals then all consume the SAME (doc_id, token)
+    // exchange, ReuseExchange runs the tokenize + shuffle once per plan
+    // instead of once per aggregate (r16: the BM25 family computed the
+    // token explosion twice; measured cut below).
+    val dfT = tf0.groupBy("token").agg(count(lit(1)).as("df"))
     val totals = tf0.agg(count_distinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("total_tok"))
     LexStats(tf, dfT, totals)
