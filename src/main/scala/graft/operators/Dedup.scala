@@ -681,17 +681,25 @@ object Dedup {
     // two-branch union: each union branch re-ran the caller's ENTIRE pair
     // pipeline (candidate enumeration + scoring), which r16's profile
     // measured as half the edge-build cost on the bench corpus.
+    // LAZY checkpoints throughout the loop (r16, guide §1.2 — fewer
+    // passes): an EAGER localCheckpoint is its own Spark job, and every
+    // round already runs an unavoidable action (the sum witness). Marking
+    // the round's result lazy lets the witness aggregate materialize the
+    // checkpoint blocks inside its job — one job per round instead of
+    // two, and one fewer up front (the seed's materialization also
+    // persists the edge table it reads). Semantics are unchanged: blocks
+    // exist before anything downstream consumes them twice.
     val edges = pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // seed with round one's result directly — label(v) = min(v, neighbors) —
     // instead of label(v) = v, saving one full propagation round
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("__nmin"))
       .select(col("src").as("id"), least(col("src"), col("__nmin")).as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prevSum = Option.empty[java.math.BigDecimal]
     var iter = 0
     var converged = false
@@ -712,8 +720,11 @@ object Dedup {
       // propagation: min over self ∪ neighbors — reach grows by 1 hop
       val prop = prev.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // the jump round's intermediate must outlive the witness job (the
+      // lazy `labels` checkpoint reads its blocks there) — freed after it
+      var jumpTmp: Option[DataFrame] = None
       if (iter < jumpAfter) {
-        labels = prop.localCheckpoint()
+        labels = prop.localCheckpoint(false) // materialized by the witness below
       } else {
         // pointer jump: cluster(v) ← cluster(cluster(v)). Checkpoint the
         // propagation first — the self-join consumes it TWICE. Labels
@@ -727,14 +738,16 @@ object Dedup {
         labels = p.join(hop, col("cluster") === col("__j_id"), "left")
           .select(col("id"),
             coalesce(col("__j_cluster"), col("cluster")).as("cluster"))
-          .localCheckpoint()
-        p.unpersist()
+          .localCheckpoint(false) // materialized by the witness below
+        jumpTmp = Some(p)
       }
       // labels only decrease → the exact decimal sum is a convergence witness
+      // (this action is also what materializes the round's lazy checkpoint)
       val s = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
+      jumpTmp.foreach(_.unpersist())
       prev.unpersist()
       iter += 1
     }
