@@ -168,14 +168,26 @@ object RetrievalQueries {
   //  * the fusion is d_rrf_fusion's exact arithmetic: integer ranks, two
   //    IEEE divisions, fixed-order add. Hash carries doc_id + 3 ranks.
   private def dHybridDense(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val terms = Retrieval.queryTermsByDf(
-        Retrieval.lexStats(base, "doc_id", "text").df, QTerms, QOffset)
-      .orderBy("qrank").select("token").as[String].collect() // 3 rows, bounded
-    val planted = (0 until 10).map { j =>
-      (100000L + j, (Seq.fill(j + 1)(terms(0)) ++ terms.drop(1)).mkString(" "))
-    }.toDF("doc_id", "text")
+    // The planted texts derive IN-PLAN from the base df ranking (r16,
+    // guide §2.4): the old 3-row collect() ran a full corpus
+    // tokenize+aggregate as its OWN job before the main plan tokenized
+    // the corpus again — two corpus passes per invocation. Pivoting the
+    // QTerms=3 query terms into one broadcast row keeps everything in one
+    // action, where ReuseExchange runs the (doc_id, token) aggregate once.
+    // Token content is unchanged ("t1 … t1 t2 t3", j+1 copies of t1), so
+    // tf/df/scores — and the oracle hash — are identical.
+    val qt = Retrieval.queryTermsByDf(
+      Retrieval.lexStats(base, "doc_id", "text").df, QTerms, QOffset)
+    val t = qt.groupBy().agg(
+      max(when(col("qrank") === QOffset + 1, col("token"))).as("t1"),
+      max(when(col("qrank") === QOffset + 2, col("token"))).as("t2"),
+      max(when(col("qrank") === QOffset + 3, col("token"))).as("t3"))
+    val planted = spark.range(0, 10).crossJoin(broadcast(t))
+      .select((lit(100000L) + col("id")).as("doc_id"),
+        concat_ws(" ", flatten(array(
+          array_repeat(col("t1"), (col("id") + 1).cast("int")),
+          array(col("t2"), col("t3"))))).as("text"))
     // the planted rows ride as an extendLexStats DELTA (r16): only the 10
     // new docs tokenize, the base corpus tokenizes once — same integer
     // aggregates as a from-scratch union pass (spec-pinned), same hash
