@@ -400,9 +400,25 @@ object Dedup {
     //    than the block, so parallelism no longer caps at the block count.
     //    This unlocks the single-hot-block corpora the r7 scale harness
     //    flagged as the operator's limit.
-    val hottest = Option(grouped.groupBy(blockCols.map(col): _*).count()
+    // TWO-TIER decision (r16, guide §1.2): the exact hottest-block rep
+    // count tokenizes the whole corpus in its own action — a full extra
+    // pipeline run per invocation just to pick a strategy. The raw
+    // per-block DOCUMENT count is a sound upper bound on the rep count
+    // (collapse only removes rows) and needs no tokenize — a
+    // column-pruned count over blockCols alone. When even the bound fits
+    // the quadratic budget, the choice is identical to the exact one (reps
+    // ≤ docs ≤ budget) and the tokenize-bearing decision job never runs;
+    // only corpora whose raw blocks overflow the budget (heavy replication
+    // or one hot block) pay the exact rep count, where the two paths'
+    // costs actually diverge. Both paths verify exactly, so the selected
+    // strategy never changes results — only enumeration cost.
+    val docBound = Option(df.groupBy(blockCols.map(col): _*).count()
       .agg(max(col("count"))).head.get(0)).map(_.asInstanceOf[Long])
       .getOrElse(0L) // empty input: max over zero groups is a null row
+    val hottest = if (docBound <= maxQuadraticBlock) docBound
+    else Option(grouped.groupBy(blockCols.map(col): _*).count()
+      .agg(max(col("count"))).head.get(0)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
     val repPairs = if (hottest <= maxQuadraticBlock) {
       val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
       val gq = g.repartition(fanout, blockCols.map(col): _*)
