@@ -899,8 +899,16 @@ object Dedup {
       explode(array(masks.map(mk => col("bucket").bitwiseXOR(lit(mk))): _*)).as("bucket"),
       col("rep").as("rep_a"))
     val r = b.select(col("bucket"), col("rep").as("rep_b"))
+    // NO distinct on the candidate stream (r16, guide §2.4 — "a distinct
+    // on data that is already unique"): the probe enumeration emits each
+    // ordered pair AT MOST ONCE, because the mask connecting two reps is
+    // determined — (a,b) matches iff bucket_a ^ m == bucket_b, i.e.
+    // m = bucket_a ^ bucket_b, a single mask — and the rep_a < rep_b cut
+    // keeps exactly one of the two orientations. A distinct here was a
+    // full extra exchange + aggregate over the operator's widest stream
+    // (the candidate pairs), provably collapsing nothing.
     val repPairs = l.join(r, Seq("bucket")).filter(col("rep_a") < col("rep_b"))
-      .select(col("rep_a"), col("rep_b")).distinct()
+      .select(col("rep_a"), col("rep_b"))
       .join(b.select(col("rep").as("rep_a"), col("v").as("v_a")), "rep_a")
       .join(b.select(col("rep").as("rep_b"), col("v").as("v_b")), "rep_b")
       .select(col("rep_a"), col("rep_b"),
