@@ -78,13 +78,21 @@ object AsOfJoin {
               rightPayload: Seq[String]): DataFrame = {
     val (unioned, leftCols) = prepped(left, right, leftKey, rightKey,
       leftTime, rightTime, rightPayload)
-    // left rows sort before right rows at equal time -> inclusive match when
-    // scanning toward the future
+    // RUNNING frame over time DESCENDING, not first() over
+    // [currentRow, unboundedFollowing] (r16): Spark evaluates an
+    // unbounded-FOLLOWING frame by re-scanning from each row to the
+    // partition end — O(n²) per key partition — while the running
+    // unbounded-PRECEDING frame is a single O(n) pass. Scanning the
+    // future-to-past order, the last right payload seen is exactly the
+    // earliest rightTime >= leftTime; right rows sort before left rows at
+    // equal time (__is_right desc) so the match stays inclusive, and
+    // null-time left rows sort last and match the same earliest-right row
+    // the old formulation gave them. Row-identical output (spec + oracle).
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__is_right").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__match", first(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__is_right") === 0)
       .select((leftCols.map(col) :+ col("__match").as("asof")): _*)
   }
