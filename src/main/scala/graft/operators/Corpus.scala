@@ -991,15 +991,28 @@ object Corpus {
         explode(array_distinct(split(lower(col(textCol)), "[^a-z]+"))).as("token"))
       .filter(length(col("token")) >= minTokenLen)
     // TakeOrdered cut, not a ranking window: a real corpus's vocabulary is
-    // multi-million terms and must never funnel through one partition
-    val dfT = tok.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    // multi-million terms and must never funnel through one partition.
+    // `tok` is distinct per (doc, token) by construction (array_distinct
+    // over each doc's single row), so df is a plain COUNT — the
+    // count_distinct formulation paid a two-phase distinct aggregate for
+    // a distinctness the input already guarantees (r16, guide §2.3).
+    val dfT = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val vocab = dfT.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
       .select(col("token"), col("df"))
-    val nDocs = tok.select(count_distinct(col("doc_id")).as("n_docs"))
-    val perDoc = tok.join(broadcast(vocab.select("token")), "token")
+    // ONE doc-keyed aggregate serves both the per-doc vocab sets AND the
+    // corpus doc count (r16): the old shape ran a third full tokenize
+    // pass just for count_distinct(doc_id). A left join against the
+    // broadcast vocabulary keeps every tokenized doc in the aggregate
+    // (collect_set skips the nulls non-vocab tokens map to), so counting
+    // the groups IS n_docs, and the two consumers share the exchange.
+    val perDocAll = tok
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__v"))),
+        Seq("token"), "left")
       .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("token"))).as("toks"))
-    val pairs = perDoc
+      .agg(sort_array(collect_set(when(col("__v") === 1, col("token"))))
+        .as("toks"))
+    val nDocs = perDocAll.select(count(lit(1)).as("n_docs"))
+    val pairs = perDocAll
       .select(col("doc_id"), explode(col("toks")).as("tok_a"), col("toks"))
       .select(col("doc_id"), col("tok_a"), explode(col("toks")).as("tok_b"))
       .filter(col("tok_a") < col("tok_b"))

@@ -334,10 +334,12 @@ object Dedup {
     * auto-selects between the block-bounded quadratic walk and an exact
     * PPJoin prefix filter by the measured hottest-block population (a
     * `maxQuadraticBlock` override of 0 forces the prefix path). NOTE: the
-    * auto-selection runs one small planning aggregate EAGERLY (block
-    * populations over the distinct-set table) — this operator is
-    * batch-only and the job is a fraction of the pair enumeration it
-    * sizes.
+    * auto-selection runs one small planning aggregate EAGERLY — a
+    * tokenize-free per-block document count (an upper bound on the rep
+    * count); only when that bound overflows the quadratic budget does the
+    * exact rep-count aggregate (which tokenizes) run as a second planning
+    * job. This operator is batch-only and the planning job is a fraction
+    * of the pair enumeration it sizes.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCols: Seq[String], n: Int = 4,
