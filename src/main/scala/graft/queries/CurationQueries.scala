@@ -468,9 +468,14 @@ WHERE cum <= (SELECT SUM(n_tokens) // 2 FROM q)"""
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(col("lang") === "en")
     val model = Corpus.bpeTrain(train, "text", numMerges = 60)
+    // per-doc array_distinct BEFORE the explode (r16): the alphabet pass
+    // previously generated one row per CHARACTER of the slice and relied
+    // on the aggregate to collapse them; deduping inside the row first
+    // caps the generated rows at the per-doc charset (~dozens), same
+    // distinct result
     val alphaStr = train
-      .select(explode(split(concat_ws("",
-        graft.functions.TextFunctions.tokens(col("text"))), "")).as("c"))
+      .select(explode(array_distinct(split(concat_ws("",
+        graft.functions.TextFunctions.tokens(col("text"))), ""))).as("c"))
       .filter(length(col("c")) > 0).distinct()
       .collect().map(_.getString(0)).sorted.mkString
     docs
