@@ -823,12 +823,15 @@ object Corpus {
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
         sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = union
-      .select(col("__tgt"), size(col("__toks")).cast(LongType).as("__n"))
-      .agg(sum(when(col("__tgt"), col("__n")).otherwise(0L)).as("__TT"),
-        sum(when(!col("__tgt"), col("__n")).otherwise(0L)).as("__TR"))
-    val vocab = counts.agg(count(lit(1)).as("__V"))
-    val weights = counts.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+    // totals and |vocabulary| both derive from the persisted counts table
+    // (r16, guide §1.2): every token occurrence lands in exactly one
+    // counts row, so Σ__ct / Σ__cr ARE the side totals — the old totals
+    // pass re-tokenized the whole union a second time to re-sum what the
+    // aggregate already held, and vocab ran as its own job. One one-row
+    // aggregate over the cached relation now serves both.
+    val totals = counts.agg(sum(col("__ct")).as("__TT"),
+      sum(col("__cr")).as("__TR"), count(lit(1)).as("__V"))
+    val weights = counts.crossJoin(broadcast(totals))
       .select(col(featureCol),
         (expr(s"($scale * (__ct + 1)) div (__TT + __V)") -
           expr(s"($scale * (__cr + 1)) div (__TR + __V)")).as("weight"))
