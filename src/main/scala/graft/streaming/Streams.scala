@@ -738,18 +738,27 @@ object Streams {
         // dwarfs the data. Scoped to the streaming query's CLONED session
         // — the caller's session keeps its own width.
         spark.conf.set("spark.sql.shuffle.partitions", "1")
+        // LAZY checkpoint (r16): consumed twice (report + ledger update),
+        // but an eager materialization is its own job per trigger — the
+        // first consumer's write materializes the blocks instead, and
+        // both writes run before the ledger swap, so nothing re-reads a
+        // swapped file
         val batchCounts = countsOf(batch)
           .withColumn("batch_id", lit(batchId))
-          .localCheckpoint() // consumed twice (report + ledger update)
+          .localCheckpoint(false)
         val (fs, dirPath) = graft.sinks.Publish.fsFor(spark, stateDir)
         graft.sinks.Publish.restoreStaged(fs, dirPath)
         // the ledger is ≤ window·keys rows by contract: materialize the
         // read ONCE per batch — its three consumers (window filter,
         // report join, pruned-ledger union) otherwise each re-list and
         // re-scan the file as their own job
+        // lazy for the same reason as batchCounts: the priorWindow
+        // isEmpty probe below is this frame's first action and
+        // materializes the blocks before any consumer — and before the
+        // swap — so the file still reads exactly once per batch
         val history: Option[DataFrame] =
           if (fs.exists(dirPath))
-            Some(spark.read.parquet(stateDir).localCheckpoint())
+            Some(spark.read.parquet(stateDir).localCheckpoint(false))
           else None
         // replays (checkpoint recovery) re-deliver a batch id: its own
         // ledger rows must not count as its history nor double-insert
