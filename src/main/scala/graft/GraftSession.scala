@@ -17,6 +17,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // SIZE-first coalescing (r17): with the default parallelismFirst=true
+      // AQE keeps every post-shuffle stage at ~`cores` partitions no matter
+      // how few bytes flow, so per-task fixed costs (launch, codegen setup,
+      // state/commit IO, M×R shuffle blocks) scale with the core count —
+      // measured as 1.5-2× wall on small exchanges at local[32] vs local[8]
+      // on identical code. Deriving the partition count from DATA SIZE
+      // (advisory 256 MB, the optimization guide's production starting
+      // point) makes partitioning scale-adaptive: tiny exchanges collapse
+      // to one task, 100 TB exchanges get ~bytes/256MB tasks. CPU-heavy
+      // stages whose input bytes are tiny (pair scoring, pigeonhole
+      // enumeration) keep their parallelism via the EXPLICIT
+      // repartition(n, cols) fanouts those operators already pin.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,8 +27,12 @@ object AsOfJoin {
     * right row sorts first (nulls-first asc) and would act as
     * time = -infinity, matching left rows that have no true predecessor;
     * and a null KEY would pair null-key left rows with null-key right rows,
-    * the opposite of equi-join semantics. Left null-key/time rows stay and
-    * simply match nothing (asof = null), like an unmatched outer row.
+    * the opposite of equi-join semantics. Left null-key/time rows stay:
+    * null-KEY left rows match nothing (asof = null) in both directions;
+    * null-TIME left rows match nothing in [[backward]] (they sort before
+    * every right row) but match the key's overall EARLIEST right row in
+    * [[forward]] (they sort after every right row in its DESC running
+    * frame) — see forward's ordering note.
     */
   private def prepped(left: DataFrame, right: DataFrame,
                       leftKey: String, rightKey: String,

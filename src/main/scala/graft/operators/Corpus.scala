@@ -987,6 +987,13 @@ object Corpus {
     * a doc-keyed self-join shuffle); the pair count is one
     * partial-combined aggregate over at most vocabSize² keys; the final
     * cut is TakeOrderedAndProject.
+    *
+    * CONTRACT: `docs` must hold exactly ONE row per `idCol` value (the
+    * corpus-table shape every caller has). Document frequency is counted
+    * as rows-per-token over the per-document distinct token list, so a
+    * duplicated document row would inflate df — and with it the
+    * vocabulary ranking — silently. Dedupe on `idCol` upstream if the
+    * input can carry repeats.
     */
   def pmiTopPairs(docs: DataFrame, idCol: String, textCol: String,
                   vocabSize: Int, k: Int, minTokenLen: Int = 3): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type-2 history maintenance — the APPLY step of
@@ -37,6 +37,17 @@ object Scd2 {
     * snapshot close at `ts`; new keys open at `ts`. Closed rows pass
     * through untouched. Null-safe change compare (NULL == NULL, like
     * IS NOT DISTINCT FROM).
+    *
+    * Plan shape (r17, guide §1.2): ONE null-safe full-outer join of the
+    * open slice against the snapshot, then a conditional row EXPLOSION
+    * (same → open row; changed → closed version + fresh version; removed →
+    * closed version; added → fresh version). The r16 formulation ran
+    * [[Validators.snapshotDiff]] and re-joined open/snap against the diff's
+    * key sets — four key joins and three scans of each input per merge;
+    * this emits identical rows from the single join (2 exchanges instead
+    * of 8, each payload ships exactly once). The change compare is
+    * per-column `<=>` — the IS NOT DISTINCT FROM semantics snapshotDiff's
+    * null-flagged hash encodes, minus the hash.
     */
   def merge(scd: DataFrame, snap: DataFrame, keys: Seq[String],
             compareCols: Seq[String], ts: String): DataFrame = {
@@ -47,30 +58,32 @@ object Scd2 {
       s"scd columns must be keys ++ compareCols ++ (valid_from, valid_to), got ${scd.columns.toSeq}")
     val open = scd.filter(col("valid_to").isNull)
     val closed = scd.filter(col("valid_to").isNotNull)
-    val diff = Validators.snapshotDiff(
-      open.select(dataCols.map(col): _*), snap, keys, compareCols)
-    // null-safe key joins: equi-joins never match NULL keys, so an open
-    // null-keyed row would land in NEITHER keep nor close and silently
-    // vanish from the history (r8 review). The diff side's keys are
-    // RENAMED (__d_*) before joining — diff derives from open/snap, so
-    // unrenamed columns would trip the ambiguous-self-join detector.
-    def ofStatus(statuses: String*) =
-      diff.filter(col("status").isin(statuses: _*))
-        .select(keys.map(k => col(k).as(s"__d_$k")): _*)
-    // bare-name resolution on the left (dataset-addressed open(k)/snap(k)
-    // columns would trip the ambiguous-self-join detector, since the diff
-    // side's plan descends from the same datasets)
-    val keyCond = keys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
-    val keep = open.join(ofStatus("same"), keyCond)
-      .select(scd.columns.map(col): _*)
-    val close = open.join(ofStatus("changed", "removed"), keyCond)
-      .withColumn("valid_to", lit(ts))
-      .select(scd.columns.map(col): _*)
-    val opened = snap.join(ofStatus("changed", "added"), keyCond)
-      .withColumn("valid_from", lit(ts))
-      .withColumn("valid_to", lit(null).cast("string"))
-      .select(scd.columns.map(col): _*)
-    closed.unionByName(keep).unionByName(close).unionByName(opened)
+    // the snapshot side is fully RENAMED before joining (both frames
+    // typically derive from one source table, and unrenamed columns over
+    // shared lineage trip the ambiguous-self-join detector — the r8
+    // lesson); presence is tracked by non-null marker literals because
+    // keys themselves may be null, and the join is null-safe (<=>) so a
+    // null-keyed open row still meets its null-keyed snapshot row instead
+    // of silently vanishing from the history (r8 review).
+    val snapR = snap.select(dataCols.map(c => col(c).as(s"__s_$c")) :+
+      lit(1).as("__s_present"): _*)
+    val openM = open.withColumn("__o_present", lit(1))
+    val keyCond = keys.map(k => col(k) <=> col(s"__s_$k")).reduce(_ && _)
+    val j = openM.join(snapR, keyCond, "full_outer")
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    def openRow(validTo: Column) = struct(
+      dataCols.map(col) :+ col("valid_from") :+ validTo.as("valid_to"): _*)
+    val snapRow = struct(
+      dataCols.map(c => col(s"__s_$c").as(c)) :+
+        lit(ts).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
+    val emit =
+      when(col("__o_present").isNull, array(snapRow)) // added
+        .when(col("__s_present").isNull, array(openRow(lit(ts)))) // removed
+        .when(changed, array(openRow(lit(ts)), snapRow)) // changed
+        .otherwise(array(openRow(col("valid_to")))) // same
+    val merged = j.select(explode(emit).as("__e"))
+      .select(scd.columns.map(c => col(s"__e.$c").as(c)): _*)
+    closed.unionByName(merged)
   }
 
   /** SCD type-1 merge — the everyday `MERGE INTO target USING source WHEN

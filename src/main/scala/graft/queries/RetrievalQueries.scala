@@ -179,6 +179,10 @@ object RetrievalQueries {
     // tf/df/scores — and the oracle hash — are identical.
     val qt = Retrieval.queryTermsByDf(
       Retrieval.lexStats(base, "doc_id", "text").df, QTerms, QOffset)
+    // the pivot below hardcodes one slot per query term — a QTerms change
+    // must fail here at build time, not silently drop terms (r16 ADVICE)
+    require(QTerms == 3,
+      s"dHybridDense's planted-text pivot carries exactly 3 term slots; QTerms=$QTerms")
     val t = qt.groupBy().agg(
       max(when(col("qrank") === QOffset + 1, col("token"))).as("t1"),
       max(when(col("qrank") === QOffset + 2, col("token"))).as("t2"),
@@ -315,15 +319,27 @@ object RetrievalQueries {
       .select(col("doc_id"), col("rk"))
   }
 
-  private def sHybridServe(spark: SparkSession, dir: String): DataFrame = {
-    val idx = AnnQueries.ivfIndexPlanted(spark, dir)
-    // the offline lexical artifact: 50 rows, built ONCE per (JVM, dir) and
-    // staged to disk (the cachedArtifact pattern — parquet can't be
-    // reclaimed like localCheckpoint blocks, the r11 prebuild gotcha), so
-    // serving times the probe+fusion, not the offline corpus ranking
-    val lexRoot = SourceQueries.cachedArtifact("hybridlex", dir) { tmp =>
+  // the offline lexical artifact: 50 rows, built ONCE per (JVM, dir) and
+  // staged to disk (the cachedArtifact pattern — parquet can't be
+  // reclaimed like localCheckpoint blocks, the r11 prebuild gotcha), so
+  // serving times the probe+fusion, not the offline corpus ranking.
+  // Exposed so Bench can prebuild it as its own `s_hybrid_serve_build`
+  // line item (the d_ann_ivf_build precedent — offline cost must still be
+  // visible in the total). Consumer set lives HERE, next to the artifact
+  // accessor (single source of truth, like AnnQueries.ivfConsumers).
+  val hybridServeConsumers: Set[String] = Set("s_hybrid_serve")
+
+  /** Build (or reuse) the staged lexical rank-list artifact; returns its
+    * staging root. Memoized per (JVM, dir) by cachedArtifact.
+    */
+  def hybridServePrebuild(spark: SparkSession, dir: String): String =
+    SourceQueries.cachedArtifact("hybridlex", dir) { tmp =>
       hybridLexList(spark, dir).write.mode("overwrite").parquet(tmp + "/lex")
     }
+
+  private def sHybridServe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = AnnQueries.ivfIndexPlanted(spark, dir)
+    val lexRoot = hybridServePrebuild(spark, dir)
     val lex = spark.read.parquet(lexRoot + "/lex")
     val root = SourceQueries.cachedArtifact("hybridserve", dir) { tmp =>
       Tables.embeddings(spark, dir).filter(col("vec_id") < 5)

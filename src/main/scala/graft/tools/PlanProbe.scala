@@ -6,6 +6,10 @@ import org.apache.spark.sql.SparkSession
   * time N runs — the `.explain`-and-iterate loop SURVEY §5 prescribes.
   *
   * Usage: runMain graft.tools.PlanProbe <queryName> [sfDir] [runs] [--plan]
+  *          [--set spark.conf.key=value ...]
+  *
+  * `--set k=v` applies runtime SQL confs before running — the A-B lever
+  * for config experiments (e.g. AQE coalescing modes) without recompiling.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
@@ -16,16 +20,48 @@ object PlanProbe {
     val sfDir = positional.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = positional.lift(2).map(_.toInt).getOrElse(3)
     val showPlan = args.contains("--plan")
+    val sets = args.filter(_.startsWith("--set")).map(_.stripPrefix("--set"))
+      .filter(_.nonEmpty) ++
+      args.sliding(2).collect { case Array("--set", kv) => kv }
     val spark = graft.GraftSession.get()
+    sets.map(_.split("=", 2)).collect { case Array(k, v) =>
+      println(s"[probe] conf $k=$v"); spark.conf.set(k, v)
+    }
     try {
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'; valid names: " +
           graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
       if (showPlan) fn(spark, sfDir).explain("formatted")
+      // aggregate task metrics per run: input bytes ≈ how often the source
+      // files were really scanned (runtime exchange/stage reuse is
+      // invisible in the initial plan), shuffle bytes = exchange volume,
+      // executor run time = the true parallel work behind the wall time
+      val inB = new java.util.concurrent.atomic.AtomicLong
+      val shB = new java.util.concurrent.atomic.AtomicLong
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = e.taskMetrics
+            if (m != null) {
+              inB.addAndGet(m.inputMetrics.bytesRead)
+              shB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              runMs.addAndGet(m.executorRunTime)
+              nTasks.incrementAndGet()
+            }
+          }
+        })
       (1 to runs).foreach { i =>
+        inB.set(0); shB.set(0); runMs.set(0); nTasks.set(0)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a beat
+        Thread.sleep(200)
+        println(f"[probe] $name run $i: $sec%.3f s ($n rows) " +
+          f"tasks=${nTasks.get} input=${inB.get / 1024}KB " +
+          f"shuffleW=${shB.get / 1024}KB taskTime=${runMs.get / 1000.0}%.2fs")
       }
     } finally spark.stop()
   }
