@@ -40,6 +40,11 @@ object PlanProbe {
       val shB = new java.util.concurrent.atomic.AtomicLong
       val runMs = new java.util.concurrent.atomic.AtomicLong
       val nTasks = new java.util.concurrent.atomic.AtomicLong
+      // per-stage attribution (--stages): stage id → (tasks, task-ms) so a
+      // ballooning stage is nameable instead of guessed at
+      val showStages = args.contains("--stages")
+      val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+      val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -49,11 +54,15 @@ object PlanProbe {
               shB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
               runMs.addAndGet(m.executorRunTime)
               nTasks.incrementAndGet()
+              stageAgg.merge(e.stageId, (1L, m.executorRunTime),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
             }
           }
+          override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            stageName.put(e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '\n'))
         })
       (1 to runs).foreach { i =>
-        inB.set(0); shB.set(0); runMs.set(0); nTasks.set(0)
+        inB.set(0); shB.set(0); runMs.set(0); nTasks.set(0); stageAgg.clear()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -62,6 +71,24 @@ object PlanProbe {
         println(f"[probe] $name run $i: $sec%.3f s ($n rows) " +
           f"tasks=${nTasks.get} input=${inB.get / 1024}KB " +
           f"shuffleW=${shB.get / 1024}KB taskTime=${runMs.get / 1000.0}%.2fs")
+        if (showStages && i == runs) {
+          import scala.jdk.CollectionConverters._
+          stageAgg.asScala.toSeq.sortBy(-_._2._2).take(12).foreach {
+            case (sid, (nt, ms)) =>
+              println(f"[probe]   stage $sid%4d: $nt%3d tasks ${ms / 1000.0}%7.2fs  " +
+                stageName.getOrDefault(sid, "?"))
+          }
+        }
+        // --final: the executed (post-AQE) operator skeleton — join
+        // strategies and exchange counts as they actually RAN, which the
+        // initial --plan cannot show
+        if (args.contains("--final") && i == runs) {
+          val df = fn(spark, sfDir); df.count()
+          val skeleton = df.queryExecution.executedPlan.toString.linesIterator
+            .map(_.replaceAll("\\[.*", "").replaceAll("\\(\\d+\\)", ""))
+            .filter(l => l.exists(_.isLetter)).take(120)
+          skeleton.foreach(l => println("[probe]  |" + l))
+        }
       }
     } finally spark.stop()
   }
