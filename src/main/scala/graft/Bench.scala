@@ -54,6 +54,10 @@ object Bench {
       // plans and per-task overhead stops scaling with parallelism
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
+      // sort-based shuffle writer (see GraftSession: the bypass-merge
+      // writer's M×R per-map-task file creation was the residual
+      // per-query tax that scaled with SPARK_GRAFT_CPUS)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,9 @@ object Verify {
       // the verified plans are the benched plans
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
+      // sort-based shuffle writer, same setting (and rationale) as
+      // GraftSession/Bench
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,9 +23,19 @@ object PlanProbe {
     val sets = args.filter(_.startsWith("--set")).map(_.stripPrefix("--set"))
       .filter(_.nonEmpty) ++
       args.sliding(2).collect { case Array("--set", kv) => kv }
+    // static (core) confs only take effect at context construction —
+    // stage them as system properties (SparkConf loads spark.* props),
+    // then ALSO set runtime-settable SQL confs on the live session
+    sets.map(_.split("=", 2)).collect { case Array(k, v) =>
+      System.setProperty(k, v)
+    }
     val spark = graft.GraftSession.get()
     sets.map(_.split("=", 2)).collect { case Array(k, v) =>
-      println(s"[probe] conf $k=$v"); spark.conf.set(k, v)
+      println(s"[probe] conf $k=$v")
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        println(s"[probe]   ($k is static — applied via system property)")
+      }
     }
     try {
       val fn = graft.SparkEntry.queries.getOrElse(name,
